@@ -1,0 +1,58 @@
+"""Table loading for the driver-generated TPC-H-ish parquet tables.
+
+At 100 TB these reads are partitioned parquet scans; everything here is
+a thin, lazily-planned ``spark.read.parquet`` so Catalyst keeps column
+pruning and predicate pushdown (``.explain`` shows ``PushedFilters`` /
+``ReadSchema`` reaching the scan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one table.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it
+    arrives as a nanos bigint and is converted here to a microsecond
+    timestamp (truncation — matching DuckDB's ns→us read behavior).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # deterministic timestamp rendering even on a caller-provided session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql access."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

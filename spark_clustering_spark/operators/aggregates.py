@@ -1,0 +1,159 @@
+"""Aggregation operators (SURVEY.md §2B "Aggregations").
+
+The reference hand-rolls partial+final aggregation with combineByKey
+(kmeans.java:124-164); every groupBy here gets the same map-side
+partial / reduce-side final split from Catalyst automatically
+(HashAggregateExec pairs — visible in .explain).
+
+All float sums go through exact DECIMAL(38,8) accumulation
+(functions/detagg.py) so results are independent of partitioning —
+required both for oracle hash-matching and for run-to-run
+reproducibility on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_clustering_spark.functions.detagg import davg, dsum, sql_davg, sql_dsum
+from spark_clustering_spark.io import register_temp_views, table
+from spark_clustering_spark.registry import query
+
+
+@query(
+    "q_agg_hash",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the flagship hash aggregation
+    (maps the reference's combineByKey partial/final pattern, R5)."""
+    li = table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(net, "sum_disc_price"),
+            dsum(net * (1 + F.col("l_tax")), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed distinct + plain aggregates (Catalyst plans the expand +
+    two-phase distinct aggregation)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT n.n_name, c.c_mktsegment,
+           count(*) AS n_cust,
+           {sql_dsum('c.c_acctbal', 'sum_bal')}
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal", "sum_bal"))
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price")
+    )
+
+
+@query(
+    "q_agg_groupingsets",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           grouping(o_orderpriority)::INT + 2 * grouping(o_orderstatus)::INT AS gid,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + a grouping-flag id (encoded explicitly
+    as grouping(a) + 2*grouping(b) so both engines agree bit-for-bit)."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               cast(grouping(o_orderpriority) AS INT)
+                 + 2 * cast(grouping(o_orderstatus) AS INT) AS gid,
+               count(*) AS n_orders,
+               round(cast(sum(cast(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+                 AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct users per event type. Sketch results are
+    engine-specific, so this is rows-only checked; the pytest suite
+    asserts the estimate is within rsd bounds of the exact count."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,390 @@
+"""Clustering primitive operators (SURVEY.md §2B R4-R12 rows).
+
+These are the Spark-first building blocks of the reference's clustering
+algorithms, each individually oracle-checked:
+
+- nearest-centroid assignment (reference kmeans.java:103-123, R4)
+- centroid update / mean-by-key (kmeans.java:124-179, R5)
+- objective = sum of *unsquared* L2 distances (kmeans.java:186-191, Q4)
+- empty-cluster detection (kmeans.java:192-195, R8/Q1 — implemented
+  correctly here, unlike the reference's dead code)
+- roulette-wheel CDF (gka.java:253-304, R10)
+- mutation weights (gka.java:165-237, R12)
+- best-objective tracking (kmeans.java:199-200, R7)
+- two unrolled Lloyd iterations (composition check)
+
+Scale design: the data stays partitioned; only the k×d centroid table is
+broadcast (inverse of the reference, which broadcasts the dataset —
+kmeans.java:94). The argmin is a broadcast cross-join + per-point
+min-struct aggregation: one narrow stage, no shuffle of the big side
+until the (tiny) per-cluster aggregation.
+
+Determinism: per-dimension means use exact DECIMAL(38,8) sums
+(functions/detagg.py) so partial-aggregation order can't perturb the
+result; distances are fixed-order double folds, bit-identical across
+engines; ties in the argmin break on the lower centroid id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_clustering_spark.functions.detagg import DEC, dround, dsum, sql_dround, sql_dsum
+from spark_clustering_spark.functions.distance import as_double_array, euclidean
+from spark_clustering_spark.io import table
+from spark_clustering_spark.registry import query
+
+K_DEFAULT = 8
+
+
+def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, vec: array<double>) off the embeddings table."""
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+
+
+def centroids_df(spark: SparkSession, sf_dir: str, k: int = K_DEFAULT) -> DataFrame:
+    """Deterministic init: the k lowest vec_ids (FIXTURES.md §3)."""
+    return (
+        points_df(spark, sf_dir)
+        .orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"))
+    )
+
+
+def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, vec, cluster_id, dist).
+
+    Broadcast cross-join against the (tiny) centroid table, then argmin
+    via min(struct(dist, cid)) — a hash aggregation, not a sort, so it
+    scales as one narrow pass + map-side combine over the data.
+    """
+    pairs = points.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", euclidean(F.col("vec"), F.col("cvec"))
+    )
+    best = pairs.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cid")).alias("best"),
+        F.first("vec").alias("vec"),
+    )
+    return best.select(
+        "vec_id",
+        "vec",
+        F.col("best.cid").alias("cluster_id"),
+        F.col("best.dist").alias("dist"),
+    )
+
+
+def update_centroids(assigned: DataFrame) -> DataFrame:
+    """Lloyd centroid update: exact-decimal per-dimension means.
+
+    One shuffle keyed on (cluster, dim) after a posexplode — partial
+    aggregation happens map-side; cluster count k and dim d are small so
+    the reduce side is tiny regardless of data size.
+    Returns (cid, cvec array<double>, n_points, sum_dist).
+    """
+    exploded = assigned.select(
+        "cluster_id", "dist", F.posexplode("vec").alias("pos", "v")
+    )
+    per_dim = exploded.groupBy("cluster_id", "pos").agg(
+        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("mean_v"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.col("dist").cast(DEC)).cast("double").alias("sum_dist"),
+    )
+    return (
+        per_dim.groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_v"))),
+                lambda s: s.mean_v,
+            ).alias("cvec"),
+            F.first("n_points").alias("n_points"),
+            F.first("sum_dist").alias("sum_dist"),
+        )
+        .select(F.col("cluster_id").alias("cid"), "cvec", "n_points", "sum_dist")
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+# Shared DuckDB CTE fragments, kept string-side-by-side with the Spark
+# helpers above so the two can't drift.
+
+def sql_points() -> str:
+    return "pts AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)"
+
+
+def sql_centroids(k: int, name: str = "ctr", src: str = "pts") -> str:
+    return (
+        f"{name} AS (SELECT vec_id AS cid, vec AS cvec FROM {src} "
+        f"ORDER BY vec_id LIMIT {k})"
+    )
+
+
+def sql_assign(k: int, name: str = "assign", ctr: str = "ctr") -> str:
+    return f"""{name} AS (
+      SELECT p.vec_id, p.vec, c.cid AS cluster_id,
+             list_distance(p.vec, c.cvec) AS dist
+      FROM pts p CROSS JOIN {ctr} c
+      QUALIFY row_number() OVER (
+        PARTITION BY p.vec_id ORDER BY list_distance(p.vec, c.cvec), c.cid) = 1
+    )"""
+
+
+SQL_UNNEST = """unn AS (
+      SELECT vec_id, unnest(vec) AS v,
+             generate_subscripts(vec, 1) - 1 AS pos
+      FROM pts
+    )"""
+
+
+def sql_update(name: str = "upd", assign: str = "assign") -> str:
+    """Per-(cluster, dim) exact-decimal mean + counts, exploded form."""
+    return f"""{name} AS (
+      SELECT a.cluster_id, u.pos,
+             cast(sum(cast(u.v AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS mean_v,
+             count(*) AS n_points
+      FROM {assign} a JOIN unn u ON a.vec_id = u.vec_id
+      GROUP BY a.cluster_id, u.pos
+    )"""
+
+
+# ------------------------------------------------------------------ queries
+
+@query(
+    "q_assign_nearest",
+    oracle=f"""
+    WITH {sql_points()},
+    {sql_centroids(K_DEFAULT)},
+    {sql_assign(K_DEFAULT)}
+    SELECT vec_id, cluster_id, cast(round(cast(cast((dist) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS dist
+    FROM assign
+    """,
+)
+def q_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: argmin-over-k assignment, k=8 deterministic centroids."""
+    a = assign(points_df(spark, sf_dir), centroids_df(spark, sf_dir))
+    return a.select("vec_id", "cluster_id", dround("dist").alias("dist"))
+
+
+@query(
+    "q_centroid_update",
+    oracle=f"""
+    WITH {sql_points()},
+    {sql_centroids(K_DEFAULT)},
+    {sql_assign(K_DEFAULT)},
+    {SQL_UNNEST},
+    {sql_update()}
+    SELECT cluster_id, pos::INT AS pos, cast(round(cast(cast((mean_v) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS ctr_mean, n_points
+    FROM upd
+    """,
+)
+def q_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: one Lloyd centroid update (mean by key), exploded per dim."""
+    a = assign(points_df(spark, sf_dir), centroids_df(spark, sf_dir))
+    upd = update_centroids(a)
+    return upd.select(
+        F.col("cid").alias("cluster_id"),
+        F.posexplode("cvec").alias("pos", "ctr_mean"),
+        "n_points",
+    ).select("cluster_id", "pos", dround("ctr_mean").alias("ctr_mean"), "n_points")
+
+
+@query(
+    "q_sse_objective",
+    oracle=f"""
+    WITH {sql_points()},
+    {sql_centroids(K_DEFAULT)},
+    {sql_assign(K_DEFAULT)}
+    SELECT {sql_dsum('dist', 'sse')}, count(*) AS n FROM assign
+    """,
+)
+def q_sse_objective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6/Q4: objective = sum of UNSQUARED L2 distances (reference
+    kmeans.java:259 applies sqrt before summing)."""
+    a = assign(points_df(spark, sf_dir), centroids_df(spark, sf_dir))
+    return a.agg(dsum("dist", "sse"), F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_kmeans_iter2",
+    oracle=f"""
+    WITH {sql_points()},
+    {sql_centroids(K_DEFAULT, name='c0')},
+    {sql_assign(K_DEFAULT, name='a1', ctr='c0')},
+    {SQL_UNNEST},
+    {sql_update(name='u1', assign='a1')},
+    c1 AS (
+      SELECT cluster_id AS cid, list(mean_v ORDER BY pos) AS cvec
+      FROM u1 GROUP BY cluster_id
+    ),
+    {sql_assign(K_DEFAULT, name='a2', ctr='c1')},
+    {sql_update(name='u2', assign='a2')}
+    SELECT cluster_id, pos::INT AS pos, cast(round(cast(cast((mean_v) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS ctr_mean, n_points
+    FROM u2
+    """,
+)
+def q_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations from deterministic init — the
+    composition check for assign→update→assign→update (R4+R5+R11)."""
+    pts = points_df(spark, sf_dir).persist()
+    c0 = centroids_df(spark, sf_dir)
+    c1 = update_centroids(assign(pts, c0)).select("cid", "cvec")
+    u2 = update_centroids(assign(pts, c1))
+    return u2.select(
+        F.col("cid").alias("cluster_id"),
+        F.posexplode("cvec").alias("pos", "ctr_mean"),
+        "n_points",
+    ).select("cluster_id", "pos", dround("ctr_mean").alias("ctr_mean"), "n_points")
+
+
+@query(
+    "q_empty_cluster",
+    oracle="""
+    SELECT c.cid AS cluster_id
+    FROM (SELECT unnest(range(16)) AS cid) c
+    ANTI JOIN (SELECT DISTINCT label FROM embeddings) l ON c.cid = l.label
+    """,
+)
+def q_empty_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8/Q1: clusters with zero members, via left-anti join of the
+    candidate cluster-id range against observed labels. The reference's
+    reseed branch is dead code; this is the working detection primitive
+    its reseed (ml/kmeans.py) builds on."""
+    candidates = spark.range(16).select(F.col("id").cast("bigint").alias("cluster_id"))
+    labels = table(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("bigint").alias("label")
+    ).distinct()
+    return candidates.join(
+        labels, candidates.cluster_id == labels.label, "left_anti"
+    )
+
+
+@query(
+    "q_best_tracking",
+    oracle="""
+    WITH hist AS (
+      SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS iter,
+             cast(round(cast(cast(sum(cast(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+                   / count(*) AS DECIMAL(38,12)), 4) AS DOUBLE) AS objective
+      FROM orders GROUP BY 1
+    )
+    SELECT iter::INT AS iter, objective,
+           min(objective) OVER (
+             ORDER BY iter ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS best_so_far
+    FROM hist
+    """,
+)
+def q_best_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7/R21: running min of an objective over an iteration history
+    (built deterministically from orders-by-month)."""
+    o = table(spark, sf_dir, "orders")
+    hist = o.groupBy(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias("iter")
+    ).agg(
+        dround(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("objective")
+    )
+    w = Window.orderBy("iter").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return hist.select(
+        "iter", "objective", F.min("objective").over(w).alias("best_so_far")
+    )
+
+
+def _wheel_cols(cum: Column, total: Column) -> Column:
+    return F.round(cum / total, 4)
+
+
+@query(
+    "q_roulette_cdf",
+    oracle="""
+    WITH pop AS (
+      SELECT o_orderkey AS member_id, 1.0 / o_totalprice AS fit
+      FROM orders ORDER BY o_orderkey LIMIT 20
+    ),
+    cums AS (
+      SELECT member_id, fit,
+             sum(fit) OVER (ORDER BY member_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM pop
+    )
+    SELECT member_id,
+           cast(round(cast(cast((fit) AS VARCHAR) AS DECIMAL(38,14)), 10) AS DOUBLE) AS fit10,
+           cast(round(cast(cast((cum / (max(cum) OVER ())) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cdf
+    FROM cums
+    """,
+)
+def q_roulette_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10: GKA roulette wheel — fitness ∝ 1/objective, normalized
+    cumulative sum. The total is taken as max(running cum) so both
+    engines accumulate in the identical (ORDER BY) order → bit-identical
+    doubles before rounding."""
+    o = table(spark, sf_dir, "orders")
+    pop = (
+        o.orderBy("o_orderkey")
+        .limit(20)
+        .select(
+            F.col("o_orderkey").alias("member_id"),
+            (F.lit(1.0) / F.col("o_totalprice")).alias("fit"),
+        )
+    )
+    w_run = Window.orderBy("member_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cums = pop.withColumn("cum", F.sum("fit").over(w_run))
+    return cums.select(
+        "member_id",
+        F.round(F.col("fit").cast("decimal(38,14)"), 10).cast("double").alias("fit10"),
+        dround(F.col("cum") / F.max("cum").over(w_all)).alias("cdf"),
+    )
+
+
+@query(
+    "q_mutation_weights",
+    oracle=f"""
+    WITH {sql_points()},
+    {sql_centroids(K_DEFAULT)},
+    {sql_assign(K_DEFAULT)},
+    wt AS (
+      SELECT cluster_id, vec_id, dist,
+             0.9 * (max(dist) OVER (PARTITION BY cluster_id)) - dist AS w
+      FROM assign
+    ),
+    cums AS (
+      SELECT cluster_id, vec_id, w,
+             sum(w) OVER (PARTITION BY cluster_id ORDER BY vec_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM wt
+    )
+    SELECT cluster_id, vec_id,
+           cast(round(cast(cast((w) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS w,
+           cast(round(cast(cast((cum / (max(cum) OVER (PARTITION BY cluster_id))) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cdf
+    FROM cums
+    """,
+)
+def q_mutation_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12: GKA mutation wheel — weight = Cm·max(d) − d within each
+    cluster (Cm=0.9 per the reference README defaults), plus the
+    normalized per-cluster CDF."""
+    a = assign(points_df(spark, sf_dir), centroids_df(spark, sf_dir))
+    w_max = Window.partitionBy("cluster_id")
+    w_run = Window.partitionBy("cluster_id").orderBy("vec_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = a.select(
+        "cluster_id",
+        "vec_id",
+        (F.lit(0.9) * F.max("dist").over(w_max) - F.col("dist")).alias("w"),
+    )
+    cums = wt.withColumn("cum", F.sum("w").over(w_run))
+    return cums.select(
+        "cluster_id",
+        "vec_id",
+        dround("w").alias("w"),
+        dround(F.col("cum") / F.max("cum").over(w_max)).alias("cdf"),
+    )

@@ -1,0 +1,293 @@
+"""Join operators (SURVEY.md §2B "Joins").
+
+Join-strategy notes for 100 TB:
+- small dims (part, nation, region, the centroid table, the roulette
+  wheel) are broadcast explicitly — no shuffle of the big side;
+- orders⋈lineitem is a genuine large-large equi-join: AQE picks
+  sort-merge with skew splitting; at scale both sides would be bucketed
+  on the order key to make it shuffle-free;
+- the as-of join is expressed as filter + per-event max aggregation
+  (two shuffles keyed by event_id) instead of a naive range cross-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_clustering_spark.functions.detagg import dround, dsum, sql_dround, sql_dsum
+from spark_clustering_spark.functions.rng import lcg_uniform, sql_lcg_uniform
+from spark_clustering_spark.io import table
+from spark_clustering_spark.registry import query
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+           {sql_dround('l.l_extendedprice * (1 - l.l_discount)')} AS net_price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-side broadcast equi-join (reference broadcasts its
+    read-only state the same way, R18)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        dround(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+@query(
+    "q_join_smj",
+    oracle=f"""
+    SELECT o.o_orderkey, count(*) AS n_lines,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'order_net')}
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi-join (sort-merge under AQE) + per-order agg."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "order_net"),
+        )
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-chain join; both dims broadcast — zero shuffles of the fact."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           cast(round(coalesce(sum(cast(o.o_totalprice AS DECIMAL(38,8))),
+                               cast(0 AS DECIMAL(38,8))), 4) AS DOUBLE)
+             AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN with null-extended aggregation (customers with no
+    orders keep count 0 / spend 0)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(38,8)")),
+                    F.lit(0).cast("decimal(38,8)"),
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — the same primitive that powers empty-cluster reseed
+    (SURVEY.md R8/Q1)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+    SELECT p1.p_partkey AS key_small, p2.p_partkey AS key_big,
+           p1.p_brand AS brand,
+           (p2.p_size - p1.p_size)::INT AS size_gap
+    FROM part p1 JOIN part p2
+      ON p1.p_brand = p2.p_brand AND p1.p_size < p2.p_size
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + theta compound join (hash on brand, residual range
+    predicate applied post-match — no cross product)."""
+    p1 = table(spark, sf_dir, "part").alias("p1")
+    p2 = table(spark, sf_dir, "part").alias("p2")
+    return p1.join(
+        p2,
+        (F.col("p1.p_brand") == F.col("p2.p_brand"))
+        & (F.col("p1.p_size") < F.col("p2.p_size")),
+    ).select(
+        F.col("p1.p_partkey").alias("key_small"),
+        F.col("p2.p_partkey").alias("key_big"),
+        F.col("p1.p_brand").alias("brand"),
+        (F.col("p2.p_size") - F.col("p1.p_size")).alias("size_gap"),
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH m AS (
+      SELECT e.event_id, max(o.o_orderdate) AS asof_date
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      GROUP BY e.event_id
+    )
+    SELECT m.event_id, strftime(m.asof_date, '%Y-%m-%d') AS asof_date,
+           max(o.o_orderkey) AS asof_orderkey
+    FROM m
+    JOIN events e ON e.event_id = m.event_id
+    JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate = m.asof_date
+    GROUP BY m.event_id, m.asof_date
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: per event, the most recent order of the same user at
+    or before the event time (ties on date break to max orderkey).
+
+    Expressed as join + max aggregations — deterministic and
+    hash-matchable. At 100 TB the production path is a partition-by-user
+    sort-merge (union both streams, window last(ignorenulls)); this
+    formulation is the oracle-parity surface."""
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    m = (
+        e.join(
+            o,
+            (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts),
+        )
+        .groupBy("event_id")
+        .agg(F.max("o_orderdate").alias("asof_date"))
+    )
+    e2 = table(spark, sf_dir, "events").select("event_id", "user_id")
+    o2 = table(spark, sf_dir, "orders")
+    return (
+        m.join(e2, "event_id")
+        .join(
+            o2,
+            (o2.o_custkey == e2.user_id) & (o2.o_orderdate == F.col("asof_date")),
+        )
+        .groupBy(
+            "event_id", F.date_format("asof_date", "yyyy-MM-dd").alias("asof_date")
+        )
+        .agg(F.max("o_orderkey").alias("asof_orderkey"))
+    )
+
+
+@query(
+    "q_join_cdf_lookup",
+    oracle=f"""
+    WITH pop AS (
+      SELECT o_orderkey AS member_id, 1.0 / o_totalprice AS fit
+      FROM orders ORDER BY o_orderkey LIMIT 20
+    ),
+    cums AS (
+      SELECT member_id, fit,
+             sum(fit) OVER (ORDER BY member_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM pop
+    ),
+    norm AS (
+      SELECT member_id, cum / (max(cum) OVER ()) AS hi FROM cums
+    ),
+    wheel AS (
+      SELECT member_id, hi,
+             coalesce(lag(hi) OVER (ORDER BY member_id), 0.0) AS lo
+      FROM norm
+    ),
+    draws AS (
+      SELECT i AS draw_id, {sql_lcg_uniform('i', seed=7)} AS u
+      FROM (SELECT unnest(range(50)) AS i)
+    )
+    SELECT d.draw_id, w.member_id
+    FROM draws d JOIN wheel w ON d.u >= w.lo AND d.u < w.hi
+    """,
+)
+def q_join_cdf_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10: roulette draws — 50 deterministic uniforms range-joined into
+    the CDF bins of the wheel. The wheel is tiny and broadcast, so the
+    range join is a broadcast nested-loop over ≤k bins per draw."""
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    pop = (
+        o.orderBy("o_orderkey")
+        .limit(20)
+        .select(
+            F.col("o_orderkey").alias("member_id"),
+            (F.lit(1.0) / F.col("o_totalprice")).alias("fit"),
+        )
+    )
+    w_run = Window.orderBy("member_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cums = pop.withColumn("cum", F.sum("fit").over(w_run))
+    norm = cums.withColumn("hi", F.col("cum") / F.max("cum").over(w_all))
+    wheel = norm.select(
+        "member_id",
+        "hi",
+        F.coalesce(F.lag("hi").over(Window.orderBy("member_id")), F.lit(0.0)).alias("lo"),
+    )
+    draws = spark.range(50).select(
+        F.col("id").alias("draw_id"), lcg_uniform("id", seed=7).alias("u")
+    )
+    return draws.join(
+        F.broadcast(wheel), (draws.u >= wheel.lo) & (draws.u < wheel.hi)
+    ).select("draw_id", "member_id")

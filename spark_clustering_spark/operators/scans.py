@@ -1,0 +1,62 @@
+"""Scan / source / sink operators (SURVEY.md §2B "Scans").
+
+Generalizes the reference's CSV ingest (reference kmeans.java:203-239,
+R1) and metrics sink (kmeans.java:261-270, R20) into Spark-native
+sources: columnar parquet scans with column pruning, and a
+width-inferred headerless-CSV ingest producing ``(id, features)``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_clustering_spark.io import table
+from spark_clustering_spark.registry import query
+from spark_clustering_spark.sources.csv_numeric import read_numeric_csv
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
+
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+    FROM lineitem
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed column projection off parquet. Catalyst prunes the scan to
+    exactly these 5 columns (check: ReadSchema in .explain)."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+@query("q_scan_csv_infer")  # rows-only: CSV fixture lives outside the oracle views
+def q_scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headerless numeric CSV -> (id, features array<double>), width
+    inferred from the file (reference R1 semantics; ragged input is an
+    error per SURVEY.md Q10)."""
+    return read_numeric_csv(spark, os.path.join(FIXTURE_DIR, "csv_tiny.csv"))
+
+
+@query("q_sink_metrics")  # rows-only: exercises a write path, not SQL-comparable
+def q_sink_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append an iteration-metrics table (reference R20 sink schema:
+    iter, best_objectvalue, iter_ms) as parquet and read it back."""
+    metrics = spark.createDataFrame(
+        [(i, 1000.0 / (i + 1), 10 + i) for i in range(5)],
+        "iter INT, best_objectvalue DOUBLE, iter_ms BIGINT",
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="metrics_sink_"), "metrics")
+    metrics.write.mode("append").parquet(out)
+    return spark.read.parquet(out)

@@ -1,0 +1,176 @@
+"""Window-function operators + top-k (SURVEY.md §2B "Window functions",
+"Sorts / limits / top-k").
+
+Running float sums are order-pinned by the window ORDER BY, so both
+engines accumulate identically — no decimal cast needed except where a
+frame's internal order is unspecified (the RANGE frame avg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_clustering_spark.functions.detagg import dround, sql_dround
+from spark_clustering_spark.io import register_temp_views, table
+from spark_clustering_spark.registry import query
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "q_window_running",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           {sql_dround('''sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS run_total
+    FROM orders
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer (reference R7 is the same running-
+    min pattern). ORDER BY pins the accumulation order → bit-identical."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        dround(F.sum("o_totalprice").over(w)).alias("run_total"),
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           strftime(lag(o_orderdate) OVER w, '%Y-%m-%d') AS prev_d,
+           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS next_d,
+           date_diff('day', lag(o_orderdate) OVER w, o_orderdate)::INT AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format(prev, "yyyy-MM-dd").alias("prev_d"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("next_d"),
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date")).alias("gap_days"),
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           {sql_dround('''cast(sum(cast(o_totalprice AS DECIMAL(38,8))) OVER w AS DOUBLE)
+                 / count(*) OVER w''')} AS avg_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (30-day trailing average). The frame's
+    internal accumulation order is engine-chosen → exact decimal sum."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               cast(round(cast(
+                 cast(sum(cast(o_totalprice AS DECIMAL(38,8))) OVER w AS DOUBLE)
+                   / count(*) OVER w
+                 AS DECIMAL(38,12)), 4) AS DOUBLE) AS avg_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile — a single-partition sort; at 100 TB the scalable
+    equivalent is approx percentile_disc bucketing, kept here because
+    the declared semantics are exact quartiles."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@query(
+    "q_topk_global",
+    oracle=f"""
+    SELECT o_orderkey, {sql_dround('o_totalprice')} AS o_totalprice
+    FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+    """,
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 (TakeOrderedAndProject — per-partition heap, no
+    full sort)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", dround("o_totalprice").alias("o_totalprice"))
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_size, rn FROM (
+      SELECT p_brand, p_partkey, p_size,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_size DESC, p_partkey) AS rn
+      FROM part) t
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc(), F.col("p_partkey"))
+    return (
+        p.select("p_brand", "p_partkey", "p_size", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )

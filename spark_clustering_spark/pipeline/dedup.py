@@ -1,0 +1,270 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families, all shuffle-disciplined for 100 TB:
+
+- exact: one hash-groupBy on md5(text) — the shuffle key is the digest,
+  so payload text never shuffles (project the hash first).
+- MinHash-LSH: shingle → minhash signature → band buckets → candidate
+  pairs via a groupBy on (band, band_hash). Only signatures (fixed
+  ~H*8 bytes/doc) shuffle; the O(n²) pair explosion is confined inside
+  buckets.
+- SimHash: 64-bit fingerprint from token hashes; near-dup candidates by
+  matching any of 4 16-bit chunks (hamming ≤ 3 guaranteed recall when
+  differing bits spread across ≥1 intact chunk).
+- n-gram Jaccard: exact pairwise verification on a bounded candidate
+  slice (SQL-oracle-checkable).
+- embedding cosine: near-dup pairs above a cosine threshold.
+
+MinHash permutations use fixed LCG coefficient tables (seeded) — no
+unseeded randomness anywhere (SURVEY.md Q5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_clustering_spark.functions.detagg import dround
+from spark_clustering_spark.io import table
+from spark_clustering_spark.registry import query
+
+# 16 minhash permutations in 4 bands of 4 rows; coefficients from a
+# fixed seeded LCG stream (public-recipe universal hashing: (a*x+b) % p).
+_P = 4_294_967_311  # smallest prime > 2^32
+_NUM_HASHES = 16
+_BAND_ROWS = 4
+
+
+def _coeffs(seed: int = 42) -> list[tuple[int, int]]:
+    # a is capped at 2^30 so a*h stays < 2^62 — no bigint overflow under
+    # Spark's ANSI arithmetic.
+    out, state = [], seed
+    for _ in range(_NUM_HASHES):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = state % (2**30 - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % _P
+        out.append((a, b))
+    return out
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig array<bigint>[16]) — min over xxhash64(shingle) under
+    each of the 16 affine permutations. One groupBy(doc_id) shuffle of
+    (doc_id, 16×8B) — shingle strings are hashed before the shuffle."""
+    h = F.pmod(F.xxhash64("shingle"), F.lit(2**32))
+    mins = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_coeffs())
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(_NUM_HASHES)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Banding: docs sharing any band of 4 consecutive minhashes become
+    candidate pairs. Returns (doc_a, doc_b, n_bands) with doc_a < doc_b."""
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", bi * _BAND_ROWS + r + 1).cast("string")
+                                for r in range(_BAND_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(_NUM_HASHES // _BAND_ROWS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the lowest doc_id.
+    Only (digest, doc_id) shuffles — never the text payload."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query("q_dedup_minhash")  # rows-only: signature internals aren't SQL-portable
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (16 hashes, 4 bands × 4 rows)
+    over word 3-gram shingles. Deterministic: fixed coefficient table,
+    xxhash64 base hash. Invariants tested in tests/test_dedup.py."""
+    d = table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(shingles(d)))
+
+
+@query("q_dedup_simhash")  # rows-only: bit-level fingerprint, not SQL-portable
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc from token xxhash64s: bit i of the
+    fingerprint is the sign of sum(±1 over tokens' bit i). Emitted with
+    the 4 16-bit chunk keys used for banded near-dup search."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    th = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    # mask for bit 63 as a signed bigint: -2^63 has exactly the top bit set
+    masks = [1 << i for i in range(63)] + [-(2**63)]
+    bit_sums = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i, m in enumerate(masks)
+        ]
+    )
+    # bit 63 is the sign bit: add -2^63 (two's complement) instead of 2^63,
+    # which would overflow bigint under ANSI arithmetic.
+    fp = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(63)
+            ],
+            F.when(F.col("b63") > 0, F.lit(-(2**63))).otherwise(F.lit(0)).cast("bigint"),
+        ).alias("simhash"),
+    )
+    return fp.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.pmod(F.shiftrightunsigned("simhash", 16 * c), F.lit(1 << 16)).alias(f"chunk{c}")
+            for c in range(4)
+        ],
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+      FROM documents WHERE doc_id < 60
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   for i in range(1, greatest(len(ws) - 1, 1))])) AS shingle
+      FROM docs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           cast(round(cast(cast((cast(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE cast(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.1
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity on a bounded doc slice — the
+    verification stage behind MinHash candidates (integer set math, so
+    fully SQL-oracle-checkable)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    g = shingles(d)
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = g.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", dround(jac).alias("jaccard"))
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           cast(round(cast(cast((list_cosine_similarity(a.vec, b.vec)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cos
+    FROM ve a JOIN ve b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.vec, b.vec) >= 0.99
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.99). Brute
+    force here; the LSH-bucketed scale path is
+    pipeline/similarity.py::cosine_lsh_buckets."""
+    from spark_clustering_spark.functions.distance import as_double_array, cosine
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("vec").alias("va"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("vec").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.99)
+        .select("a_id", "b_id", dround("cos_raw").alias("cos"))
+    )

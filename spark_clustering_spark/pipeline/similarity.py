@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns.
+
+Two paths:
+
+- ``q_sim_topk_cosine``: brute-force top-k cosine for a probe set. The
+  oracle-parity formulation computes dot products via exact
+  DECIMAL(38,8) sums over posexploded (probe, candidate, dim) rows —
+  order-proof, hence hash-identical in DuckDB. The fast float path
+  (zip_with fold, no explode) is ``cosine_topk_fast`` below and is what
+  bench/fit loops use.
+- ``cosine_lsh_buckets``: the scale path — random-hyperplane LSH (fixed
+  seeded planes) buckets vectors so candidate generation is a groupBy
+  join instead of an n² cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_clustering_spark.functions.detagg import DEC, dround
+from spark_clustering_spark.functions.distance import as_double_array, cosine
+from spark_clustering_spark.functions.rng import py_lcg_uniform
+from spark_clustering_spark.io import table
+from spark_clustering_spark.registry import query
+
+N_PROBES = 5
+TOP_K = 10
+
+
+@query(
+    "q_sim_topk_cosine",
+    oracle=f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    unn AS (
+      SELECT vec_id, unnest(vec) AS v, generate_subscripts(vec, 1) AS pos FROM ve
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(cast(sum(cast(v * v AS DECIMAL(38,8))) AS DOUBLE)) AS nrm
+      FROM unn GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+             cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS DOUBLE) AS dot
+      FROM unn a JOIN unn b ON a.pos = b.pos
+      WHERE a.vec_id < {N_PROBES} AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.probe_id, d.cand_id, d.dot / (na.nrm * nb.nrm) AS cos
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.probe_id
+      JOIN norms nb ON nb.vec_id = d.cand_id
+    )
+    SELECT probe_id, cand_id,
+           cast(round(cast(cast((cos) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cos, rn FROM (
+      SELECT probe_id, cand_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, cand_id) AS rn
+      FROM scored) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} cosine neighbors for the {N_PROBES} lowest-id probe
+    vectors, with exact-decimal dot products so ranking ties out
+    bit-identically against the oracle."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    unn = e.select("vec_id", F.posexplode("vec").alias("pos", "v"))
+    norms = unn.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double")).alias("nrm")
+    )
+    a = unn.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "pos", F.col("v").alias("va")
+    )
+    b = unn.select(F.col("vec_id").alias("cand_id"), "pos", F.col("v").alias("vb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .groupBy("probe_id", "cand_id")
+        .agg(F.sum((F.col("va") * F.col("vb")).cast(DEC)).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("probe_id"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("cand_id"), F.col("nrm").alias("nb"))
+    scored = (
+        dots.join(na, "probe_id")
+        .join(nb, "cand_id")
+        .select("probe_id", "cand_id", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.select("probe_id", "cand_id", "cos", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "cand_id", dround("cos").alias("cos"), "rn")
+    )
+
+
+def cosine_topk_fast(
+    e: DataFrame, probes: DataFrame, k: int = 10
+) -> DataFrame:
+    """Float fast path: broadcast the probe set, one zip_with fold per
+    (probe, candidate) — no explode, stays in whole-stage codegen.
+    ``e``/``probes``: (vec_id, vec array<double>)."""
+    p = probes.select(F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec"))
+    pairs = e.join(F.broadcast(p), F.col("vec_id") != F.col("probe_id")).withColumn(
+        "cos", cosine(F.col("vec"), F.col("pvec"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        pairs.select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            "cos",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Fixed seeded random hyperplanes (LCG-uniform → [-1, 1))."""
+    return [
+        [2.0 * py_lcg_uniform(p * dim + i, seed) - 1.0 for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def cosine_lsh_buckets(e: DataFrame, dim: int, n_planes: int = 16) -> DataFrame:
+    """Scale path: sign-of-projection LSH bucket per vector.
+
+    Vectors sharing a bucket are candidate neighbors; at 100 TB the
+    n² cross join becomes a groupBy(bucket) self-join with bounded
+    bucket sizes (tune n_planes to data density). Returns
+    (vec_id, vec, bucket bigint)."""
+    planes = hyperplanes(dim, n_planes)
+    bucket = sum(
+        [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("vec"),
+                        F.array(*[F.lit(c) for c in plane]),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            for i, plane in enumerate(planes)
+        ],
+        F.lit(0).cast("bigint"),
+    )
+    return e.withColumn("bucket", bucket)
+
+
+@query("q_sim_lsh_buckets")  # rows-only: bucket ids are engine-internal
+def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket histogram — the candidate-generation stage of
+    approximate nearest neighbor at scale (bucket sizes bound the
+    per-bucket pair blowup). Recall invariants: tests/test_similarity.py."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    b = cosine_lsh_buckets(e, dim=64, n_planes=12)
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))

@@ -1,0 +1,246 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID, quality scoring, token counting, fingerprinting — all
+expressed with JVM-side built-ins (split/explode/regexp/aggregate), no
+Python in the hot path, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_clustering_spark.functions.detagg import davg, dround, sql_davg
+from spark_clustering_spark.io import table
+from spark_clustering_spark.registry import query
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT lang, tok, count(*) AS n
+    FROM (
+      SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    )
+    WHERE tok <> ''
+    GROUP BY lang, tok
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + per-language token counts."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_text_lang_stats",
+    oracle=f"""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           {sql_davg('n_chars', 'avg_chars')},
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars", "avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    profile AS (
+      SELECT lang AS p_lang, tok, count(*) AS freq FROM toks
+      WHERE tok <> '' GROUP BY lang, tok
+      QUALIFY row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) <= 8
+    ),
+    scores AS (
+      SELECT t.doc_id, p.p_lang, count(*) AS overlap
+      FROM (SELECT DISTINCT doc_id, tok FROM toks WHERE tok <> '') t
+      JOIN profile p ON t.tok = p.tok
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, p_lang AS pred_lang FROM scores
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY overlap DESC, p_lang) = 1
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-profile language ID: build a top-8-token profile per
+    language from the corpus, score each doc by distinct-token overlap,
+    predict the argmax (ties break lexicographically). The profile is a
+    tiny broadcast table; scoring is one explode + broadcast join."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("freq"))
+    w_prof = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("tok"))
+    profile = (
+        freq.select(
+            F.col("lang").alias("p_lang"), "tok", F.row_number().over(w_prof).alias("r")
+        )
+        .filter(F.col("r") <= 8)
+        .drop("r")
+    )
+    doc_toks = toks.select("doc_id", "tok").distinct()
+    scores = (
+        doc_toks.join(F.broadcast(profile), "tok")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.col("overlap").desc(), F.col("p_lang"))
+    return (
+        scores.select("doc_id", "p_lang", F.row_number().over(w_best).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("p_lang").alias("pred_lang"))
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '\\s+') AS ws,
+             length(text) AS n_ch,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_ch, n_punct,
+             len(list_filter(ws, x -> x <> '')) AS n_tokens,
+             len(list_filter(ws, x -> x IN {STOPWORDS})) AS n_stop
+      FROM t
+    )
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+           cast(round(cast(cast((cast(n_ch AS DOUBLE) / greatest(n_tokens, 1)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS avg_tok_span,
+           cast(round(cast(cast((cast(n_punct AS DOUBLE) / greatest(n_ch, 1)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS punct_ratio,
+           cast(round(cast(cast((cast(n_stop AS DOUBLE) / greatest(n_tokens, 1)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS stopword_ratio,
+           cast(round(cast(cast((1.0 / (1.0 + exp(-(cast(n_tokens AS DOUBLE) / 64.0
+                 + cast(n_stop AS DOUBLE) / greatest(n_tokens, 1) - 1.0))))
+                AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS quality_score
+    FROM s
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length/punctuation/stopword ratios
+    folded through a logistic score."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), r"\s+")
+    t = d.select(
+        "doc_id",
+        F.length("text").alias("n_ch"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+        ).alias("n_punct"),
+        F.size(F.filter(ws, lambda x: x != "")).alias("n_tokens"),
+        F.size(
+            F.filter(ws, lambda x: x.isin(*STOPWORDS))
+        ).alias("n_stop"),
+    )
+    tokd = F.col("n_tokens").cast("double")
+    score = 1.0 / (
+        1.0
+        + F.exp(
+            -(
+                tokd / 64.0
+                + F.col("n_stop").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
+                - 1.0
+            )
+        )
+    )
+    return t.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        dround(
+            F.col("n_ch").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("avg_tok_span"),
+        dround(
+            F.col("n_punct").cast("double") / F.greatest(F.col("n_ch"), F.lit(1))
+        ).alias("punct_ratio"),
+        dround(
+            F.col("n_stop").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("stopword_ratio"),
+        dround(score).alias("quality_score"),
+    )
+
+
+@query(
+    "q_text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT
+             AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs | digit runs | single other symbol)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+        )
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok, i FROM (
+        SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS i
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+              FROM documents)
+      )
+      WHERE tok <> ''
+    )
+    SELECT doc_id,
+           sum(i * ascii(tok) + length(tok) * 31) % 2147483647 AS fingerprint
+    FROM toks GROUP BY doc_id
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted document fingerprint: sum_i(i * ascii(first
+    char) + 31 * len(token)) mod 2^31-1 — an order-sensitive,
+    integer-exact content signature (pure int math ⇒ hash-portable)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), r"\s+")).alias("p", "tok")
+    ).filter(F.col("tok") != "")
+    # DuckDB ordinality is 1-based over the *unfiltered* list; empty
+    # tokens only occur at the end (trailing whitespace), so 1-based
+    # position of surviving tokens matches posexplode+1.
+    term = (F.col("p") + 1) * F.ascii("tok") + F.length("tok") * 31
+    return toks.groupBy("doc_id").agg(
+        (F.sum(term) % F.lit(2147483647)).alias("fingerprint")
+    )

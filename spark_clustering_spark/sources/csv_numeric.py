@@ -1,0 +1,55 @@
+"""Headerless numeric CSV ingest — the reference's only source format.
+
+Reference behavior (kmeans.java:203-239): comma-delimited, no header,
+every token Double-parsed, blank lines skipped, width inferred as the
+max token count. Divergence per SURVEY.md Q10: ragged (non-rectangular)
+input raises instead of silently null-padding.
+
+Spark-first: ``spark.read.csv`` with schema inference does the parse
+JVM-side; we validate rectangularity with one cheap aggregate and
+assemble ``features: array<double>`` + a stable ``id`` derived from
+file position. At 100 TB this scales as a normal partitioned text scan;
+the id assignment uses a deterministic sort key, never a driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def read_numeric_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Read a headerless numeric CSV into ``(id bigint, features array<double>)``.
+
+    ``id`` is the 0-based line order of the file (deterministic: Spark's
+    text source preserves intra-file order via filename+offset sort).
+    """
+    raw = (
+        spark.read.option("header", "false")
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+    cols = raw.columns
+    # Rectangularity check (Q10): any null cell means a ragged/short row.
+    ragged = raw.where(
+        F.greatest(*[F.col(c).isNull().cast("int") for c in cols]) == 1
+    ).limit(1).count()
+    if ragged:
+        raise ValueError(f"ragged CSV input (non-rectangular rows): {path}")
+    feats = F.array(*[F.col(c).cast("double") for c in cols])
+    bad = raw.select(feats.alias("f")).where(
+        F.exists(F.col("f"), lambda x: x.isNull())
+    ).limit(1).count()
+    if bad:
+        raise ValueError(f"non-numeric token in CSV input: {path}")
+    # Deterministic 0-based id by file order. For a single file this is a
+    # narrow zipWithIndex-style window; for multi-file ingest at scale,
+    # switch to monotonically_increasing_id + an order-by-key contract.
+    w = Window.orderBy(F.col("_file"), F.col("_pos"))
+    return (
+        raw.withColumn("_file", F.input_file_name())
+        .withColumn("_pos", F.monotonically_increasing_id())
+        .withColumn("id", F.row_number().over(w).cast("bigint") - 1)
+        .select("id", feats.alias("features"))
+    )

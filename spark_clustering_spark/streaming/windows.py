@@ -1,0 +1,177 @@
+"""Streaming window semantics over the `events` table.
+
+Each query here is the *batch-equivalent* of a Structured Streaming
+computation (Spark's streaming window functions evaluate identically in
+batch mode — that's what makes them hash-checkable against DuckDB). The
+true streaming path — readStream + watermark + writeStream — lives in
+``harness.py`` and is exercised by the pytest streaming suite; driver
+checks for watermark/dedup are rows-only by the contract, but we supply
+deterministic batch emulations with SQL oracles anyway.
+
+Window starts are output as epoch seconds (BIGINT) — timezone-proof
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_clustering_spark.functions.detagg import dsum, sql_dsum
+from spark_clustering_spark.io import table
+from spark_clustering_spark.registry import query
+
+
+def _epoch(col):
+    return F.unix_timestamp(col).cast("bigint")
+
+
+@query(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT epoch(date_trunc('hour', ts))::BIGINT AS win_start,
+           event_type,
+           count(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts per event type — F.window() is the
+    exact streaming operator; epoch-aligned like DuckDB date_trunc."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            _epoch(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH offs AS (SELECT unnest([0, 600, 1200]) AS off),
+    ev AS (SELECT floor(epoch(ts))::BIGINT AS t, event_type FROM events)
+    SELECT ((t - off) // 1800) * 1800 + off AS win_start,
+           event_type,
+           count(*) AS n_events
+    FROM ev CROSS JOIN offs
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min windows sliding every 10 min: each event lands in 3
+    windows. Spark's window(ts, 30m, 10m) enumerates them natively; the
+    oracle reproduces the epoch-aligned window-start arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            _epoch(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, epoch(ts) AS t,
+             lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, t,
+             CASE WHEN prev_t IS NULL OR t - prev_t >= 1800 THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ),
+    islands AS (
+      SELECT user_id, t,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id, floor(min(t))::BIGINT AS session_start, count(*) AS n_events
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via Spark's native
+    session_window; oracle is the classic gaps-and-islands rewrite.
+    An event exactly 30:00 after its predecessor starts a new session
+    (session_window's half-open [start, last+gap) semantics)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            _epoch(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_stream_watermark",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, ts,
+             max(ts) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_seen
+      FROM events
+    )
+    SELECT epoch(date_trunc('hour', ts))::BIGINT AS win_start,
+           event_type, count(*) AS n_events
+    FROM arr
+    WHERE ts >= max_seen - INTERVAL 10 MINUTES
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch-emulated deterministically: treating
+    event_id as arrival order, an event more than 10 min behind the
+    running max event-time is late and dropped; survivors feed 1-hour
+    tumbling counts. The true streaming path (withWatermark + update
+    mode) is exercised in tests/test_streaming.py — per-row emulation
+    here is the *strictest* watermark (streaming advances it only per
+    micro-batch, so it drops a subset of these)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    arr = ev.withColumn("max_seen", F.max("ts").over(w))
+    kept = arr.filter(
+        F.col("ts") >= F.col("max_seen") - F.expr("INTERVAL 10 MINUTES")
+    )
+    return kept.groupBy(
+        _epoch(F.date_trunc("hour", F.col("ts"))).alias("win_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT user_id, event_type,
+           min(event_id) AS first_event_id
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup: first event per (user, event_type) by
+    arrival order — the batch-stable analog of streaming
+    dropDuplicatesWithinWatermark (which keeps an arbitrary row; tests
+    assert set-equality of keys against the streaming run)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id")
+    )

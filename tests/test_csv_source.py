@@ -1,0 +1,39 @@
+"""CSV ingest (reference R1) behavior tests, incl. the Q10 divergence:
+ragged input errors instead of silently null-padding."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from spark_clustering_spark.sources.csv_numeric import read_numeric_csv
+
+FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark_clustering_spark",
+    "fixtures",
+)
+
+
+def test_reads_rectangular_csv(spark):
+    df = read_numeric_csv(spark, os.path.join(FIXTURES, "csv_tiny.csv"))
+    rows = df.orderBy("id").collect()
+    assert len(rows) == 12
+    assert rows[0]["id"] == 0
+    assert len(rows[0]["features"]) == 2
+    assert all(isinstance(v, float) for v in rows[0]["features"])
+
+
+def test_ragged_csv_raises(spark, tmp_path):
+    p = tmp_path / "ragged.csv"
+    p.write_text("1.0,2.0,3.0\n4.0,5.0\n6.0,7.0,8.0\n")
+    with pytest.raises(Exception):
+        read_numeric_csv(spark, str(p)).collect()
+
+
+def test_non_numeric_token_raises(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("1.0,2.0\n3.0,abc\n")
+    with pytest.raises(Exception):
+        read_numeric_csv(spark, str(p)).collect()
