@@ -1,0 +1,269 @@
+"""Genetic k-means (GKA) — reference gka.java, R10-R13.
+
+Krishna-Murty-style GKA: selection + K-means-operator (KMO) + mutation;
+there is NO crossover (reference README mislabels the params — SURVEY.md
+Q3): ``mutation_prob`` (Pm) and ``mutation_cm`` (Cm) follow gka.java:56-57.
+
+Scale inversion (SURVEY.md §4.3): the reference parallelizes over ≤20
+chromosomes with the dataset broadcast (gka.java:303,313); here the
+*data* stays partitioned and the population state is:
+
+- ``labels``: a distributed DF (member_id, vec_id, label) — n·P rows,
+  the only structure proportional to data size;
+- per-member centers / objectives / mutated genes: tiny (≤ P·k·d),
+  crossing the driver each generation as collected literals (which also
+  truncates lineage; labels additionally localCheckpoint per gen).
+
+One generation = KMO (two shuffles: center means keyed on
+(member,label,dim); reassignment argmin via broadcast of the P·k·d
+center table), mutation (window CDF per member + a ≤P-row driver
+patch), fitness (one P-row aggregate), driver-side roulette selection
+(Q8 — the wheel is P rows).
+
+Determinism (Q5): every draw is the shared integer LCG keyed by
+(member, generation, purpose). Q7 (GKA flavor): the mutated gene's
+objective contribution is measured against the *pre-mutation* centroid
+of its new label (gka.java:242-243). Q9: a label with zero members has
+no center row; reassignment only considers existing centers and the
+mutation patch keeps the old distance if the target center is missing
+— no 0/0 NaN can appear.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_clustering_spark.functions.detagg import DEC
+from spark_clustering_spark.functions.distance import euclidean
+from spark_clustering_spark.functions.rng import py_lcg_uniform
+
+GKA_METRICS_SCHEMA = "gen INT, best_objectvalue DOUBLE, gen_ms BIGINT"
+
+
+@dataclass
+class GKAResult:
+    best_member: int
+    best_objective: float
+    metrics: DataFrame
+    labels: DataFrame  # (member_id, vec_id, label) of final population
+    history: list[dict]
+
+
+def _py_euclidean(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of functions.distance.euclidean — same
+    left-to-right accumulation order, hence bit-identical doubles."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return math.sqrt(acc)
+
+
+def _init_labels(
+    spark: SparkSession, points: DataFrame, pop: int, k: int, seed: int
+) -> DataFrame:
+    """Random label vector per member (reference create_sol,
+    gka.java:380-386), seeded: label = floor(k · u(member·B + vec_id))."""
+    members = spark.range(pop).select(F.col("id").cast("int").alias("member_id"))
+    lab = points.select("vec_id").crossJoin(F.broadcast(members))
+    key = F.col("member_id").cast("bigint") * F.lit(1_000_003) + F.col("vec_id")
+    u = ((key * F.lit(1103515245) + F.lit(12345 + seed)) % F.lit(2**31)).cast(
+        "double"
+    ) / F.lit(float(2**31))
+    return lab.select(
+        "member_id", "vec_id", F.floor(u * k).cast("int").alias("label")
+    )
+
+
+def _member_centers(labels: DataFrame, points: DataFrame) -> DataFrame:
+    """KMO center update: per-(member,label) decimal-exact mean — one
+    shuffle keyed on (member, label, dim). Labels with zero members
+    simply produce no row (Q9)."""
+    j = labels.join(points, "vec_id")
+    ex = j.select("member_id", "label", F.posexplode("vec").alias("pos", "v"))
+    per_dim = ex.groupBy("member_id", "label", "pos").agg(
+        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("mv")
+    )
+    return (
+        per_dim.groupBy("member_id", "label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
+            ).alias("cvec")
+        )
+        .select("member_id", F.col("label").alias("cid"), "cvec")
+    )
+
+
+def _reassign(points: DataFrame, centers: DataFrame) -> DataFrame:
+    """KMO reassignment (R11): argmin over the member's own centers.
+    ``centers`` is tiny (≤ P·k rows) → broadcast; reduced by min(struct)."""
+    cand = points.join(
+        F.broadcast(centers.select("member_id", "cid", "cvec")), how="cross"
+    ).withColumn("dist", euclidean(F.col("vec"), F.col("cvec")))
+    best = cand.groupBy("member_id", "vec_id").agg(
+        F.min(F.struct("dist", "cid")).alias("b")
+    )
+    return best.select(
+        "member_id",
+        "vec_id",
+        F.col("b.cid").alias("label"),
+        F.col("b.dist").alias("dist"),
+    )
+
+
+def _pick_mutation_genes(
+    assigned: DataFrame,
+    mutating: list[int],
+    u2: dict[int, float],
+    cm: float,
+) -> list[dict]:
+    """Roulette pick of one gene per mutating member (R12): weight
+    w = Cm·max(d) − d, normalized per-member CDF ordered by vec_id,
+    gene = first row with CDF ≥ u2. Distributed windows; only the ≤P
+    picked rows are collected."""
+    mut = assigned.filter(F.col("member_id").isin([int(m) for m in mutating]))
+    w_all = Window.partitionBy("member_id")
+    w_run = (
+        Window.partitionBy("member_id")
+        .orderBy("vec_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = mut.withColumn(
+        "w", F.lit(cm) * F.max("dist").over(w_all) - F.col("dist")
+    ).withColumn("cum", F.sum("w").over(w_run))
+    norm = wt.withColumn("hi", F.col("cum") / F.max("cum").over(w_all))
+    norm = norm.withColumn(
+        "lo",
+        F.coalesce(
+            F.lag("hi").over(Window.partitionBy("member_id").orderBy("vec_id")),
+            F.lit(0.0),
+        ),
+    )
+    u2_col = F.create_map(
+        *[x for m in mutating for x in (F.lit(int(m)), F.lit(u2[m]))]
+    )[F.col("member_id")]
+    picked = norm.filter((u2_col > F.col("lo")) & (u2_col <= F.col("hi"))).select(
+        "member_id", "vec_id", "label", "dist"
+    )
+    return [r.asDict() for r in picked.collect()]
+
+
+def fit_gka(
+    spark: SparkSession,
+    points: DataFrame,
+    k: int = 8,
+    pop: int = 10,
+    num_gen: int = 5,
+    pm: float = 0.6,
+    cm: float = 0.9,
+    seed: int = 42,
+) -> GKAResult:
+    """GKA loop. ``points``: (vec_id, vec array<double>)."""
+    points = points.persist()
+    points.count()
+
+    labels = _init_labels(spark, points, pop, k, seed)
+    best = float("inf")
+    best_member = -1
+    metrics_rows: list[tuple] = []
+    history: list[dict] = []
+
+    for gen in range(num_gen):
+        t0 = time.time()
+        centers = _member_centers(labels, points)
+        assigned = _reassign(points, centers).localCheckpoint(eager=True)
+
+        # ---- mutation (R12) -------------------------------------------
+        u1 = {m: py_lcg_uniform(m * 7919 + gen, seed + 1) for m in range(pop)}
+        mutating = [m for m in range(pop) if u1[m] < pm]
+        patches: list[tuple[int, int, int, float]] = []
+        if mutating:
+            u2 = {m: py_lcg_uniform(m * 104729 + gen, seed + 2) for m in mutating}
+            u3 = {m: py_lcg_uniform(m * 1299709 + gen, seed + 3) for m in mutating}
+            genes = _pick_mutation_genes(assigned, mutating, u2, cm)
+            if genes:
+                gene_ids = sorted({g["vec_id"] for g in genes})
+                vecs = {
+                    r["vec_id"]: list(r["vec"])
+                    for r in points.filter(F.col("vec_id").isin(gene_ids)).collect()
+                }
+                ctr = {
+                    (r["member_id"], r["cid"]): list(r["cvec"])
+                    for r in centers.collect()
+                }
+                for g in genes:
+                    m = g["member_id"]
+                    new_label = int(u3[m] * k)
+                    key = (m, new_label)
+                    if key in ctr:  # Q9 guard: missing center → keep old dist
+                        new_dist = _py_euclidean(vecs[g["vec_id"]], ctr[key])
+                    else:
+                        new_dist = g["dist"]
+                    patches.append((int(m), int(g["vec_id"]), new_label, float(new_dist)))
+        if patches:
+            pdf = spark.createDataFrame(
+                patches, "p_m INT, p_v BIGINT, new_label INT, new_dist DOUBLE"
+            )
+            assigned = (
+                assigned.join(
+                    F.broadcast(pdf),
+                    (F.col("member_id") == F.col("p_m"))
+                    & (F.col("vec_id") == F.col("p_v")),
+                    "left",
+                )
+                .select(
+                    "member_id",
+                    "vec_id",
+                    F.coalesce("new_label", "label").alias("label"),
+                    F.coalesce("new_dist", "dist").alias("dist"),
+                )
+            )
+
+        # ---- fitness (R13): P-row aggregate ---------------------------
+        objs = {
+            int(r["member_id"]): float(r["obj"])
+            for r in assigned.groupBy("member_id")
+            .agg(F.sum(F.col("dist").cast(DEC)).cast("double").alias("obj"))
+            .collect()
+        }
+        gen_best_m = min(objs, key=lambda m: (objs[m], m))
+        if objs[gen_best_m] < best:
+            best, best_member = objs[gen_best_m], gen_best_m
+        metrics_rows.append((gen, round(best, 4), int((time.time() - t0) * 1000)))
+        history.append({"gen": gen, "objs": objs, "best": best})
+
+        # ---- selection (R10, driver-side per Q8) ----------------------
+        fits = [(m, 1.0 / objs[m]) for m in sorted(objs)]
+        total = sum(f for _, f in fits)
+        cdf, acc = [], 0.0
+        for m, f in fits:
+            acc += f / total
+            cdf.append((m, acc))
+        chosen = []
+        for slot in range(pop):
+            u = py_lcg_uniform(slot * 15485863 + gen, seed + 4)
+            chosen.append(next((m for m, hi in cdf if u <= hi), cdf[-1][0]))
+        remap = spark.createDataFrame(
+            [(int(old), int(new)) for new, old in enumerate(chosen)],
+            "old_member INT, member_id INT",
+        )
+        labels = (
+            assigned.select(F.col("member_id").alias("old_member"), "vec_id", "label")
+            .join(F.broadcast(remap), "old_member")
+            .select("member_id", "vec_id", "label")
+        )
+
+    metrics = spark.createDataFrame(metrics_rows, GKA_METRICS_SCHEMA)
+    return GKAResult(
+        best_member=best_member,
+        best_objective=best,
+        metrics=metrics,
+        labels=labels,
+        history=history,
+    )

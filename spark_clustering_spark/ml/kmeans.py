@@ -1,0 +1,188 @@
+"""DF-native Lloyd's k-means (reference kmeans.java, R4-R9/R19-R21).
+
+Spark-first inversion of the reference design: the reference broadcasts
+the whole dataset and parallelizes over point *indices*
+(kmeans.java:94,181-184); here the data stays a partitioned DataFrame
+and only the k×d centroid matrix crosses the driver boundary per
+iteration (collected as ≤ KBs, re-broadcast as literals — which also
+truncates lineage for free, no checkpoint needed).
+
+Semantics ledger (SURVEY.md §2C):
+- Q4: the reported objective is the sum of UNSQUARED L2 distances
+  (reference sqrt-then-sum, kmeans.java:259,186-191). The squared sum
+  is tracked too (true Lloyd objective — monotone under mean updates).
+- Q7: the per-iteration objective is measured against the centroids
+  *before* that iteration's update (reference computes distances
+  pre-update) — metrics lag one update, reproduced here.
+- Q1: empty-cluster reseed implemented *correctly* (the reference's
+  branch is dead code): clusters absent from the update are reseeded
+  with deterministic fresh points via an anti-join-derived pick.
+- Q5: all randomness is the shared LCG stream (functions/rng.py),
+  keyed by (seed, run) — bitwise-reproducible.
+- R21: num_run independent restarts share a best-objective tracker.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_clustering_spark.functions.rng import lcg_uniform
+from spark_clustering_spark.operators.clustering import assign, update_centroids
+
+METRICS_SCHEMA = (
+    "run INT, iter INT, objective DOUBLE, objective_sq DOUBLE, "
+    "best_objectvalue DOUBLE, n_empty INT, iter_ms BIGINT"
+)
+
+
+@dataclass
+class KMeansResult:
+    centroids: list[tuple[int, list[float]]]  # (cluster_id, center)
+    metrics: DataFrame                        # METRICS_SCHEMA (R20 sink shape)
+    best_objective: float
+    assignments: DataFrame                    # (vec_id, cluster_id, dist) of best run
+    history: list[dict] = field(default_factory=list)
+
+
+def _init_centroids(points: DataFrame, k: int, seed: int, run: int) -> list[list]:
+    """Seeded init (R9): the k points with the lowest LCG draw keyed by
+    vec_id — deterministic sampling without a full sort at scale
+    (TakeOrdered top-k heap). run=0 with seed=42 reduces to a plain
+    keyed draw; FIXTURES.md's 'k lowest vec_id' init is seed=None."""
+    if seed is None:
+        picked = points.orderBy("vec_id").limit(k)
+    else:
+        picked = (
+            points.withColumn("u", lcg_uniform("vec_id", seed + 1000 * run))
+            .orderBy("u", "vec_id")
+            .limit(k)
+        )
+    return [[r["vec_id"], r["vec"]] for r in picked.collect()]
+
+
+def _centroids_df(spark: SparkSession, centers: list[list]) -> DataFrame:
+    rows = [(int(i), [float(v) for v in vec]) for i, (_, vec) in enumerate(centers)]
+    return spark.createDataFrame(rows, "cid INT, cvec ARRAY<DOUBLE>")
+
+
+def fit_kmeans(
+    spark: SparkSession,
+    points: DataFrame,
+    k: int = 8,
+    num_iter: int = 10,
+    num_run: int = 1,
+    seed: int | None = 42,
+    tol: float = 0.0,
+) -> KMeansResult:
+    """Full Lloyd loop. ``points``: (vec_id bigint, vec array<double>)."""
+    import time
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if num_iter < 1:
+        raise ValueError(f"num_iter must be >= 1, got {num_iter}")
+    if num_run < 1:
+        raise ValueError(f"num_run must be >= 1, got {num_run}")
+
+    points = points.persist()
+    points.count()  # materialize once; every iteration reuses the cache
+
+    best_obj = float("inf")
+    best_centers: list | None = None
+    metrics_rows: list[tuple] = []
+    history: list[dict] = []
+
+    for run in range(num_run):
+        centers = [[i, vec] for i, (_, vec) in enumerate(_init_centroids(points, k, seed, run))]
+        prev_obj = None
+        for it in range(num_iter):
+            t0 = time.time()
+            cdf = _centroids_df(spark, centers)
+            a = assign(points, cdf)
+            # ONE job, ONE collect of k rows per iteration: per-cluster
+            # means + counts + both objective components
+            rows = update_centroids(a).collect()
+            got = {r["cid"]: r for r in rows}
+            obj = float(sum(r["sum_dist"] for r in rows))  # Q4/Q7: pre-update dists
+            obj_sq = float(sum(r["sum_sq"] for r in rows))  # true-Lloyd objective
+            # Q1: correct empty-cluster reseed — absent cids get a fresh
+            # deterministic point (next-lowest LCG draws not already used)
+            empty = [cid for cid, _ in enumerate(centers) if cid not in got]
+            if empty:
+                fresh = (
+                    points.withColumn(
+                        "u", lcg_uniform("vec_id", (seed or 0) + 7000 + it)
+                    )
+                    .orderBy("u", "vec_id")
+                    .limit(len(empty))
+                    .collect()
+                )
+                reseed = {cid: list(r["vec"]) for cid, r in zip(empty, fresh)}
+            else:
+                reseed = {}
+            new_centers = []
+            for cid, old_vec in centers:
+                if cid in got:
+                    new_centers.append([cid, list(got[cid]["cvec"])])
+                elif cid in reseed:
+                    new_centers.append([cid, reseed[cid]])
+                else:  # Q9 guard: keep stale centroid rather than NaN
+                    new_centers.append([cid, old_vec])
+            if obj < best_obj:
+                # Q7: obj was measured against the PRE-update centers
+                best_obj, best_centers = obj, [list(c) for c in centers]
+            metrics_rows.append(
+                (
+                    run,
+                    it,
+                    round(obj, 4),
+                    round(obj_sq, 4),
+                    round(best_obj, 4),
+                    len(empty),
+                    int((time.time() - t0) * 1000),
+                )
+            )
+            history.append(
+                {"run": run, "iter": it, "objective": obj, "objective_sq": obj_sq}
+            )
+            centers = new_centers
+            if prev_obj is not None and tol > 0 and abs(prev_obj - obj) < tol:
+                break
+            prev_obj = obj
+
+    final_cdf = _centroids_df(spark, best_centers)
+    assignments = assign(points, final_cdf).select("vec_id", "cluster_id", "dist")
+    metrics = spark.createDataFrame(metrics_rows, METRICS_SCHEMA)
+    return KMeansResult(
+        centroids=[(cid, vec) for cid, vec in best_centers],
+        metrics=metrics,
+        best_objective=best_obj,
+        assignments=assignments,
+        history=history,
+    )
+
+
+def fit_kmeans_mllib(
+    spark: SparkSession,
+    points: DataFrame,
+    k: int = 8,
+    num_iter: int = 10,
+    seed: int = 42,
+):
+    """Production/scale path + cross-check: pyspark.ml.clustering.KMeans
+    (k-means|| init, squared-distance cost — convert per Q4 before
+    comparing to the DF-native loop)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = points.select(
+        "vec_id", array_to_vector(F.col("vec")).alias("features")
+    )
+    model = KMeans(k=k, maxIter=num_iter, seed=seed, featuresCol="features").fit(feats)
+    pred = model.transform(feats).select(
+        "vec_id", F.col("prediction").alias("cluster_id")
+    )
+    return model, pred

@@ -93,6 +93,7 @@ def update_centroids(assigned: DataFrame) -> DataFrame:
         (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("mean_v"),
         F.count(F.lit(1)).alias("n_points"),
         F.sum(F.col("dist").cast(DEC)).cast("double").alias("sum_dist"),
+        F.sum((F.col("dist") * F.col("dist")).cast(DEC)).cast("double").alias("sum_sq"),
     )
     return (
         per_dim.groupBy("cluster_id")
@@ -103,8 +104,11 @@ def update_centroids(assigned: DataFrame) -> DataFrame:
             ).alias("cvec"),
             F.first("n_points").alias("n_points"),
             F.first("sum_dist").alias("sum_dist"),
+            F.first("sum_sq").alias("sum_sq"),
         )
-        .select(F.col("cluster_id").alias("cid"), "cvec", "n_points", "sum_dist")
+        .select(
+            F.col("cluster_id").alias("cid"), "cvec", "n_points", "sum_dist", "sum_sq"
+        )
     )
 
 

@@ -46,6 +46,7 @@ def load_all_queries() -> None:
         vectors,
         windows,
     )
+    from spark_clustering_spark.ml import fits  # noqa: F401
     from spark_clustering_spark.pipeline import (  # noqa: F401
         dedup,
         similarity,

@@ -1,0 +1,171 @@
+"""Clustering invariants (SURVEY.md §5.3) for the fit_* loops."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark_clustering_spark",
+    "fixtures",
+)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    from spark_clustering_spark.operators.clustering import points_df
+
+    return points_df(spark, SF_SMALL).persist()
+
+
+@pytest.fixture(scope="module")
+def tiny_points(spark):
+    from spark_clustering_spark.sources.csv_numeric import read_numeric_csv
+
+    df = read_numeric_csv(spark, os.path.join(FIXTURES, "csv_tiny.csv"))
+    return df.selectExpr("id AS vec_id", "features AS vec").persist()
+
+
+class TestKMeans:
+    def test_squared_objective_monotone(self, spark, points):
+        """True-Lloyd invariant: sum of squared distances is
+        non-increasing under mean updates (the unsquared reference
+        objective Q4 need not be monotone — only Σd² is guaranteed)."""
+        from spark_clustering_spark.ml.kmeans import fit_kmeans
+
+        res = fit_kmeans(spark, points, k=5, num_iter=6, num_run=1, seed=42)
+        sq = [h["objective_sq"] for h in res.history]
+        assert all(a >= b - 1e-6 for a, b in zip(sq, sq[1:])), sq
+
+    def test_best_tracking_non_increasing(self, spark, points):
+        from spark_clustering_spark.ml.kmeans import fit_kmeans
+
+        res = fit_kmeans(spark, points, k=4, num_iter=4, num_run=2, seed=42)
+        bests = [r["best_objectvalue"] for r in res.metrics.orderBy("run", "iter").collect()]
+        assert all(a >= b for a, b in zip(bests, bests[1:]))
+
+    def test_seed_reproducible(self, spark, points):
+        from spark_clustering_spark.ml.kmeans import fit_kmeans
+
+        r1 = fit_kmeans(spark, points, k=4, num_iter=3, seed=7)
+        r2 = fit_kmeans(spark, points, k=4, num_iter=3, seed=7)
+        assert r1.history == r2.history
+        assert r1.centroids == r2.centroids
+
+    def test_labels_in_range_and_k_centroids(self, spark, points):
+        from pyspark.sql import functions as F
+
+        from spark_clustering_spark.ml.kmeans import fit_kmeans
+
+        k = 5
+        res = fit_kmeans(spark, points, k=k, num_iter=3, seed=42)
+        assert len(res.centroids) == k
+        mm = res.assignments.agg(
+            F.min("cluster_id").alias("lo"), F.max("cluster_id").alias("hi")
+        ).collect()[0]
+        assert 0 <= mm["lo"] and mm["hi"] < k
+
+    def test_degenerate_duplicates_no_nan(self, spark, tiny_points):
+        """Q1/Q9: more clusters than distinct points — reseed keeps
+        running, no NaN centroids appear."""
+        import math
+
+        from spark_clustering_spark.sources.csv_numeric import read_numeric_csv
+
+        df = read_numeric_csv(spark, os.path.join(FIXTURES, "csv_degenerate.csv"))
+        pts = df.selectExpr("id AS vec_id", "features AS vec")
+        from spark_clustering_spark.ml.kmeans import fit_kmeans
+
+        res = fit_kmeans(spark, pts, k=3, num_iter=4, seed=42)
+        for _, vec in res.centroids:
+            assert all(not math.isnan(v) for v in vec)
+
+    def test_tiny_blobs_recovered(self, spark, tiny_points):
+        """Golden check: 3 well-separated blobs of 4 points each → the
+        converged assignment groups each blob together."""
+        from spark_clustering_spark.ml.kmeans import fit_kmeans
+
+        res = fit_kmeans(spark, tiny_points, k=3, num_iter=8, seed=42)
+        rows = res.assignments.orderBy("vec_id").collect()
+        blobs = [
+            {r["cluster_id"] for r in rows[i : i + 4]} for i in (0, 4, 8)
+        ]
+        assert all(len(b) == 1 for b in blobs), blobs
+        assert len(set().union(*blobs)) == 3
+
+    def test_mllib_cross_check(self, spark, tiny_points):
+        """Our converged assignment matches MLlib KMeans up to label
+        permutation on the well-separated fixture (SURVEY.md §5.4)."""
+        from spark_clustering_spark.ml.kmeans import fit_kmeans, fit_kmeans_mllib
+
+        ours = fit_kmeans(spark, tiny_points, k=3, num_iter=8, seed=42)
+        _, theirs = fit_kmeans_mllib(spark, tiny_points, k=3, num_iter=8, seed=42)
+        a = {r["vec_id"]: r["cluster_id"] for r in ours.assignments.collect()}
+        b = {r["vec_id"]: r["cluster_id"] for r in theirs.collect()}
+        # same partition structure ⇔ identical co-membership relation
+        ids = sorted(a)
+        for i in ids:
+            for j in ids:
+                assert (a[i] == a[j]) == (b[i] == b[j]), (i, j)
+
+
+class TestGKA:
+    def test_best_non_increasing_and_reproducible(self, spark, points):
+        from spark_clustering_spark.ml.gka import fit_gka
+
+        r1 = fit_gka(spark, points, k=4, pop=4, num_gen=3, seed=11)
+        bests = [m["best"] for m in r1.history]
+        assert all(a >= b for a, b in zip(bests, bests[1:]))
+        r2 = fit_gka(spark, points, k=4, pop=4, num_gen=3, seed=11)
+        assert r1.history == r2.history
+
+    def test_labels_valid(self, spark, points):
+        from pyspark.sql import functions as F
+
+        from spark_clustering_spark.ml.gka import fit_gka
+
+        k, pop = 4, 4
+        res = fit_gka(spark, points, k=k, pop=pop, num_gen=2, seed=5)
+        stats = res.labels.agg(
+            F.min("label").alias("lo"),
+            F.max("label").alias("hi"),
+            F.countDistinct("member_id").alias("nm"),
+        ).collect()[0]
+        assert 0 <= stats["lo"] and stats["hi"] < k
+        assert stats["nm"] == pop
+
+
+class TestPSO:
+    def test_velocity_clamped_and_best_non_increasing(self, spark, points):
+        import numpy as np
+
+        from spark_clustering_spark.ml.pso import _vbounds, fit_pso
+
+        res = fit_pso(spark, points, k=4, num_particles=4, num_iter=3, seed=3)
+        bests = [m["gbest"] for m in res.history]
+        assert all(a >= b for a, b in zip(bests, bests[1:]))
+        lo, hi = _vbounds(points)
+        # gbest positions stay finite and broadly within data range ± slack
+        assert np.isfinite(res.gbest).all()
+
+    def test_reference_compat_flag_changes_trajectory(self, spark, points):
+        from spark_clustering_spark.ml.pso import fit_pso
+
+        a = fit_pso(spark, points, k=3, num_particles=3, num_iter=2, seed=9)
+        b = fit_pso(
+            spark, points, k=3, num_particles=3, num_iter=2, seed=9,
+            reference_compat=True,
+        )
+        # same seed, different velocity law (Q2) ⇒ different trajectories
+        assert a.history != b.history
+
+    def test_seed_reproducible(self, spark, points):
+        from spark_clustering_spark.ml.pso import fit_pso
+
+        a = fit_pso(spark, points, k=3, num_particles=3, num_iter=2, seed=4)
+        b = fit_pso(spark, points, k=3, num_particles=3, num_iter=2, seed=4)
+        assert a.history == b.history
