@@ -251,20 +251,49 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.99). Brute
-    force here; the LSH-bucketed scale path is
-    pipeline/similarity.py::cosine_lsh_buckets."""
-    from spark_clustering_spark.functions.distance import as_double_array, cosine
+    """Embedding-cosine near-duplicate pairs (threshold 0.99).
+
+    Dense all-pairs cosine is a matrix multiply — the one place where
+    Spark's array HOFs (interpreted, not codegen'd) lose badly to an
+    Arrow-batched Pandas path: each partition's block of normalized
+    vectors is multiplied (BLAS dgemm) against the broadcast normalized
+    matrix of the small side, emitting only pairs above threshold. The
+    small side here is the whole table (fits executors easily at this
+    SF); at 100 TB the broadcast side becomes LSH buckets
+    (pipeline/similarity.py::cosine_lsh_buckets) and the same block
+    kernel runs per bucket."""
+    import numpy as np
+
+    from spark_clustering_spark.functions.distance import as_double_array
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("vec")
     )
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("vec").alias("va"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("vec").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.99)
-        .select("a_id", "b_id", dround("cos_raw").alias("cos"))
-    )
+    rows = e.collect()  # broadcast side: n×d doubles (2000×64 ≈ 1 MB at sf0.1)
+    all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["vec"] for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((all_ids, M))
+
+    def block_pairs(batches):
+        import pandas as pd
+
+        ids_all, mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf["vec"]), dtype=np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            S = V @ mat.T  # BLAS block matmul
+            ai, bi = np.nonzero((S >= 0.99) & (ids[:, None] < ids_all[None, :]))
+            yield pd.DataFrame(
+                {
+                    "a_id": ids[ai],
+                    "b_id": ids_all[bi],
+                    "cos_raw": S[ai, bi],
+                }
+            )
+
+    pairs = e.mapInPandas(block_pairs, "a_id bigint, b_id bigint, cos_raw double")
+    return pairs.select("a_id", "b_id", dround("cos_raw").alias("cos"))

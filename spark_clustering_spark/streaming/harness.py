@@ -1,0 +1,98 @@
+"""True Structured Streaming harness (SURVEY.md §5.6).
+
+Replays the `events` table as a file-source stream in arrival order
+(event_id), chunked so the watermark actually advances across
+micro-batches, then runs the real streaming operators:
+
+- ``stream_tumbling_counts``: withWatermark + 1h window aggregation
+- ``stream_dedup``: dropDuplicatesWithinWatermark
+
+Batch-equivalent queries in windows.py are the hash-checked surface;
+this harness is where genuine late-data/watermark behavior is observed
+(tests/test_streaming.py asserts the containment relations between the
+streaming results and the strict batch emulations).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_clustering_spark.io import table
+
+EVENT_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 8) -> str:
+    """Materialize events as n_chunks parquet files in event_id order —
+    a deterministic arrival-order replay source."""
+    out = tempfile.mkdtemp(prefix="stream_replay_")
+    ev = table(spark, sf_dir, "events").orderBy("event_id").collect()
+    chunk = max(1, len(ev) // n_chunks + (len(ev) % n_chunks > 0))
+    for i in range(0, len(ev), chunk):
+        spark.createDataFrame(ev[i : i + chunk], EVENT_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(out, f"chunk_{i // chunk:04d}"))
+    return out
+
+
+def _read_stream(spark: SparkSession, replay: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(replay, "chunk_*"))
+    )
+
+
+def _run_to_completion(stream_df: DataFrame, output_mode: str, name: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def stream_tumbling_counts(
+    spark: SparkSession, sf_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Real streaming: withWatermark + tumbling 1h counts per type.
+    Returns (win_start bigint epoch, event_type, n_events) — the final
+    (append-mode) result after the availableNow replay drains."""
+    replay = replay_dir(spark, sf_dir)
+    src = _read_stream(spark, replay)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    res = _run_to_completion(agg, "append", f"tumbling_{id(src)}")
+    return res.select(
+        F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+def stream_dedup(
+    spark: SparkSession, sf_dir: str, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Real streaming dropDuplicatesWithinWatermark on
+    (user_id, event_type): emits one row per key per watermark window."""
+    replay = replay_dir(spark, sf_dir)
+    src = _read_stream(spark, replay)
+    dedup = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    res = _run_to_completion(dedup, "append", f"dedup_{id(src)}")
+    return res.select("user_id", "event_type", "event_id", "ts")

@@ -1,0 +1,174 @@
+"""Dedup / similarity / multimodal invariants (SURVEY.md §5.3 +
+task-mandated pipeline operators)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+class TestDedup:
+    def test_exact_dedup_idempotent(self, spark):
+        """dedup(dedup(X)) == dedup(X)."""
+        import __spark_entry__ as e
+
+        q = e.queries()["q_dedup_exact"]
+        once = q(spark, SF_SMALL)
+        keep = once.select(F.col("keep_id").alias("doc_id"))
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").join(
+            keep, "doc_id"
+        )
+        again = (
+            docs.select(F.md5(F.col("text").cast("binary")).alias("h"), "doc_id")
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("keep_id"))
+        )
+        assert again.count() == once.count()
+
+    def test_minhash_finds_exact_duplicates(self, spark):
+        """A doc duplicated verbatim must share all 4 bands with its
+        copy (recall=1 for exact dups)."""
+        from spark_clustering_spark.pipeline.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingles,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(20)
+        dup = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+        both = docs.select("doc_id", "text").unionByName(dup)
+        pairs = lsh_candidate_pairs(minhash_signatures(shingles(both))).collect()
+        found = {(r["doc_a"], r["doc_b"]): r["n_bands"] for r in pairs}
+        for r in docs.select("doc_id").collect():
+            i = r["doc_id"]
+            assert found.get((i, i + 100000)) == 4, f"doc {i} not fully matched"
+
+    def test_simhash_identical_docs_same_fingerprint(self, spark):
+        import __spark_entry__ as e
+
+        fp = e.queries()["q_dedup_simhash"](spark, SF_SMALL)
+        rows = fp.limit(5).collect()
+        assert all(isinstance(r["simhash"], int) for r in rows)
+        # chunks reassemble into the unsigned fingerprint
+        for r in rows:
+            unsigned = r["simhash"] % (1 << 64)
+            reassembled = sum(r[f"chunk{c}"] << (16 * c) for c in range(4))
+            assert reassembled == unsigned
+
+    def test_jaccard_bounds(self, spark):
+        import __spark_entry__ as e
+
+        rows = e.queries()["q_dedup_ngram_jaccard"](spark, SF_SMALL).collect()
+        assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)
+
+
+class TestSimilarity:
+    def test_topk_contains_true_nearest(self, spark):
+        """Brute-force top-k is exact: spot-check one probe against a
+        numpy recomputation."""
+        import numpy as np
+
+        import __spark_entry__ as e
+
+        emb = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+        }
+        probe = 0
+        cos = {
+            j: float(
+                emb[probe] @ emb[j] / (np.linalg.norm(emb[probe]) * np.linalg.norm(emb[j]))
+            )
+            for j in emb
+            if j != probe
+        }
+        expected = sorted(cos, key=lambda j: (-cos[j], j))[:10]
+        got = [
+            r["cand_id"]
+            for r in e.queries()["q_sim_topk_cosine"](spark, SF_SMALL)
+            .filter(F.col("probe_id") == probe)
+            .orderBy("rn")
+            .collect()
+        ]
+        assert got == expected
+
+    def test_lsh_bucket_recall_on_duplicates(self, spark):
+        """Identical vectors always share a bucket (LSH soundness)."""
+        from spark_clustering_spark.functions.distance import as_double_array
+        from spark_clustering_spark.pipeline.similarity import cosine_lsh_buckets
+
+        e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+            "vec_id", as_double_array("embedding").alias("vec")
+        )
+        dup = e.select((F.col("vec_id") + 10000).alias("vec_id"), "vec")
+        b = cosine_lsh_buckets(e.unionByName(dup), dim=64, n_planes=12)
+        buckets = {r["vec_id"]: r["bucket"] for r in b.collect()}
+        for vid in list(buckets)[:50]:
+            if vid < 10000:
+                assert buckets[vid] == buckets[vid + 10000]
+
+
+class TestMultimodal:
+    def test_decode_stub_pipeline(self, spark):
+        import __spark_entry__ as e
+
+        out = e.queries()["q_multimodal_decode"](spark, SF_SMALL)
+        rows = out.collect()
+        assert len(rows) == 500
+        assert all(16 <= r["width"] < 256 and 16 <= r["height"] < 256 for r in rows)
+        assert {r["modality"] for r in rows} == {"image", "audio", "video"}
+
+    def test_decode_real_codec_seam_raises(self, spark):
+        from spark_clustering_spark.sources.multimodal import (
+            decode_media,
+            synthetic_media,
+        )
+
+        with pytest.raises(Exception, match="NotImplementedError|real media"):
+            decode_media(
+                synthetic_media(spark, SF_SMALL), decode_stub=False
+            ).collect()
+
+    def test_features_are_normalized_histograms(self, spark):
+        from spark_clustering_spark.sources.multimodal import (
+            extract_features,
+            synthetic_media,
+        )
+
+        f = extract_features(synthetic_media(spark, SF_SMALL)).limit(10).collect()
+        for r in f:
+            assert len(r["feat"]) == 16
+            assert abs(sum(r["feat"]) - 1.0) < 1e-9
+
+    def test_frame_sampling_shape(self, spark):
+        from spark_clustering_spark.sources.multimodal import (
+            sample_frames,
+            synthetic_media,
+        )
+
+        s = sample_frames(synthetic_media(spark, SF_SMALL)).collect()
+        assert all(r["frame_idx"] <= 7 for r in s)
+        assert all(r["byte_offset"] == r["frame_idx"] * 64 for r in s)
+
+
+class TestApproxDistinct:
+    def test_hll_within_rsd(self, spark):
+        import __spark_entry__ as e
+
+        approx = {
+            r["event_type"]: r["approx_users"]
+            for r in e.queries()["q_agg_approx_distinct"](spark, SF_SMALL).collect()
+        }
+        exact = {
+            r["event_type"]: r["n"]
+            for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        for k, n in exact.items():
+            assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, approx[k], n)
