@@ -40,8 +40,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_clustering_spark.functions.detagg import DEC
-from spark_clustering_spark.functions.distance import euclidean
 from spark_clustering_spark.functions.rng import py_lcg_uniform
+from spark_clustering_spark.ml.kernels import gka_member_centers, gka_reassign
 
 GKA_METRICS_SCHEMA = "gen INT, best_objectvalue DOUBLE, gen_ms BIGINT"
 
@@ -56,12 +56,14 @@ class GKAResult:
 
 
 def _py_euclidean(a: list[float], b: list[float]) -> float:
-    """Driver-side twin of functions.distance.euclidean — same
-    left-to-right accumulation order, hence bit-identical doubles."""
-    acc = 0.0
-    for x, y in zip(a, b):
-        acc = acc + (x - y) * (x - y)
-    return math.sqrt(acc)
+    """Driver-side twin of the kernel distance (expanded dot-product
+    identity, ml/kernels.py::_dist_matrix) so the mutation patch uses
+    the same float formulation as the distributed assignment."""
+    import numpy as np
+
+    av, bv = np.asarray(a), np.asarray(b)
+    sq = float(av @ av) + float(bv @ bv) - 2.0 * float(av @ bv)
+    return math.sqrt(max(sq, 0.0))
 
 
 def _init_labels(
@@ -77,43 +79,6 @@ def _init_labels(
     ) / F.lit(float(2**31))
     return lab.select(
         "member_id", "vec_id", F.floor(u * k).cast("int").alias("label")
-    )
-
-
-def _member_centers(labels: DataFrame, points: DataFrame) -> DataFrame:
-    """KMO center update: per-(member,label) decimal-exact mean — one
-    shuffle keyed on (member, label, dim). Labels with zero members
-    simply produce no row (Q9)."""
-    j = labels.join(points, "vec_id")
-    ex = j.select("member_id", "label", F.posexplode("vec").alias("pos", "v"))
-    per_dim = ex.groupBy("member_id", "label", "pos").agg(
-        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("mv")
-    )
-    return (
-        per_dim.groupBy("member_id", "label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
-            ).alias("cvec")
-        )
-        .select("member_id", F.col("label").alias("cid"), "cvec")
-    )
-
-
-def _reassign(points: DataFrame, centers: DataFrame) -> DataFrame:
-    """KMO reassignment (R11): argmin over the member's own centers.
-    ``centers`` is tiny (≤ P·k rows) → broadcast; reduced by min(struct)."""
-    cand = points.join(
-        F.broadcast(centers.select("member_id", "cid", "cvec")), how="cross"
-    ).withColumn("dist", euclidean(F.col("vec"), F.col("cvec")))
-    best = cand.groupBy("member_id", "vec_id").agg(
-        F.min(F.struct("dist", "cid")).alias("b")
-    )
-    return best.select(
-        "member_id",
-        "vec_id",
-        F.col("b.cid").alias("label"),
-        F.col("b.dist").alias("dist"),
     )
 
 
@@ -174,10 +139,13 @@ def fit_gka(
     metrics_rows: list[tuple] = []
     history: list[dict] = []
 
+    d = len(points.select("vec").head()["vec"])
     for gen in range(num_gen):
         t0 = time.time()
-        centers = _member_centers(labels, points)
-        assigned = _reassign(points, centers).localCheckpoint(eager=True)
+        # KMO via kernels (ml/kernels.py): segmented-sum center update +
+        # per-member BLAS reassignment — no exploded shuffles.
+        centers_map = gka_member_centers(labels, points, d)
+        assigned = gka_reassign(points, centers_map).localCheckpoint(eager=True)
 
         # ---- mutation (R12) -------------------------------------------
         u1 = {m: py_lcg_uniform(m * 7919 + gen, seed + 1) for m in range(pop)}
@@ -193,16 +161,12 @@ def fit_gka(
                     r["vec_id"]: list(r["vec"])
                     for r in points.filter(F.col("vec_id").isin(gene_ids)).collect()
                 }
-                ctr = {
-                    (r["member_id"], r["cid"]): list(r["cvec"])
-                    for r in centers.collect()
-                }
                 for g in genes:
                     m = g["member_id"]
                     new_label = int(u3[m] * k)
-                    key = (m, new_label)
-                    if key in ctr:  # Q9 guard: missing center → keep old dist
-                        new_dist = _py_euclidean(vecs[g["vec_id"]], ctr[key])
+                    ctr = centers_map.get(m, {}).get(new_label)
+                    if ctr is not None:  # Q9 guard: missing center → keep old dist
+                        new_dist = _py_euclidean(vecs[g["vec_id"]], ctr)
                     else:
                         new_dist = g["dist"]
                     patches.append((int(m), int(g["vec_id"]), new_label, float(new_dist)))

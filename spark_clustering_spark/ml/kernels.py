@@ -1,0 +1,244 @@
+"""Vectorized per-partition kernels for the iterative fit loops.
+
+The oracle-checked operators (operators/clustering.py) use pure
+DataFrame expressions — the right parity surface. The fit loops' hot
+path uses these Arrow-batched kernels instead, because:
+
+- assignment + centroid-update as DataFrame ops costs a broadcast join,
+  interpreted array-HOF folds, a posexplode to n·d rows, and a shuffle
+  keyed on (cluster, dim) — the exploded shuffle grows linearly with
+  data size;
+- the kernel computes assignment (BLAS distance matrix) AND the partial
+  per-cluster statistics inside each partition, emitting exactly k rows
+  per partition. The only shuffle is k·num_partitions tiny stat rows →
+  final combine. This is how a 100 TB Lloyd iteration must look: one
+  narrow pass, constant-size shuffle.
+
+Determinism: identical data layout ⇒ identical float partial-sum order
+⇒ bitwise-reproducible runs (asserted in tests). Cross-layout runs
+agree to float tolerance — the hash-matched surface remains the
+expression path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LLOYD_STATS_SCHEMA = (
+    "cluster_id INT, n_points BIGINT, sum_dist DOUBLE, sum_sq DOUBLE, "
+    "sum_vec ARRAY<DOUBLE>"
+)
+
+
+def _dist_matrix(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Pairwise L2 distances |V_i - C_j| via the expanded dot-product
+    identity (one GEMM instead of a per-pair loop)."""
+    sq = (V * V).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (V @ C.T)
+    np.maximum(sq, 0.0, out=sq)
+    return np.sqrt(sq)
+
+
+def lloyd_partial_stats(points: DataFrame, centers: np.ndarray) -> DataFrame:
+    """One Lloyd half-iteration, map-side: per partition, assign every
+    vector to its nearest center (ties → lower cluster id, matching the
+    expression path) and emit k partial-stat rows. ``points``:
+    (vec_id, vec array<double>); ``centers``: (k, d) ndarray."""
+    k, d = centers.shape
+    bc = points.sparkSession.sparkContext.broadcast(centers)
+
+    def kernel(batches) -> Iterator:
+        import pandas as pd
+
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["vec"]), dtype=np.float64)
+            D = _dist_matrix(V, C)
+            lab = D.argmin(axis=1)  # argmin returns FIRST min → lower cid on ties
+            md = D[np.arange(len(V)), lab]
+            out = {
+                "cluster_id": [],
+                "n_points": [],
+                "sum_dist": [],
+                "sum_sq": [],
+                "sum_vec": [],
+            }
+            for c in range(k):
+                m = lab == c
+                n = int(m.sum())
+                if not n:
+                    continue
+                out["cluster_id"].append(c)
+                out["n_points"].append(n)
+                out["sum_dist"].append(float(md[m].sum()))
+                out["sum_sq"].append(float((md[m] * md[m]).sum()))
+                out["sum_vec"].append(V[m].sum(axis=0).tolist())
+            yield pd.DataFrame(out)
+
+    return points.mapInPandas(kernel, LLOYD_STATS_SCHEMA)
+
+
+def lloyd_iteration(
+    points: DataFrame, centers: np.ndarray
+) -> list[dict]:
+    """Full Lloyd iteration: map-side partials + k-row final combine.
+    Returns one dict per non-empty cluster:
+    {cluster_id, n_points, sum_dist, sum_sq, mean(list)}."""
+    partial = lloyd_partial_stats(points, centers)
+    k, d = centers.shape
+    final = partial.groupBy("cluster_id").agg(
+        F.sum("n_points").alias("n"),
+        F.sum("sum_dist").alias("sum_dist"),
+        F.sum("sum_sq").alias("sum_sq"),
+        F.array(
+            *[F.sum(F.element_at("sum_vec", i + 1)).alias(f"s{i}") for i in range(d)]
+        ).alias("sum_vec"),
+    )
+    out = []
+    for r in final.collect():
+        n = int(r["n"])
+        out.append(
+            {
+                "cluster_id": int(r["cluster_id"]),
+                "n_points": n,
+                "sum_dist": float(r["sum_dist"]),
+                "sum_sq": float(r["sum_sq"]),
+                "mean": [s / n for s in r["sum_vec"]],
+            }
+        )
+    return out
+
+
+PARTICLE_OBJ_SCHEMA = "pid INT, partial_obj DOUBLE"
+
+
+def pso_objectives(points: DataFrame, X: np.ndarray) -> np.ndarray:
+    """All-particle objective evaluation in one narrow pass: per
+    partition, a (batch × k) distance matrix per particle (BLAS),
+    partial Σ min-dist per particle; final combine is P tiny rows.
+    ``X``: (P, k, d). Returns (P,) objectives (Q4: unsquared sums)."""
+    P = X.shape[0]
+    bc = points.sparkSession.sparkContext.broadcast(X)
+
+    def kernel(batches) -> Iterator:
+        import pandas as pd
+
+        Xl = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["vec"]), dtype=np.float64)
+            objs = [
+                float(_dist_matrix(V, Xl[p]).min(axis=1).sum())
+                for p in range(Xl.shape[0])
+            ]
+            yield pd.DataFrame({"pid": list(range(Xl.shape[0])), "partial_obj": objs})
+
+    partial = points.mapInPandas(kernel, PARTICLE_OBJ_SCHEMA)
+    rows = partial.groupBy("pid").agg(F.sum("partial_obj").alias("obj")).collect()
+    out = np.zeros(P)
+    for r in rows:
+        out[r["pid"]] = r["obj"]
+    return out
+
+
+GKA_CENTER_STATS_SCHEMA = (
+    "member_id INT, label INT, n_points BIGINT, sum_vec ARRAY<DOUBLE>"
+)
+
+
+def gka_member_centers(
+    labels: DataFrame, points: DataFrame, d: int
+) -> dict[int, dict[int, list[float]]]:
+    """KMO center update for every member in one pass: join labels to
+    points (broadcast-friendly: the per-partition work is a segmented
+    sum), map-side partial (member,label) sums, final combine of
+    ≤ P·k·num_partitions tiny rows. Returns {member: {label: mean}}."""
+    j = labels.join(points, "vec_id").select("member_id", "label", "vec")
+
+    def kernel(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["vec"]), dtype=np.float64)
+            key = (
+                pdf["member_id"].to_numpy().astype(np.int64) * 100_000
+                + pdf["label"].to_numpy()
+            )
+            uniq, inv = np.unique(key, return_inverse=True)
+            sums = np.zeros((len(uniq), V.shape[1]))
+            np.add.at(sums, inv, V)
+            counts = np.bincount(inv, minlength=len(uniq))
+            yield pd.DataFrame(
+                {
+                    "member_id": (uniq // 100_000).astype(np.int32),
+                    "label": (uniq % 100_000).astype(np.int32),
+                    "n_points": counts.astype(np.int64),
+                    "sum_vec": [s.tolist() for s in sums],
+                }
+            )
+
+    partial = j.mapInPandas(kernel, GKA_CENTER_STATS_SCHEMA)
+    final = partial.groupBy("member_id", "label").agg(
+        F.sum("n_points").alias("n"),
+        F.array(
+            *[F.sum(F.element_at("sum_vec", i + 1)).alias(f"s{i}") for i in range(d)]
+        ).alias("sum_vec"),
+    )
+    out: dict[int, dict[int, list[float]]] = {}
+    for r in final.collect():
+        n = int(r["n"])
+        out.setdefault(int(r["member_id"]), {})[int(r["label"])] = [
+            s / n for s in r["sum_vec"]
+        ]
+    return out
+
+
+GKA_ASSIGN_SCHEMA = "member_id INT, vec_id BIGINT, label INT, dist DOUBLE"
+
+
+def gka_reassign(points: DataFrame, centers_by_member: dict[int, dict[int, list]]) -> DataFrame:
+    """KMO reassignment for every member in one narrow pass: per
+    partition, one distance matrix per member against its own centers.
+    ``centers_by_member``: {member_id: {cid: center_list}}. Returns the
+    (member, vec) assignment table (n·P rows — inherent to GKA)."""
+    prepared = {
+        m: (np.array(sorted(cs)), np.array([cs[c] for c in sorted(cs)], dtype=np.float64))
+        for m, cs in centers_by_member.items()
+    }
+    bc = points.sparkSession.sparkContext.broadcast(prepared)
+
+    def kernel(batches) -> Iterator:
+        import pandas as pd
+
+        prep = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["vec"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for m, (cids, C) in prep.items():
+                D = _dist_matrix(V, C)
+                idx = D.argmin(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "member_id": np.full(len(V), m, dtype=np.int32),
+                            "vec_id": ids,
+                            "label": cids[idx].astype(np.int32),
+                            "dist": D[np.arange(len(V)), idx],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return points.mapInPandas(kernel, GKA_ASSIGN_SCHEMA)

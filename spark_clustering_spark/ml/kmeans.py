@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_clustering_spark.functions.rng import lcg_uniform
-from spark_clustering_spark.operators.clustering import assign, update_centroids
+from spark_clustering_spark.ml.kernels import lloyd_iteration
+from spark_clustering_spark.operators.clustering import assign
 
 METRICS_SCHEMA = (
     "run INT, iter INT, objective DOUBLE, objective_sq DOUBLE, "
@@ -100,14 +101,17 @@ def fit_kmeans(
         prev_obj = None
         for it in range(num_iter):
             t0 = time.time()
-            cdf = _centroids_df(spark, centers)
-            a = assign(points, cdf)
-            # ONE job, ONE collect of k rows per iteration: per-cluster
-            # means + counts + both objective components
-            rows = update_centroids(a).collect()
-            got = {r["cid"]: r for r in rows}
-            obj = float(sum(r["sum_dist"] for r in rows))  # Q4/Q7: pre-update dists
-            obj_sq = float(sum(r["sum_sq"] for r in rows))  # true-Lloyd objective
+            # ONE narrow kernel pass + k-row combine per iteration
+            # (ml/kernels.py): assignment + partial stats map-side, no
+            # data-sized shuffle.
+            import numpy as np
+
+            stats = lloyd_iteration(
+                points, np.array([vec for _, vec in centers], dtype=np.float64)
+            )
+            got = {s["cluster_id"]: s for s in stats}
+            obj = float(sum(s["sum_dist"] for s in stats))  # Q4/Q7: pre-update dists
+            obj_sq = float(sum(s["sum_sq"] for s in stats))  # true-Lloyd objective
             # Q1: correct empty-cluster reseed — absent cids get a fresh
             # deterministic point (next-lowest LCG draws not already used)
             empty = [cid for cid, _ in enumerate(centers) if cid not in got]
@@ -126,7 +130,7 @@ def fit_kmeans(
             new_centers = []
             for cid, old_vec in centers:
                 if cid in got:
-                    new_centers.append([cid, list(got[cid]["cvec"])])
+                    new_centers.append([cid, list(got[cid]["mean"])])
                 elif cid in reseed:
                     new_centers.append([cid, reseed[cid]])
                 else:  # Q9 guard: keep stale centroid rather than NaN

@@ -63,30 +63,12 @@ def _vbounds(points: DataFrame) -> tuple[np.ndarray, np.ndarray]:
 def _evaluate_all(
     spark: SparkSession, points: DataFrame, X: np.ndarray
 ) -> np.ndarray:
-    """One distributed pass: objective (Σ min-dist, Q4) of every
-    particle. Broadcast P·k centroid rows; argmin per (pid, point);
-    decimal-exact per-particle sums (reproducible under any
-    partitioning)."""
-    P, k, d = X.shape
-    rows = [
-        (int(p), int(c), [float(v) for v in X[p, c]])
-        for p in range(P)
-        for c in range(k)
-    ]
-    ctr = spark.createDataFrame(rows, "pid INT, cid INT, cvec ARRAY<DOUBLE>")
-    cand = points.join(F.broadcast(ctr), how="cross").withColumn(
-        "dist", euclidean(F.col("vec"), F.col("cvec"))
-    )
-    per_point = cand.groupBy("pid", "vec_id").agg(F.min("dist").alias("md"))
-    objs = (
-        per_point.groupBy("pid")
-        .agg(F.sum(F.col("md").cast(DEC)).cast("double").alias("obj"))
-        .collect()
-    )
-    out = np.zeros(P)
-    for r in objs:
-        out[r["pid"]] = r["obj"]
-    return out
+    """One narrow kernel pass evaluating every particle's objective
+    (Σ min-dist, Q4): BLAS distance matrices per partition, P-row
+    combine (ml/kernels.py — no data-sized shuffle)."""
+    from spark_clustering_spark.ml.kernels import pso_objectives
+
+    return pso_objectives(points, X)
 
 
 def fit_pso(

@@ -1,0 +1,110 @@
+"""Physical-plan contracts (SURVEY.md §4): pushdown, pruning, join
+strategy, partial aggregation, top-k. A regression here means a query
+still returns right answers but would fall over at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_clustering_spark.plans.explain import (
+    formatted_plan,
+    has_node,
+    num_shuffles,
+    pushed_filters,
+    read_schema_columns,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def qs(spark):
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_scan_projection_prunes_columns(spark, qs):
+    cols = read_schema_columns(qs["q_scan_project"](spark, SF_SMALL))
+    assert set(cols) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+    }, cols
+
+
+def test_range_filter_pushed_to_scan(spark, qs):
+    pf = " ".join(pushed_filters(qs["q_filter_range"](spark, SF_SMALL)))
+    assert "l_shipdate" in pf and "l_quantity" in pf, pf
+
+
+def test_in_like_filter_pushed(spark, qs):
+    pf = " ".join(pushed_filters(qs["q_filter_in_like"](spark, SF_SMALL)))
+    assert "p_brand" in pf, pf
+
+
+def test_broadcast_join_strategy(spark, qs):
+    plan = formatted_plan(qs["q_join_broadcast"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_join_all_broadcast_no_fact_shuffle(spark, qs):
+    df = qs["q_join_multiway"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # formatted mode shows each node in the tree AND the details section
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_plans_partial_and_final(spark, qs):
+    plan = formatted_plan(qs["q_agg_hash"](spark, SF_SMALL))
+    # partial + final HashAggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2, plan[:800]
+    assert num_shuffles(qs["q_agg_hash"](spark, SF_SMALL)) <= 2
+
+
+def test_topk_uses_heap_not_global_sort(spark, qs):
+    assert has_node(qs["q_topk_global"](spark, SF_SMALL), "TakeOrderedAndProject")
+
+
+def test_assignment_is_broadcast_no_data_shuffle_before_agg(spark):
+    """The nearest-centroid assignment must broadcast the centroid side;
+    the only exchange is the per-point aggregation."""
+    from spark_clustering_spark.operators.clustering import (
+        assign,
+        centroids_df,
+        points_df,
+    )
+
+    a = assign(points_df(spark, SF_SMALL), centroids_df(spark, SF_SMALL))
+    plan = formatted_plan(a)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lloyd_kernel_shuffles_only_stats(spark):
+    """The fit-loop kernel's shuffle payload is k rows per partition,
+    independent of data size."""
+    import numpy as np
+
+    from spark_clustering_spark.ml.kernels import lloyd_partial_stats
+    from spark_clustering_spark.operators.clustering import points_df
+
+    pts = points_df(spark, SF_SMALL)
+    centers = np.array(
+        [r["vec"] for r in pts.orderBy("vec_id").limit(4).collect()]
+    )
+    partial = lloyd_partial_stats(pts, centers)
+    # partial stats are bounded by k * num_partitions regardless of n
+    n_partitions = pts.rdd.getNumPartitions()
+    assert partial.count() <= 4 * max(n_partitions, 1)
+
+
+def test_dedup_exact_shuffles_digest_not_text(spark, qs):
+    """The exact-dedup shuffle key is the md5 digest; the text payload
+    must be projected away before the exchange."""
+    plan = formatted_plan(qs["q_dedup_exact"](spark, SF_SMALL))
+    ex = plan[plan.index("Exchange"):]
+    assert "text" not in ex.split("\n")[0]
