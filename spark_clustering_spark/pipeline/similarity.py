@@ -161,6 +161,110 @@ def cosine_lsh_buckets(e: DataFrame, dim: int, n_planes: int = 16) -> DataFrame:
     return e.withColumn("bucket", bucket)
 
 
+IVF_NLIST = 16   # coarse quantizer size
+IVF_NPROBE = 4   # lists searched per probe
+
+
+@query(
+    "q_sim_topk_ivf",
+    oracle=f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    coarse AS (
+      SELECT vec_id AS cid, vec AS cvec FROM ve ORDER BY vec_id LIMIT {IVF_NLIST}
+    ),
+    lists AS (  -- inverted lists: every vector -> its nearest coarse cell
+      SELECT v.vec_id, v.vec, c.cid AS list_id
+      FROM ve v CROSS JOIN coarse c
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY list_distance(v.vec, c.cvec), c.cid) = 1
+    ),
+    probes AS (SELECT vec_id AS probe_id, vec AS pvec FROM ve WHERE vec_id < {N_PROBES}),
+    probe_lists AS (  -- nprobe nearest cells per probe
+      SELECT p.probe_id, c.cid AS list_id
+      FROM probes p CROSS JOIN coarse c
+      QUALIFY row_number() OVER (PARTITION BY p.probe_id
+        ORDER BY list_distance(p.pvec, c.cvec), c.cid) <= {IVF_NPROBE}
+    ),
+    cands AS (
+      SELECT pl.probe_id, l.vec_id AS cand_id, l.vec
+      FROM probe_lists pl JOIN lists l ON l.list_id = pl.list_id
+      WHERE l.vec_id <> pl.probe_id
+    ),
+    scored AS (
+      SELECT c.probe_id, c.cand_id,
+             list_cosine_similarity(p.pvec, c.vec) AS cos
+      FROM cands c JOIN probes p ON p.probe_id = c.probe_id
+    )
+    SELECT probe_id, cand_id,
+           cast(round(cast(cast((cos) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cos,
+           rn
+    FROM (
+      SELECT probe_id, cand_id, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, cand_id) AS rn
+      FROM scored) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor — the scale path for similarity
+    search: a coarse quantizer (IVF_NLIST deterministic centroids)
+    partitions vectors into inverted lists; each probe searches only its
+    IVF_NPROBE nearest lists. Candidate volume drops from n to
+    ~n·nprobe/nlist; at 100 TB the lists become the partitioning key so
+    each search touches a bounded slice. Exact within searched lists —
+    recall vs. the brute-force top-k is measured in
+    tests/test_pipeline.py."""
+    from spark_clustering_spark.functions.distance import cosine, euclidean
+    from spark_clustering_spark.io import table
+
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    coarse = (
+        ve.orderBy("vec_id")
+        .limit(IVF_NLIST)
+        .select(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"))
+    )
+    pairs = ve.crossJoin(F.broadcast(coarse)).withColumn(
+        "cdist", euclidean(F.col("vec"), F.col("cvec"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("cdist", "cid")
+    lists = (
+        pairs.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", F.col("cid").alias("list_id"))
+    )
+    probes = ve.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
+    )
+    ppairs = probes.crossJoin(F.broadcast(coarse)).withColumn(
+        "cdist", euclidean(F.col("pvec"), F.col("cvec"))
+    )
+    w_probe = Window.partitionBy("probe_id").orderBy("cdist", "cid")
+    probe_lists = (
+        ppairs.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("probe_id", F.col("cid").alias("list_id"))
+    )
+    cands = (
+        probe_lists.join(lists, "list_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("cand_id"), "vec")
+    )
+    scored = cands.join(F.broadcast(probes), "probe_id").select(
+        "probe_id", "cand_id", cosine(F.col("pvec"), F.col("vec")).alias("cos")
+    )
+    w_top = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.select("probe_id", "cand_id", "cos", F.row_number().over(w_top).alias("rn"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "cand_id", dround("cos").alias("cos"), "rn")
+    )
+
+
 @query("q_sim_lsh_buckets")  # rows-only: bucket ids are engine-internal
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket histogram — the candidate-generation stage of

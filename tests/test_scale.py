@@ -1,0 +1,108 @@
+"""Scale-path features: bucketed co-located joins, salted skew joins,
+stateful streaming, IVF recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_clustering_spark.plans.explain import formatted_plan
+from tests.conftest import SF_SMALL
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    from spark_clustering_spark.sources.bucketed import (
+        create_bucketed_tables,
+        no_broadcast,
+    )
+
+    create_bucketed_tables(spark, SF_SMALL)
+    with no_broadcast(spark):
+        join_plan = formatted_plan(
+            spark.table("orders_b").join(
+                spark.table("lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+        )
+        assert "Exchange" not in join_plan, join_plan[:1500]
+        assert "SortMergeJoin" in join_plan
+        assert "Bucketed: true" in join_plan
+    # and the result matches the unbucketed join
+    from spark_clustering_spark.io import table
+
+    expected = (
+        table(spark, SF_SMALL, "orders")
+        .join(
+            table(spark, SF_SMALL, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    got = (
+        spark.table("orders_b")
+        .join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    assert got == expected
+
+
+def test_salted_join_matches_plain_join(spark):
+    from spark_clustering_spark.functions.skew import salted_join
+    from spark_clustering_spark.io import table
+
+    li = table(spark, SF_SMALL, "lineitem")
+    p = table(spark, SF_SMALL, "part").select("p_partkey", "p_brand")
+    plain = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_brand"
+    )
+    salted = salted_join(
+        li, p, "l_partkey", "p_partkey", salt_source="l_orderkey", n_salts=4
+    ).select("l_orderkey", "l_linenumber", "p_brand")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_stateful_user_engagement(spark):
+    """applyInPandasWithState accumulates exact per-user totals across
+    micro-batches."""
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.streaming.stateful import run_user_engagement
+
+    final = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in run_user_engagement(spark, SF_SMALL).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for u, (n, s) in expected.items():
+        assert final[u][0] == n
+        assert abs(final[u][1] - s) < 1e-6
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4/nlist=16 should recover most of the exact
+    top-10 (recall >= 0.5 on random vectors; exactness within searched
+    lists is guaranteed)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    exact = {}
+    for r in qs["q_sim_topk_cosine"](spark, SF_SMALL).collect():
+        exact.setdefault(r["probe_id"], set()).add(r["cand_id"])
+    approx = {}
+    for r in qs["q_sim_topk_ivf"](spark, SF_SMALL).collect():
+        approx.setdefault(r["probe_id"], set()).add(r["cand_id"])
+    recalls = [
+        len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
