@@ -140,12 +140,22 @@ def fit_gka(
     history: list[dict] = []
 
     d = len(points.select("vec").head()["vec"])
+    prev_assigned = None
     for gen in range(num_gen):
         t0 = time.time()
         # KMO via kernels (ml/kernels.py): segmented-sum center update +
         # per-member BLAS reassignment — no exploded shuffles.
+        # centers_map is COLLECTED driver-side, which also severs the
+        # lineage between generations (next gen's kernel sees only the
+        # cached points + a broadcast literal)
         centers_map = gka_member_centers(labels, points, d)
-        assigned = gka_reassign(points, centers_map).localCheckpoint(eager=True)
+        if prev_assigned is not None:
+            prev_assigned.unpersist()
+        # persist (lazy) instead of an eager checkpoint: the 2-3
+        # downstream jobs this generation reuse the materialization the
+        # first one triggers, without paying a dedicated write job
+        assigned = gka_reassign(points, centers_map).persist()
+        prev_assigned = assigned
 
         # ---- mutation (R12) -------------------------------------------
         u1 = {m: py_lcg_uniform(m * 7919 + gen, seed + 1) for m in range(pop)}
