@@ -82,41 +82,53 @@ def _init_labels(
     )
 
 
-def _pick_mutation_genes(
+def _gen_stats_and_picks(
     assigned: DataFrame,
     mutating: list[int],
     u2: dict[int, float],
     cm: float,
-) -> list[dict]:
-    """Roulette pick of one gene per mutating member (R12): weight
-    w = Cm·max(d) − d, normalized per-member CDF ordered by vec_id,
-    gene = first row with CDF ≥ u2. Distributed windows; only the ≤P
-    picked rows are collected."""
-    mut = assigned.filter(F.col("member_id").isin([int(m) for m in mutating]))
+) -> tuple[dict[int, float], list[dict]]:
+    """ONE window pass over the assignment table returning both the
+    per-member objectives (R13, exact decimal window sum) and the
+    roulette-picked mutation gene per mutating member (R12: weight
+    w = Cm·max(d) − d, normalized CDF ordered by vec_id, gene = first
+    row with CDF ≥ u2). Only ≤ 2P rows are collected — fusing fitness
+    into the pick job saves a full aggregate job per generation."""
     w_all = Window.partitionBy("member_id")
-    w_run = (
-        Window.partitionBy("member_id")
-        .orderBy("vec_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_ord = Window.partitionBy("member_id").orderBy("vec_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u2_col = (
+        F.create_map(*[x for m in mutating for x in (F.lit(int(m)), F.lit(u2[m]))])[
+            F.col("member_id")
+        ]
+        if mutating
+        else F.lit(None).cast("double")
     )
-    wt = mut.withColumn(
-        "w", F.lit(cm) * F.max("dist").over(w_all) - F.col("dist")
-    ).withColumn("cum", F.sum("w").over(w_run))
-    norm = wt.withColumn("hi", F.col("cum") / F.max("cum").over(w_all))
-    norm = norm.withColumn(
-        "lo",
-        F.coalesce(
-            F.lag("hi").over(Window.partitionBy("member_id").orderBy("vec_id")),
-            F.lit(0.0),
-        ),
+    ann = (
+        assigned.withColumn(
+            "obj", F.sum(F.col("dist").cast(DEC)).over(w_all).cast("double")
+        )
+        .withColumn("w", F.lit(cm) * F.max("dist").over(w_all) - F.col("dist"))
+        .withColumn("cum", F.sum("w").over(w_run))
     )
-    u2_col = F.create_map(
-        *[x for m in mutating for x in (F.lit(int(m)), F.lit(u2[m]))]
-    )[F.col("member_id")]
-    picked = norm.filter((u2_col > F.col("lo")) & (u2_col <= F.col("hi"))).select(
-        "member_id", "vec_id", "label", "dist"
+    ann = ann.withColumn("hi", F.col("cum") / F.max("cum").over(w_all))
+    ann = ann.withColumn(
+        "lo", F.coalesce(F.lag("hi").over(w_ord), F.lit(0.0))
     )
-    return [r.asDict() for r in picked.collect()]
+    is_first = F.row_number().over(w_ord) == 1
+    is_pick = (
+        u2_col.isNotNull() & (u2_col > F.col("lo")) & (u2_col <= F.col("hi"))
+    )
+    rows = (
+        ann.withColumn("is_first", is_first)
+        .withColumn("is_pick", is_pick)
+        .filter(F.col("is_first") | F.col("is_pick"))
+        .select("member_id", "vec_id", "label", "dist", "obj", "is_first", "is_pick")
+        .collect()
+    )
+    objs = {int(r["member_id"]): float(r["obj"]) for r in rows if r["is_first"]}
+    genes = [r.asDict() for r in rows if r["is_pick"]]
+    return objs, genes
 
 
 def fit_gka(
@@ -157,29 +169,32 @@ def fit_gka(
         assigned = gka_reassign(points, centers_map).persist()
         prev_assigned = assigned
 
-        # ---- mutation (R12) -------------------------------------------
+        # ---- fused fitness + mutation pick (R12+R13): one job --------
         u1 = {m: py_lcg_uniform(m * 7919 + gen, seed + 1) for m in range(pop)}
         mutating = [m for m in range(pop) if u1[m] < pm]
+        u2 = {m: py_lcg_uniform(m * 104729 + gen, seed + 2) for m in mutating}
+        u3 = {m: py_lcg_uniform(m * 1299709 + gen, seed + 3) for m in mutating}
+        objs, genes = _gen_stats_and_picks(assigned, mutating, u2, cm)
+
         patches: list[tuple[int, int, int, float]] = []
-        if mutating:
-            u2 = {m: py_lcg_uniform(m * 104729 + gen, seed + 2) for m in mutating}
-            u3 = {m: py_lcg_uniform(m * 1299709 + gen, seed + 3) for m in mutating}
-            genes = _pick_mutation_genes(assigned, mutating, u2, cm)
-            if genes:
-                gene_ids = sorted({g["vec_id"] for g in genes})
-                vecs = {
-                    r["vec_id"]: list(r["vec"])
-                    for r in points.filter(F.col("vec_id").isin(gene_ids)).collect()
-                }
-                for g in genes:
-                    m = g["member_id"]
-                    new_label = int(u3[m] * k)
-                    ctr = centers_map.get(m, {}).get(new_label)
-                    if ctr is not None:  # Q9 guard: missing center → keep old dist
-                        new_dist = _py_euclidean(vecs[g["vec_id"]], ctr)
-                    else:
-                        new_dist = g["dist"]
-                    patches.append((int(m), int(g["vec_id"]), new_label, float(new_dist)))
+        if genes:
+            gene_ids = sorted({g["vec_id"] for g in genes})
+            vecs = {
+                r["vec_id"]: list(r["vec"])
+                for r in points.filter(F.col("vec_id").isin(gene_ids)).collect()
+            }
+            for g in genes:
+                m = g["member_id"]
+                new_label = int(u3[m] * k)
+                ctr = centers_map.get(m, {}).get(new_label)
+                if ctr is not None:  # Q9 guard: missing center → keep old dist
+                    new_dist = _py_euclidean(vecs[g["vec_id"]], ctr)
+                else:
+                    new_dist = g["dist"]
+                patches.append((int(m), int(g["vec_id"]), new_label, float(new_dist)))
+                # patch the objective arithmetically (Q7: new distance is
+                # against the pre-mutation centroid) — no re-aggregation
+                objs[m] = objs[m] - g["dist"] + new_dist
         if patches:
             pdf = spark.createDataFrame(
                 patches, "p_m INT, p_v BIGINT, new_label INT, new_dist DOUBLE"
@@ -199,13 +214,6 @@ def fit_gka(
                 )
             )
 
-        # ---- fitness (R13): P-row aggregate ---------------------------
-        objs = {
-            int(r["member_id"]): float(r["obj"])
-            for r in assigned.groupBy("member_id")
-            .agg(F.sum(F.col("dist").cast(DEC)).cast("double").alias("obj"))
-            .collect()
-        }
         gen_best_m = min(objs, key=lambda m: (objs[m], m))
         if objs[gen_best_m] < best:
             best, best_member = objs[gen_best_m], gen_best_m

@@ -89,6 +89,28 @@ def test_stateful_user_engagement(spark):
         assert abs(final[u][1] - s) < 1e-6
 
 
+def test_partition_pruning(spark):
+    """A date filter on the partitioned layout becomes PartitionFilters
+    — the scan reads one directory, not the table."""
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.sources.partitioned import (
+        day_slice,
+        write_events_partitioned,
+    )
+
+    path = write_events_partitioned(spark, SF_SMALL)
+    df = day_slice(spark, path, "2024-01-05")
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "event_date" in plan
+    expected = (
+        table(spark, SF_SMALL, "events")
+        .filter(F.col("ts").cast("date") == F.lit("2024-01-05").cast("date"))
+        .count()
+    )
+    assert df.count() == expected
+    assert expected > 0
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF with nprobe=4/nlist=16 should recover most of the exact
     top-10 (recall >= 0.5 on random vectors; exactness within searched
