@@ -147,6 +147,36 @@ def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           cast(round(cast(cast((quantile_cont(l_extendedprice, 0.5)) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS p50,
+           cast(round(cast(cast((quantile_cont(l_extendedprice, 0.9)) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS p90,
+           cast(round(cast(cast((quantile_cont(l_extendedprice, 0.99)) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont: both sort and linearly interpolate, so the doubles
+    are bit-identical). The approximate scale path is
+    q_agg_approx_distinct's sibling approx_percentile, kept out of the
+    hash-matched surface because sketches are engine-specific."""
+    from spark_clustering_spark.functions.detagg import dround
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50"),
+        dround(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90"),
+        dround(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99"),
+    )
+
+
 @query("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct users per event type. Sketch results are

@@ -63,14 +63,19 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """(doc_id, sig array<bigint>[16]) — min over xxhash64(shingle) under
-    each of the 16 affine permutations. One groupBy(doc_id) shuffle of
-    (doc_id, 16×8B) — shingle strings are hashed before the shuffle."""
-    h = F.pmod(F.xxhash64("shingle"), F.lit(2**32))
+    each of the 16 affine permutations. The base hash is computed ONCE
+    per shingle (projected before the aggregation — Catalyst does not
+    CSE duplicated expressions across aggregate functions); each
+    permutation is then two integer ops. One groupBy(doc_id) shuffle of
+    (doc_id, 16×8B) — shingle strings never shuffle."""
+    hashed = sh.select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(2**32)).alias("h")
+    )
     mins = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"h{i}")
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"h{i}")
         for i, (a, b) in enumerate(_coeffs())
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    sig = hashed.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id", F.array(*[f"h{i}" for i in range(_NUM_HASHES)]).alias("sig")
     )

@@ -1,0 +1,55 @@
+"""Generate COVERAGE.md — declared-inventory map for review.
+
+For every registered query: the implementing module/function, oracle
+status, and docstring summary. Run: python tools/gen_coverage.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    groups: dict[str, list[str]] = {}
+    for name in sorted(qs):
+        fn = qs[name]
+        mod = fn.__module__.replace("spark_clustering_spark.", "")
+        doc = (fn.__doc__ or "").strip().split("\n")[0]
+        oracle = "SQL hash-match" if name in oracles else "rows-only"
+        prefix = name.split("_")[0] + "_" + (name.split("_")[1] if "_" in name else "")
+        groups.setdefault(mod, []).append(
+            f"| `{name}` | {oracle} | {doc} |"
+        )
+
+    lines = [
+        "# COVERAGE — declared query inventory (auto-generated)",
+        "",
+        f"{len(qs)} queries: {len(oracles)} DuckDB-oracle hash-matched, "
+        f"{len(qs) - len(oracles)} rows-only (non-SQL-expressible by the",
+        "driver contract). Regenerate: `python tools/gen_coverage.py`.",
+        "",
+    ]
+    for mod in sorted(groups):
+        lines.append(f"## {mod}")
+        lines.append("")
+        lines.append("| query | check | semantics |")
+        lines.append("|---|---|---|")
+        lines.extend(groups[mod])
+        lines.append("")
+
+    out = _REPO / "COVERAGE.md"
+    out.write_text("\n".join(lines))
+    print(f"wrote {out}: {len(qs)} queries")
+
+
+if __name__ == "__main__":
+    main()
