@@ -17,6 +17,7 @@ from spark_clustering_spark.registry import query
 
 @query("fit_kmeans")  # rows-only: iterative, validated by invariants
 def q_fit_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's k-means (k=8, 5 iters, 2 restarts, seed 42) — R20 metrics history."""
     from spark_clustering_spark.ml.kmeans import fit_kmeans
 
     res = fit_kmeans(
@@ -27,6 +28,7 @@ def q_fit_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("fit_gka")  # rows-only: iterative, validated by invariants
 def q_fit_gka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genetic k-means (pop 6, 3 generations, Pm=0.6, Cm=0.9) — metrics history."""
     from spark_clustering_spark.ml.gka import fit_gka
 
     res = fit_gka(
@@ -37,6 +39,7 @@ def q_fit_gka(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("fit_pso")  # rows-only: iterative, validated by invariants
 def q_fit_pso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSO clustering (6 particles, 3 iterations, canonical inertia) — metrics history."""
     from spark_clustering_spark.ml.pso import fit_pso
 
     res = fit_pso(

@@ -92,6 +92,7 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (nation, market segment): subtotals + grand total."""
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     return (
@@ -112,6 +113,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all grouping combinations."""
     o = table(spark, sf_dir, "orders")
     return o.cube("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price")

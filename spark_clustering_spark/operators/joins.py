@@ -129,6 +129,7 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semantics: customers with at least one order (left-semi)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(

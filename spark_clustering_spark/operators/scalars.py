@@ -30,6 +30,7 @@ from spark_clustering_spark.registry import query
     """,
 )
 def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/substr/concat/length/trim/regexp_extract over part names."""
     p = table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -54,6 +55,7 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/date_trunc/datediff over order dates."""
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -168,6 +170,7 @@ def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props payload."""
     ev = table(spark, sf_dir, "events")
     return ev.select(
         "event_id",

@@ -20,6 +20,7 @@ from spark_clustering_spark.registry import query
     """,
 )
 def q_set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two tagged customer segment slices."""
     c = table(spark, sf_dir, "customer")
     a = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
         "c_custkey", "c_mktsegment", F.lit("machinery").alias("src")
@@ -39,6 +40,7 @@ def q_set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of customer vs supplier nation keys."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
@@ -53,6 +55,7 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) of customer-minus-supplier nation keys."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)

@@ -29,6 +29,7 @@ from spark_clustering_spark.registry import query
     """,
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank of orders per customer by price."""
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -80,6 +81,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead of order dates per customer with day gaps."""
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     prev = F.lag("o_orderdate").over(w)
@@ -168,6 +170,7 @@ def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by size per brand (window row_number + filter)."""
     p = table(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc(), F.col("p_partkey"))
     return (

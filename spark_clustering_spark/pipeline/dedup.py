@@ -190,6 +190,76 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Min-label propagation over an undirected pair graph:
+    every node ends up labeled with the smallest doc_id reachable from
+    it — the canonical representative of its near-dup cluster.
+
+    Iterative joins (O(graph diameter) rounds, each one shuffle keyed on
+    node id); lineage cut per round via localCheckpoint. Near-dup graphs
+    are shallow (dup clusters are cliques or near-cliques from LSH), so
+    this converges in 2-3 rounds in practice; max_iter bounds
+    pathological chains. ``pairs``: (doc_a, doc_b). Returns
+    (doc_id, component) for every node appearing in any pair."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "component", F.col("doc_id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("component").alias("n_comp")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("n_comp").alias("neighbor_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component", F.coalesce("neighbor_comp", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    edges.unpersist()
+    return labels
+
+
+@query("q_dedup_clusters")  # rows-only: iterative fixpoint, not SQL-expressible
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH candidate pairs → connected
+    components → (doc_id, component-representative). Downstream dedup
+    keeps rows where doc_id == component. Invariants (exact-duplicate
+    clustering, idempotence) in tests/test_pipeline.py."""
+    d = table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(shingles(d)))
+    return connected_components(pairs.select("doc_a", "doc_b"))
+
+
 @query(
     "q_dedup_ngram_jaccard",
     oracle="""

@@ -52,6 +52,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) doc counts and character statistics."""
     d = table(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),

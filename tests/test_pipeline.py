@@ -59,6 +59,49 @@ class TestDedup:
             reassembled = sum(r[f"chunk{c}"] << (16 * c) for c in range(4))
             assert reassembled == unsigned
 
+    def test_connected_components_cluster_exact_dups(self, spark):
+        """Verbatim duplicates (original, +100000, +200000 copies) must
+        land in one component labeled by the smallest doc_id."""
+        from pyspark.sql import functions as F
+
+        from spark_clustering_spark.pipeline.dedup import (
+            connected_components,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingles,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(10)
+        trip = docs.select("doc_id", "text")
+        for off in (100000, 200000):
+            trip = trip.unionByName(
+                docs.select((F.col("doc_id") + off).alias("doc_id"), "text")
+            )
+        pairs = lsh_candidate_pairs(minhash_signatures(shingles(trip)))
+        comp = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(pairs.select("doc_a", "doc_b")).collect()
+        }
+        for r in docs.select("doc_id").collect():
+            i = r["doc_id"]
+            assert comp[i] == comp[i + 100000] == comp[i + 200000]
+            assert comp[i] <= i
+
+    def test_connected_components_chain(self, spark):
+        """A path graph a-b-c-d collapses to one component (transitive
+        closure, not just direct pairs)."""
+        from spark_clustering_spark.pipeline.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a BIGINT, doc_b BIGINT"
+        )
+        comp = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+        assert comp[10] == comp[11] == 10
+
     def test_jaccard_bounds(self, spark):
         import __spark_entry__ as e
 
