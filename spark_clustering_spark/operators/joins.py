@@ -231,6 +231,61 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_sorted(
+    left: DataFrame,
+    right: DataFrame,
+    partition_key: tuple[str, str],
+    time_key: tuple[str, str],
+    payload: list[str],
+) -> DataFrame:
+    """Scale-path as-of join: union both streams, one window pass.
+
+    Instead of the range join + re-aggregation (fine for the oracle
+    surface, quadratic in per-key history), this sorts the union of
+    left events and right updates per partition key and carries the
+    most recent right payload forward with last(ignorenulls) — one
+    shuffle on the key, linear in input. Ties at equal timestamps favor
+    the right row (the update is visible to an event at the same
+    instant), matching q_join_asof's <= semantics.
+
+    left: (lk, lt, ...); right: (rk, rt, payload...). Returns left rows
+    + as-of payload columns.
+    """
+    from pyspark.sql.window import Window
+
+    lk, rk = partition_key
+    lt, rt = time_key
+    l_tag = left.select(
+        F.col(lk).alias("_k"),
+        F.col(lt).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+    )
+    r_tag = right.select(
+        F.col(rk).alias("_k"),
+        F.col(rt).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
+        *payload,
+    )
+    u = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal _t (updates apply
+    # first); payload columns break ties among simultaneous right rows
+    # so the carried value is the max — matching the range-join variant
+    w = Window.partitionBy("_k").orderBy("_t", "_is_left", *payload).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = u.select(
+        "_is_left",
+        "_l",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns], *payload
+    )
+
+
 @query(
     "q_join_cdf_lookup",
     oracle=f"""

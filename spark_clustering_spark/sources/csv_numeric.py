@@ -32,9 +32,11 @@ def read_numeric_csv(spark: SparkSession, path: str) -> DataFrame:
     )
     cols = raw.columns
     # Rectangularity check (Q10): any null cell means a ragged/short row.
-    ragged = raw.where(
-        F.greatest(*[F.col(c).isNull().cast("int") for c in cols]) == 1
-    ).limit(1).count()
+    null_flags = [F.col(c).isNull() for c in cols]
+    any_null = null_flags[0]
+    for flag in null_flags[1:]:
+        any_null = any_null | flag
+    ragged = raw.where(any_null).limit(1).count()
     if ragged:
         raise ValueError(f"ragged CSV input (non-rectangular rows): {path}")
     feats = F.array(*[F.col(c).cast("double") for c in cols])

@@ -1,0 +1,112 @@
+"""Property-based tests (SURVEY.md §5.7, hypothesis): random inputs →
+engine primitives agree with numpy / satisfy their invariants."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_clustering_spark.functions.rng import py_lcg_uniform
+
+matrices = st.integers(min_value=2, max_value=20).flatmap(
+    lambda rows: st.integers(min_value=1, max_value=8).flatmap(
+        lambda cols: st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+                min_size=cols,
+                max_size=cols,
+            ),
+            min_size=rows,
+            max_size=rows,
+        )
+    )
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(matrices)
+def test_csv_roundtrip_matches_numpy(spark, tmp_path_factory, mat):
+    """R1/R2: CSV ingest reproduces the matrix; per-dim min/max agree
+    with numpy (values written at 6 decimals round-trip exactly)."""
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.sources.csv_numeric import read_numeric_csv
+
+    arr = np.round(np.array(mat, dtype=np.float64), 6)
+    p = tmp_path_factory.mktemp("csv") / "m.csv"
+    with open(p, "w") as f:
+        for row in arr:
+            f.write(",".join(f"{v:.6f}" for v in row) + "\n")
+    df = read_numeric_csv(spark, str(p))
+    got = np.array(
+        [r["features"] for r in df.orderBy("id").collect()], dtype=np.float64
+    )
+    assert got.shape == arr.shape
+    assert np.array_equal(got, arr)
+    mins = (
+        df.select(F.posexplode("features").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .orderBy("pos")
+        .collect()
+    )
+    assert np.array_equal(np.array([r["lo"] for r in mins]), arr.min(axis=0))
+    assert np.array_equal(np.array([r["hi"] for r in mins]), arr.max(axis=0))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=10**9), st.integers(min_value=0, max_value=1000))
+def test_lcg_uniform_range_and_determinism(key, seed):
+    u = py_lcg_uniform(key, seed)
+    assert 0.0 <= u < 1.0
+    assert u == py_lcg_uniform(key, seed)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=1e-3, max_value=1e6, allow_nan=False),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_roulette_cdf_is_valid(objectives):
+    """R10 invariant: the normalized wheel over 1/objective is sorted,
+    positive, and ends at exactly 1 (same arithmetic as ml/gka.py)."""
+    fits = [1.0 / o for o in objectives]
+    total = sum(fits)
+    cdf, acc = [], 0.0
+    for f in fits:
+        acc += f / total
+        cdf.append(acc)
+    assert all(b >= a for a, b in zip(cdf, cdf[1:]))
+    assert all(c > 0 for c in cdf)
+    assert math.isclose(cdf[-1], 1.0, rel_tol=1e-9)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        min_size=4,
+        max_size=64,
+    )
+)
+def test_kernel_distance_matches_math(vec):
+    """ml/kernels.py distance identity == direct numpy norm (within
+    the expanded-identity's conditioning tolerance)."""
+    from spark_clustering_spark.ml.kernels import _dist_matrix
+
+    V = np.array([vec], dtype=np.float64)
+    C = np.zeros((1, len(vec)))
+    d = _dist_matrix(V, C)[0, 0]
+    expected = float(np.linalg.norm(V[0]))
+    assert math.isclose(d, expected, rel_tol=1e-9, abs_tol=1e-9)
