@@ -83,7 +83,12 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Banding: docs sharing any band of 4 consecutive minhashes become
-    candidate pairs. Returns (doc_a, doc_b, n_bands) with doc_a < doc_b."""
+    candidate pairs. Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
+
+    The signature table is persisted before the self-join — without it
+    both join sides would recompute the whole shingle→hash→min pipeline
+    (signatures are 16 longs/doc, so the cache is tiny)."""
+    sig = sig.persist()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -191,18 +196,43 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 15
+    pairs: DataFrame, max_iter: int = 15, small_graph_threshold: int = 100_000
 ) -> DataFrame:
     """Min-label propagation over an undirected pair graph:
     every node ends up labeled with the smallest doc_id reachable from
     it — the canonical representative of its near-dup cluster.
 
-    Iterative joins (O(graph diameter) rounds, each one shuffle keyed on
-    node id); lineage cut per round via localCheckpoint. Near-dup graphs
-    are shallow (dup clusters are cliques or near-cliques from LSH), so
-    this converges in 2-3 rounds in practice; max_iter bounds
-    pathological chains. ``pairs``: (doc_a, doc_b). Returns
-    (doc_id, component) for every node appearing in any pair."""
+    Hybrid execution: candidate-pair graphs are usually tiny relative
+    to the corpus (LSH already pruned), so below
+    ``small_graph_threshold`` pairs the exact union-find runs on the
+    driver — identical result, none of the per-round job overhead.
+    Larger graphs use iterative min-label joins (O(diameter) rounds,
+    one shuffle each, lineage cut per round); near-dup clusters are
+    near-cliques so this converges in 2-3 rounds. ``pairs``:
+    (doc_a, doc_b). Returns (doc_id, component) for every node
+    appearing in any pair."""
+    spark = pairs.sparkSession
+    n_pairs = pairs.limit(small_graph_threshold + 1).count()
+    if n_pairs <= small_graph_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.select("doc_a", "doc_b").collect():
+            a, b = int(r["doc_a"]), int(r["doc_b"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in sorted(parent)]
+        return spark.createDataFrame(rows, "doc_id BIGINT, component BIGINT")
+
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(

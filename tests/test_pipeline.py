@@ -87,9 +87,11 @@ class TestDedup:
             assert comp[i] == comp[i + 100000] == comp[i + 200000]
             assert comp[i] <= i
 
-    def test_connected_components_chain(self, spark):
+    @pytest.mark.parametrize("threshold", [100_000, 0])
+    def test_connected_components_chain(self, spark, threshold):
         """A path graph a-b-c-d collapses to one component (transitive
-        closure, not just direct pairs)."""
+        closure) — identically on the driver union-find path
+        (threshold=100k) and the distributed join path (threshold=0)."""
         from spark_clustering_spark.pipeline.dedup import connected_components
 
         pairs = spark.createDataFrame(
@@ -97,7 +99,9 @@ class TestDedup:
         )
         comp = {
             r["doc_id"]: r["component"]
-            for r in connected_components(pairs).collect()
+            for r in connected_components(
+                pairs, small_graph_threshold=threshold
+            ).collect()
         }
         assert comp[1] == comp[2] == comp[3] == comp[4] == 1
         assert comp[10] == comp[11] == 10
