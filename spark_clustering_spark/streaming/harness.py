@@ -84,6 +84,37 @@ def stream_tumbling_counts(
     )
 
 
+def stream_to_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> int:
+    """Real streaming sink: replayed events → watermarked tumbling
+    aggregation → append-mode parquet files with a checkpoint (the
+    exactly-once contract surface: re-running with the same checkpoint
+    must not duplicate output). Returns the number of rows written."""
+    replay = replay_dir(spark, sf_dir)
+    src = _read_stream(spark, replay)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).count()
+
+
 def stream_dedup(
     spark: SparkSession, sf_dir: str, watermark: str = "30 minutes"
 ) -> DataFrame:
