@@ -115,6 +115,83 @@ def lloyd_iteration(
     return out
 
 
+LLOYD_MULTI_SCHEMA = (
+    "run INT, cluster_id INT, n_points BIGINT, sum_dist DOUBLE, "
+    "sum_sq DOUBLE, sum_vec ARRAY<DOUBLE>"
+)
+
+
+def lloyd_iteration_multi(
+    points: DataFrame, centers_stack: dict[int, np.ndarray]
+) -> dict[int, list[dict]]:
+    """Lloyd iteration for SEVERAL independent restarts in ONE pass:
+    the kernel assigns each partition's block against every run's
+    centroid set (R small GEMMs) and emits R·k partial-stat rows per
+    partition — multi-restart costs one job per iteration instead of
+    one per (run, iteration). Results are identical to running each
+    restart alone (per-run math is independent).
+
+    ``centers_stack``: {run_id: (k, d) ndarray}. Returns
+    {run_id: [stats dicts as in lloyd_iteration]}."""
+    spark = points.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {int(r): np.asarray(c, dtype=np.float64) for r, c in centers_stack.items()}
+    )
+    d = next(iter(centers_stack.values())).shape[1]
+
+    def kernel(batches) -> Iterator:
+        import pandas as pd
+
+        stacks = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["vec"]), dtype=np.float64)
+            out = {
+                "run": [], "cluster_id": [], "n_points": [],
+                "sum_dist": [], "sum_sq": [], "sum_vec": [],
+            }
+            for run, C in stacks.items():
+                D = _dist_matrix(V, C)
+                lab = D.argmin(axis=1)
+                md = D[np.arange(len(V)), lab]
+                for c in range(C.shape[0]):
+                    m = lab == c
+                    n = int(m.sum())
+                    if not n:
+                        continue
+                    out["run"].append(run)
+                    out["cluster_id"].append(c)
+                    out["n_points"].append(n)
+                    out["sum_dist"].append(float(md[m].sum()))
+                    out["sum_sq"].append(float((md[m] * md[m]).sum()))
+                    out["sum_vec"].append(V[m].sum(axis=0).tolist())
+            yield pd.DataFrame(out)
+
+    partial = points.mapInPandas(kernel, LLOYD_MULTI_SCHEMA)
+    final = partial.groupBy("run", "cluster_id").agg(
+        F.sum("n_points").alias("n"),
+        F.sum("sum_dist").alias("sum_dist"),
+        F.sum("sum_sq").alias("sum_sq"),
+        F.array(
+            *[F.sum(F.element_at("sum_vec", i + 1)).alias(f"s{i}") for i in range(d)]
+        ).alias("sum_vec"),
+    )
+    out: dict[int, list[dict]] = {int(r): [] for r in centers_stack}
+    for row in final.collect():
+        n = int(row["n"])
+        out[int(row["run"])].append(
+            {
+                "cluster_id": int(row["cluster_id"]),
+                "n_points": n,
+                "sum_dist": float(row["sum_dist"]),
+                "sum_sq": float(row["sum_sq"]),
+                "mean": [s / n for s in row["sum_vec"]],
+            }
+        )
+    return out
+
+
 PARTICLE_OBJ_SCHEMA = "pid INT, partial_obj DOUBLE"
 
 

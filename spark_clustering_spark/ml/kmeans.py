@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_clustering_spark.functions.rng import lcg_uniform
-from spark_clustering_spark.ml.kernels import lloyd_iteration
+from spark_clustering_spark.ml.kernels import lloyd_iteration_multi
 from spark_clustering_spark.operators.clustering import assign
 
 METRICS_SCHEMA = (
@@ -91,42 +91,62 @@ def fit_kmeans(
     points = points.persist()
     points.count()  # materialize once; every iteration reuses the cache
 
-    best_obj = float("inf")
-    best_centers: list | None = None
-    metrics_rows: list[tuple] = []
-    history: list[dict] = []
+    import numpy as np
 
-    for run in range(num_run):
-        centers = [[i, vec] for i, (_, vec) in enumerate(_init_centroids(points, k, seed, run))]
-        prev_obj = None
-        for it in range(num_iter):
-            t0 = time.time()
-            # ONE narrow kernel pass + k-row combine per iteration
-            # (ml/kernels.py): assignment + partial stats map-side, no
-            # data-sized shuffle.
-            import numpy as np
+    # ---- lockstep multi-restart (R21): every iteration evaluates ALL
+    # still-active runs in ONE kernel pass (ml/kernels.py
+    # lloyd_iteration_multi) — per-run math is independent, so results
+    # are identical to sequential restarts with 1/num_run of the jobs.
+    run_centers: dict[int, list] = {
+        run: [
+            [i, vec]
+            for i, (_, vec) in enumerate(_init_centroids(points, k, seed, run))
+        ]
+        for run in range(num_run)
+    }
+    active = set(run_centers)
+    prev_objs: dict[int, float] = {}
+    # per-(run, iter): objective, squared objective, empties, ms,
+    # pre-update centers — best-tracking is post-processed in the
+    # sequential (run-major) order the reference uses
+    cell: dict[tuple[int, int], dict] = {}
 
-            stats = lloyd_iteration(
-                points, np.array([vec for _, vec in centers], dtype=np.float64)
-            )
-            got = {s["cluster_id"]: s for s in stats}
-            obj = float(sum(s["sum_dist"] for s in stats))  # Q4/Q7: pre-update dists
-            obj_sq = float(sum(s["sum_sq"] for s in stats))  # true-Lloyd objective
-            # Q1: correct empty-cluster reseed — absent cids get a fresh
-            # deterministic point (next-lowest LCG draws not already used)
-            empty = [cid for cid, _ in enumerate(centers) if cid not in got]
-            if empty:
-                fresh = (
-                    points.withColumn(
-                        "u", lcg_uniform("vec_id", (seed or 0) + 7000 + it)
-                    )
-                    .orderBy("u", "vec_id")
-                    .limit(len(empty))
-                    .collect()
-                )
-                reseed = {cid: list(r["vec"]) for cid, r in zip(empty, fresh)}
-            else:
-                reseed = {}
+    for it in range(num_iter):
+        if not active:
+            break
+        t0 = time.time()
+        stacks = {
+            run: np.array([vec for _, vec in run_centers[run]], dtype=np.float64)
+            for run in sorted(active)
+        }
+        stats_by_run = lloyd_iteration_multi(points, stacks)
+        iter_ms = int((time.time() - t0) * 1000)
+        all_empty: dict[int, list[int]] = {}
+        for run in sorted(active):
+            got = {s["cluster_id"]: s for s in stats_by_run[run]}
+            all_empty[run] = [
+                cid for cid, _ in enumerate(run_centers[run]) if cid not in got
+            ]
+        # Q1: correct empty-cluster reseed — absent cids get fresh
+        # deterministic points (one small draw shared per iteration)
+        n_needed = max((len(v) for v in all_empty.values()), default=0)
+        fresh_rows = (
+            points.withColumn("u", lcg_uniform("vec_id", (seed or 0) + 7000 + it))
+            .orderBy("u", "vec_id")
+            .limit(n_needed)
+            .collect()
+            if n_needed
+            else []
+        )
+        for run in sorted(active):
+            got = {s["cluster_id"]: s for s in stats_by_run[run]}
+            centers = run_centers[run]
+            obj = float(sum(s["sum_dist"] for s in stats_by_run[run]))  # Q4/Q7
+            obj_sq = float(sum(s["sum_sq"] for s in stats_by_run[run]))
+            reseed = {
+                cid: list(r["vec"])
+                for cid, r in zip(all_empty[run], fresh_rows)
+            }
             new_centers = []
             for cid, old_vec in centers:
                 if cid in got:
@@ -135,27 +155,51 @@ def fit_kmeans(
                     new_centers.append([cid, reseed[cid]])
                 else:  # Q9 guard: keep stale centroid rather than NaN
                     new_centers.append([cid, old_vec])
-            if obj < best_obj:
+            cell[(run, it)] = {
+                "objective": obj,
+                "objective_sq": obj_sq,
+                "n_empty": len(all_empty[run]),
+                "iter_ms": iter_ms,
+                "pre_centers": [list(c) for c in centers],
+            }
+            run_centers[run] = new_centers
+            prev = prev_objs.get(run)
+            if prev is not None and tol > 0 and abs(prev - obj) < tol:
+                active.discard(run)
+            prev_objs[run] = obj
+
+    # ---- best tracking (R7/R21) in the reference's run-major order
+    best_obj = float("inf")
+    best_centers: list | None = None
+    metrics_rows: list[tuple] = []
+    history: list[dict] = []
+    for run in range(num_run):
+        for it in range(num_iter):
+            c = cell.get((run, it))
+            if c is None:
+                continue
+            if c["objective"] < best_obj:
                 # Q7: obj was measured against the PRE-update centers
-                best_obj, best_centers = obj, [list(c) for c in centers]
+                best_obj, best_centers = c["objective"], c["pre_centers"]
             metrics_rows.append(
                 (
                     run,
                     it,
-                    round(obj, 4),
-                    round(obj_sq, 4),
+                    round(c["objective"], 4),
+                    round(c["objective_sq"], 4),
                     round(best_obj, 4),
-                    len(empty),
-                    int((time.time() - t0) * 1000),
+                    c["n_empty"],
+                    c["iter_ms"],
                 )
             )
             history.append(
-                {"run": run, "iter": it, "objective": obj, "objective_sq": obj_sq}
+                {
+                    "run": run,
+                    "iter": it,
+                    "objective": c["objective"],
+                    "objective_sq": c["objective_sq"],
+                }
             )
-            centers = new_centers
-            if prev_obj is not None and tol > 0 and abs(prev_obj - obj) < tol:
-                break
-            prev_obj = obj
 
     final_cdf = _centroids_df(spark, best_centers)
     assignments = assign(points, final_cdf).select("vec_id", "cluster_id", "dist")
