@@ -1,0 +1,105 @@
+"""Deterministic sampling / splitting — training-data pipeline staples.
+
+Spark's sample()/sampleBy() draw from engine-internal RNG streams
+(seed-stable but not portable); these operators use the shared integer
+LCG (functions/rng.py) so the selection is reproducible in ANY engine —
+the property that makes a 100 TB corpus split auditable: membership of
+every row is a pure function of its key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_clustering_spark.functions.rng import lcg_uniform, sql_lcg_uniform
+from spark_clustering_spark.io import table
+from spark_clustering_spark.registry import query
+
+_FRACTIONS = {"en": 0.5, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 1.0}
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, lang, {sql_lcg_uniform('doc_id', seed=11)} AS u
+      FROM documents
+    )
+    SELECT doc_id, lang FROM tagged
+    WHERE u < CASE lang
+        WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.8 WHEN 'es' THEN 0.8
+        WHEN 'fr' THEN 0.8 WHEN 'zh' THEN 1.0 ELSE 0.0 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified downsampling (e.g. rebalance an
+    English-heavy corpus): keep a row iff its key-derived uniform falls
+    under the stratum's fraction. Pure projection+filter — no shuffle,
+    pushdown-eligible, trivially parallel at any scale."""
+    d = table(spark, sf_dir, "documents")
+    frac = F.create_map(
+        *[x for k, v in _FRACTIONS.items() for x in (F.lit(k), F.lit(v))]
+    )
+    return d.withColumn("u", lcg_uniform("doc_id", seed=11)).filter(
+        F.col("u") < F.coalesce(frac[F.col("lang")], F.lit(0.0))
+    ).select("doc_id", "lang")
+
+
+@query(
+    "q_split_train_test",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, {sql_lcg_uniform('doc_id', seed=23)} AS u
+      FROM documents
+    )
+    SELECT CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM tagged GROUP BY 1
+    """,
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split keyed on doc_id —
+    any engine (or a later rerun over a grown corpus) assigns every
+    existing document to the same split."""
+    d = table(spark, sf_dir, "documents")
+    u = lcg_uniform("doc_id", seed=23)
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "valid").otherwise("test")
+    )
+    return d.select("doc_id", split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
+    "q_text_clean",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS clean_text,
+           length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                      ' +', ' ', 'g')))::BIGINT AS clean_len
+    FROM documents
+    """,
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for training corpora: lowercase, strip
+    non-alphanumerics, collapse whitespace — all JVM-side regexp ops."""
+    d = table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+    )
