@@ -21,9 +21,9 @@ from spark_clustering_spark.registry import query
     "q_window_rank",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           row_number() OVER w AS rn,
-           rank() OVER w AS rnk,
-           dense_rank() OVER w AS drnk
+           row_number() OVER w ::INT AS rn,
+           rank() OVER w ::INT AS rnk,
+           dense_rank() OVER w ::INT AS drnk
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     """,
@@ -127,7 +127,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_ntile",
     oracle="""
     SELECT c_custkey,
-           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) ::INT AS quartile
     FROM customer
     """,
 )
@@ -161,7 +161,7 @@ def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_topk_per_group",
     oracle="""
-    SELECT p_brand, p_partkey, p_size, rn FROM (
+    SELECT p_brand, p_partkey, p_size, rn::INT AS rn FROM (
       SELECT p_brand, p_partkey, p_size,
              row_number() OVER (PARTITION BY p_brand
                                 ORDER BY p_size DESC, p_partkey) AS rn

@@ -57,7 +57,8 @@ TOP_K = 10
       JOIN norms nb ON nb.vec_id = d.cand_id
     )
     SELECT probe_id, cand_id,
-           cast(round(cast(cast((cos) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cos, rn FROM (
+           cast(round(cast(cast((cos) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cos,
+           rn::INT AS rn FROM (
       SELECT probe_id, cand_id, cos,
              row_number() OVER (PARTITION BY probe_id
                                 ORDER BY cos DESC, cand_id) AS rn
@@ -199,7 +200,7 @@ IVF_NPROBE = 4   # lists searched per probe
     )
     SELECT probe_id, cand_id,
            cast(round(cast(cast((cos) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cos,
-           rn
+           rn::INT AS rn
     FROM (
       SELECT probe_id, cand_id, cos,
              row_number() OVER (PARTITION BY probe_id

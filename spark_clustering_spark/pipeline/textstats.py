@@ -226,7 +226,7 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE tok <> ''
     )
     SELECT doc_id,
-           sum(i * ascii(tok) + length(tok) * 31) % 2147483647 AS fingerprint
+           (sum(i * ascii(tok) + length(tok) * 31) % 2147483647)::BIGINT AS fingerprint
     FROM toks GROUP BY doc_id
     """,
 )
