@@ -40,6 +40,7 @@ def load_all_queries() -> None:
         clustering,
         filters,
         joins,
+        olap,
         scalars,
         scans,
         setops,
