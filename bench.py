@@ -1,8 +1,12 @@
 """Benchmark harness — times every declared query at the bench scale.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (kept small so log tail windows never
+truncate it mid-object):
   {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {5 slowest: sec}, "sf": 0.1, "n_queries": N,
+   "detail": "BENCH_DETAIL.json"}
+The full per-query timing map goes to BENCH_DETAIL.json next to this
+script.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
@@ -51,7 +55,8 @@ def main() -> None:
             print(f"# bench error {name}: {ex}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
+    detail_path = _REPO / "BENCH_DETAIL.json"
+    detail_path.write_text(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
@@ -59,7 +64,25 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            indent=1,
+            sort_keys=True,
+        )
+    )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "sf": sf,
+                "n_queries": len(timings),
+                "errors": sorted(n for n, t in timings.items() if t < 0),
+                "detail": detail_path.name,
+            },
+            separators=(",", ":"),
         )
     )
 

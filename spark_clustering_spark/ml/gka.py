@@ -91,12 +91,19 @@ def _gen_stats_and_picks(
     """ONE window pass over the assignment table returning both the
     per-member objectives (R13, exact decimal window sum) and the
     roulette-picked mutation gene per mutating member (R12: weight
-    w = Cm·max(d) − d, normalized CDF ordered by vec_id, gene = first
-    row with CDF ≥ u2). Only ≤ 2P rows are collected — fusing fitness
-    into the pick job saves a full aggregate job per generation."""
+    w = Cm·max(d) − d, running cum normalized by the TOTAL — i.e. the
+    last running-cum value — and the pick is the FIRST row in vec_id
+    order whose interval [lo, hi) contains u2, mirroring the
+    reference's scan-and-break (gka.java:207-236)). With Cm < 1 the
+    weights of far points are negative, so the cum is non-monotone:
+    several intervals can contain u2 (first one wins) or none can (no
+    mutation for that member — the reference's index = -1 path). Only
+    ≤ 2P + a few rows are collected — fusing fitness into the pick job
+    saves a full aggregate job per generation."""
     w_all = Window.partitionBy("member_id")
     w_ord = Window.partitionBy("member_id").orderBy("vec_id")
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     u2_col = (
         F.create_map(*[x for m in mutating for x in (F.lit(int(m)), F.lit(u2[m]))])[
             F.col("member_id")
@@ -111,13 +118,15 @@ def _gen_stats_and_picks(
         .withColumn("w", F.lit(cm) * F.max("dist").over(w_all) - F.col("dist"))
         .withColumn("cum", F.sum("w").over(w_run))
     )
-    ann = ann.withColumn("hi", F.col("cum") / F.max("cum").over(w_all))
+    # normalize by the total (last running cum) — NOT max(cum): with
+    # negative weights max ≠ total and the wheel's last value must be 1
+    ann = ann.withColumn("hi", F.col("cum") / F.last("cum").over(w_full))
     ann = ann.withColumn(
         "lo", F.coalesce(F.lag("hi").over(w_ord), F.lit(0.0))
     )
     is_first = F.row_number().over(w_ord) == 1
     is_pick = (
-        u2_col.isNotNull() & (u2_col > F.col("lo")) & (u2_col <= F.col("hi"))
+        u2_col.isNotNull() & (u2_col >= F.col("lo")) & (u2_col < F.col("hi"))
     )
     rows = (
         ann.withColumn("is_first", is_first)
@@ -127,7 +136,15 @@ def _gen_stats_and_picks(
         .collect()
     )
     objs = {int(r["member_id"]): float(r["obj"]) for r in rows if r["is_first"]}
-    genes = [r.asDict() for r in rows if r["is_pick"]]
+    # scan-and-break: keep only the first qualifying gene per member
+    first_gene: dict[int, dict] = {}
+    for r in rows:
+        if r["is_pick"]:
+            m = int(r["member_id"])
+            if m not in first_gene or r["vec_id"] < first_gene[m]["vec_id"]:
+                first_gene[m] = r.asDict()
+    genes = [first_gene[m] for m in sorted(first_gene)]
+    assert len(genes) == len(first_gene), "at most one gene per mutating member"
     return objs, genes
 
 
@@ -241,6 +258,12 @@ def fit_gka(
             .select("member_id", "vec_id", "label")
         )
 
+    # release cached blocks (ADVICE: long sessions run many fits); the
+    # returned labels DF stays valid — it recomputes from parquet +
+    # broadcast centers if consumed after this point
+    points.unpersist()
+    if prev_assigned is not None:
+        prev_assigned.unpersist()
     metrics = spark.createDataFrame(metrics_rows, GKA_METRICS_SCHEMA)
     return GKAResult(
         best_member=best_member,

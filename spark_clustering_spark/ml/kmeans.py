@@ -203,6 +203,9 @@ def fit_kmeans(
 
     final_cdf = _centroids_df(spark, best_centers)
     assignments = assign(points, final_cdf).select("vec_id", "cluster_id", "dist")
+    # drop the cache (long sessions run many fits); assignments stays
+    # valid — it recomputes from the source if consumed later
+    points.unpersist()
     metrics = spark.createDataFrame(metrics_rows, METRICS_SCHEMA)
     return KMeansResult(
         centroids=[(cid, vec) for cid, vec in best_centers],

@@ -127,6 +127,7 @@ def fit_pso(
         metrics_rows.append((it, round(gbest_obj, 4), int((time.time() - t0) * 1000)))
         history.append({"iter": it, "objs": obj.tolist(), "gbest": gbest_obj})
 
+    points.unpersist()
     metrics = spark.createDataFrame(metrics_rows, PSO_METRICS_SCHEMA)
     return PSOResult(
         gbest=gbest, best_objective=gbest_obj, metrics=metrics, history=history

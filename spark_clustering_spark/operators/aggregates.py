@@ -141,7 +141,7 @@ def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
                cast(grouping(o_orderpriority) AS INT)
                  + 2 * cast(grouping(o_orderstatus) AS INT) AS gid,
                count(*) AS n_orders,
-               round(cast(sum(cast(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+               cast(round(sum(cast(o_totalprice AS DECIMAL(38,8))), 4) AS DOUBLE)
                  AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())

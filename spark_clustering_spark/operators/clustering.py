@@ -233,7 +233,9 @@ def q_sse_objective(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two unrolled Lloyd iterations from deterministic init — the
     composition check for assign→update→assign→update (R4+R5+R11)."""
-    pts = points_df(spark, sf_dir).persist()
+    # localCheckpoint (not persist): reused by both assign passes inside
+    # the query, and the blocks are GC-released when the DF goes away
+    pts = points_df(spark, sf_dir).localCheckpoint(eager=False)
     c0 = centroids_df(spark, sf_dir)
     c1 = update_centroids(assign(pts, c0)).select("cid", "cvec")
     u2 = update_centroids(assign(pts, c1))
@@ -367,18 +369,25 @@ def q_roulette_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cluster_id, vec_id,
            cast(round(cast(cast((w) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS w,
-           cast(round(cast(cast((cum / (max(cum) OVER (PARTITION BY cluster_id))) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cdf
+           cast(round(cast(cast((cum / (last_value(cum) OVER (PARTITION BY cluster_id ORDER BY vec_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cdf
     FROM cums
     """,
 )
 def q_mutation_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R12: GKA mutation wheel — weight = Cm·max(d) − d within each
     cluster (Cm=0.9 per the reference README defaults), plus the
-    normalized per-cluster CDF."""
+    per-cluster CDF normalized by the TOTAL (last running cum, matching
+    gka.java:207-215 — with Cm<1 some weights are negative, so max(cum)
+    ≠ total and only the last-cum normalization makes the wheel end at
+    1). last_value over an explicit ORDER BY frame keeps the float
+    accumulation order identical in both engines."""
     a = assign(points_df(spark, sf_dir), centroids_df(spark, sf_dir))
     w_max = Window.partitionBy("cluster_id")
-    w_run = Window.partitionBy("cluster_id").orderBy("vec_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w_ord = Window.partitionBy("cluster_id").orderBy("vec_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     wt = a.select(
         "cluster_id",
@@ -390,5 +399,5 @@ def q_mutation_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         "vec_id",
         dround("w").alias("w"),
-        dround(F.col("cum") / F.max("cum").over(w_max)).alias("cdf"),
+        dround(F.col("cum") / F.last("cum").over(w_full)).alias("cdf"),
     )

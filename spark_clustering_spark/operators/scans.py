@@ -43,10 +43,22 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_scan_csv_infer")  # rows-only: CSV fixture lives outside the oracle views
 def q_scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Headerless numeric CSV -> (id, features array<double>), width
-    inferred from the file (reference R1 semantics; ragged input is an
-    error per SURVEY.md Q10)."""
-    return read_numeric_csv(spark, os.path.join(FIXTURE_DIR, "csv_tiny.csv"))
+    """Headerless numeric CSV ingest, width inferred from the file
+    (reference R1 semantics; ragged input is an error per SURVEY.md Q10).
+
+    Output is ``(id, width, features_csv)`` — the features array is
+    rendered as a fixed-precision comma-joined string so every output
+    column is scalar/hashable (the driver's canonicalizer sorts rows
+    with pandas, which cannot hash list cells).
+    """
+    df = read_numeric_csv(spark, os.path.join(FIXTURE_DIR, "csv_tiny.csv"))
+    return df.select(
+        "id",
+        F.size("features").alias("width"),
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.4f", x))
+        ).alias("features_csv"),
+    )
 
 
 @query("q_sink_metrics")  # rows-only: exercises a write path, not SQL-comparable

@@ -140,6 +140,91 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
 
 
+def ntile_scalable(
+    df: DataFrame,
+    order_cols: list[str],
+    n_tiles: int,
+    num_partitions: int | None = None,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact global ntile without the single-partition sort.
+
+    ``Window.orderBy`` with no PARTITION BY forces every row through one
+    reducer — the classic scale-killer. Instead:
+
+    1. ``repartitionByRange`` on the (total-ordering) sort key: a range
+       shuffle into ``num_partitions`` sorted slices. ``order_cols``
+       must be a total order (include a unique tiebreaker) so slice
+       boundaries are unambiguous.
+    2. One small job collects per-slice row counts (``num_partitions``
+       rows — the k·partitions small-state pattern, same as centroid
+       collection) to compute each slice's global rank offset.
+    3. A per-slice window computes local row_number; global rank =
+       slice offset + local rank; the exact ntile bucket formula (first
+       ``total % n`` buckets get one extra row) maps rank → tile.
+
+    The eager localCheckpoint pins the range shuffle so the count job
+    and the rank job see identical slice boundaries.
+    """
+    if num_partitions is None:
+        num_partitions = max(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")), 2
+        )
+    d = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    base, rem = divmod(total, n_tiles)
+    off_col = F.coalesce(
+        F.create_map(
+            *[x for p, o in offsets.items() for x in (F.lit(p), F.lit(o))]
+        )[F.col("_pid")],
+        F.lit(0),
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    rank = (off_col + F.row_number().over(w)).cast("bigint")
+    if base == 0:  # more tiles than rows: ntile degenerates to rank
+        tile = rank
+    else:
+        cut = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+        tile = (
+            F.when(rank <= cut, F.floor((rank - 1) / (base + 1)))
+            .otherwise(rem + F.floor((rank - 1 - cut) / base))
+            + 1
+        )
+    return d.withColumn(out_col, tile.cast("int")).drop("_pid")
+
+
+@query(
+    "q_window_ntile_scalable",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) ::INT AS quartile
+    FROM customer
+    """,
+)
+def q_window_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact quartiles as ``q_window_ntile``, produced by the
+    scale path (range repartition + per-slice offsets) — the oracle is
+    identical, so the driver hash-verifies the two variants agree."""
+    c = table(spark, sf_dir, "customer")
+    t = ntile_scalable(
+        c, ["c_acctbal", "c_custkey"], n_tiles=4, out_col="quartile"
+    )
+    return t.select("c_custkey", "quartile")
+
+
 @query(
     "q_topk_global",
     oracle=f"""

@@ -49,14 +49,19 @@ def _coeffs(seed: int = 42) -> list[tuple[int, int]]:
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Docs with fewer than ``n`` tokens emit no shingles (matching the SQL
+    oracle, which generates an empty gram list for them — without the
+    guard the sequence() lower bound would emit one partial shingle)."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return (
-        df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        df.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
 
@@ -85,10 +90,13 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Banding: docs sharing any band of 4 consecutive minhashes become
     candidate pairs. Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
 
-    The signature table is persisted before the self-join — without it
-    both join sides would recompute the whole shingle→hash→min pipeline
-    (signatures are 16 longs/doc, so the cache is tiny)."""
-    sig = sig.persist()
+    The signature table is materialized (localCheckpoint) before the
+    self-join — without it both join sides would recompute the whole
+    shingle→hash→min pipeline (signatures are 16 longs/doc, so the
+    blocks are tiny). localCheckpoint rather than persist(): checkpoint
+    blocks are released by the ContextCleaner when the DF is GC'd, so a
+    long session running many queries doesn't accumulate cached blocks."""
+    sig = sig.localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -244,6 +252,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "component", F.col("doc_id")
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -274,8 +283,20 @@ def connected_components(
         )
         labels = new_labels
         if not changed:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Component chains with diameter > max_iter would silently come
+        # back split; make that loud instead.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: min-label propagation did not reach a "
+            f"fixpoint within max_iter={max_iter}; labels may be split",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -295,7 +316,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH docs AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
-      FROM documents WHERE doc_id < 60
+      FROM documents WHERE doc_id < 200
     ),
     grams AS (
       SELECT doc_id,
@@ -314,14 +335,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE cast(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.1
+    WHERE cast(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.01
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity on a bounded doc slice — the
     verification stage behind MinHash candidates (integer set math, so
-    fully SQL-oracle-checkable)."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    fully SQL-oracle-checkable). Slice/threshold chosen so the check
+    produces a few hundred pairs at the driver's sf0.01 gate scale
+    (doc_id < 60 @ 0.1 matched zero rows there — a vacuous pass)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     g = shingles(d)
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = g.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -338,8 +361,83 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.1)
+        .filter(jac >= 0.01)
         .select("doc_a", "doc_b", dround(jac).alias("jaccard"))
+    )
+
+
+def embedding_near_dup_pairs(
+    e: DataFrame, threshold: float = 0.99, n_blocks: int = 8
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ ``threshold`` via blocked GEMM.
+
+    Both sides are hash-partitioned into ``n_blocks`` row blocks
+    (``vec_id % n_blocks``); each of the B·(B+1)/2 unordered block pairs
+    is cogrouped into one Arrow task that multiplies the two normalized
+    blocks (BLAS dgemm) and emits only pairs above threshold. Nothing is
+    collected on the driver and no full-table broadcast exists: shuffle
+    volume is n·B rows per side and each task holds two n/B-row blocks —
+    pick n_blocks so a block fits executor memory at the target SF. The
+    per-pair dot product is the same float64 BLAS reduction regardless
+    of blocking, so results are bit-identical to a dense matmul.
+
+    ``e``: (vec_id bigint, vec array<double>). Returns
+    (a_id, b_id, cos_raw) with a_id < b_id, cos_raw unrounded.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    meta = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ba INT, bb INT",
+    )
+    def replicate(side: str, key: str) -> DataFrame:
+        # alias both inputs so the two derivations of the same e/meta
+        # DataFrames don't trip the ambiguous-self-join analyzer check
+        ee, mm = e.alias(f"e_{side}"), meta.alias(f"m_{side}")
+        blk = F.pmod(F.col(f"e_{side}.vec_id"), F.lit(n_blocks)).cast("int")
+        return ee.join(F.broadcast(mm), blk == F.col(f"m_{side}.{key}")).select(
+            F.col(f"m_{side}.ba").alias("ba"),
+            F.col(f"m_{side}.bb").alias("bb"),
+            F.col(f"e_{side}.vec_id").alias("vec_id"),
+            F.col(f"e_{side}.vec").alias("vec"),
+        )
+
+    left = replicate("l", "ba")
+    right = replicate("r", "bb")
+
+    def gemm(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cos_raw": []})
+        if not len(l) or not len(r):
+            return empty
+        ids_a = l["vec_id"].to_numpy(dtype=np.int64)
+        ids_b = r["vec_id"].to_numpy(dtype=np.int64)
+        A = np.array(list(l["vec"]), dtype=np.float64)
+        B = np.array(list(r["vec"]), dtype=np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        S = A @ B.T  # BLAS block matmul
+        # each unordered block pair is processed exactly once, so emit
+        # each vector pair canonically as (min, max); within a diagonal
+        # block the `<` mask alone prevents the mirrored duplicate
+        mask = (S >= threshold) & (ids_a[:, None] != ids_b[None, :])
+        if int(l["ba"].iat[0]) == int(l["bb"].iat[0]):
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ai, bi = np.nonzero(mask)
+        xa, xb = ids_a[ai], ids_b[bi]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(xa, xb),
+                "b_id": np.maximum(xa, xb),
+                "cos_raw": S[ai, bi],
+            }
+        )
+
+    return (
+        left.groupby("ba", "bb")
+        .cogroup(right.groupby("ba", "bb"))
+        .applyInPandas(gemm, "a_id bigint, b_id bigint, cos_raw double")
     )
 
 
@@ -352,53 +450,31 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            cast(round(cast(cast((list_cosine_similarity(a.vec, b.vec)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cos
     FROM ve a JOIN ve b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.vec, b.vec) >= 0.99
+    WHERE list_cosine_similarity(a.vec, b.vec) >= 0.45
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.99).
+    """Embedding-cosine near-duplicate pairs.
+
+    Production near-dup uses a ~0.9+ threshold; the synthetic
+    embeddings are i.i.d. random (max pairwise cos ≈ 0.51), so the
+    declared query uses 0.45 — 14 pairs at sf0.01, a few hundred at
+    sf0.1, with a ≥1e-4 gap around the cut so the float filter can't
+    flap between engines — to keep the oracle check non-vacuous.
 
     Dense all-pairs cosine is a matrix multiply — the one place where
     Spark's array HOFs (interpreted, not codegen'd) lose badly to an
-    Arrow-batched Pandas path: each partition's block of normalized
-    vectors is multiplied (BLAS dgemm) against the broadcast normalized
-    matrix of the small side, emitting only pairs above threshold. The
-    small side here is the whole table (fits executors easily at this
-    SF); at 100 TB the broadcast side becomes LSH buckets
-    (pipeline/similarity.py::cosine_lsh_buckets) and the same block
-    kernel runs per bucket."""
-    import numpy as np
-
+    Arrow-batched Pandas path. The engine path is
+    ``embedding_near_dup_pairs``: blocked cogroup GEMM with no driver
+    collect and no full-table broadcast, so the same plan survives a
+    100 TB table (n_blocks scales the per-task block size). For even
+    larger n where exact all-pairs is off the table, LSH bucketing
+    (pipeline/similarity.py::cosine_lsh_buckets) bounds the candidate
+    set and the same GEMM kernel runs per bucket."""
     from spark_clustering_spark.functions.distance import as_double_array
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("vec")
     )
-    rows = e.collect()  # broadcast side: n×d doubles (2000×64 ≈ 1 MB at sf0.1)
-    all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.array([r["vec"] for r in rows], dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((all_ids, M))
-
-    def block_pairs(batches):
-        import pandas as pd
-
-        ids_all, mat = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            V = np.array(list(pdf["vec"]), dtype=np.float64)
-            V /= np.linalg.norm(V, axis=1, keepdims=True)
-            S = V @ mat.T  # BLAS block matmul
-            ai, bi = np.nonzero((S >= 0.99) & (ids[:, None] < ids_all[None, :]))
-            yield pd.DataFrame(
-                {
-                    "a_id": ids[ai],
-                    "b_id": ids_all[bi],
-                    "cos_raw": S[ai, bi],
-                }
-            )
-
-    pairs = e.mapInPandas(block_pairs, "a_id bigint, b_id bigint, cos_raw double")
+    pairs = embedding_near_dup_pairs(e, threshold=0.45, n_blocks=8)
     return pairs.select("a_id", "b_id", dround("cos_raw").alias("cos"))

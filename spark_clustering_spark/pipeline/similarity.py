@@ -81,8 +81,12 @@ def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), "pos", F.col("v").alias("va")
     )
     b = unn.select(F.col("vec_id").alias("cand_id"), "pos", F.col("v").alias("vb"))
+    # broadcast the probe side: `pos` has only d distinct values, so a
+    # shuffled join on it would put 1/d of the candidate table on a
+    # single reducer at scale. The probe side is N_PROBES·d rows —
+    # broadcast-hash it and the candidate side streams with no shuffle.
     dots = (
-        a.join(b, "pos")
+        F.broadcast(a).join(b, "pos")
         .filter(F.col("cand_id") != F.col("probe_id"))
         .groupBy("probe_id", "cand_id")
         .agg(F.sum((F.col("va") * F.col("vb")).cast(DEC)).cast("double").alias("dot"))

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 FIXTURE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "spark_clustering_spark",
@@ -58,6 +60,49 @@ def test_cli_pso_golden_trace(spark, tmp_path):
     vals, _ = _read_trace(out)
     for got, want in zip(vals, GOLDEN_PSO):
         assert abs(got - want) < 1e-2, (vals, GOLDEN_PSO)
+
+
+IRIS = "/root/reference/dataset/iris.txt"  # reference's own 150×4 dataset
+
+# seed=42 traces on the real reference dataset (reference run shape:
+# README.md:63 `spark-submit ... kmeans <csv> 10 3 <out> 1`); objective
+# is the unsquared distance sum (SURVEY.md Q4)
+GOLDEN_IRIS_KMEANS = [
+    208.4279, 128.5255, 111.4545, 101.061, 98.9757,
+    98.2778, 98.0678, 97.6344, 97.4504, 97.3272,
+]
+GOLDEN_IRIS_GKA = [248.5752, 105.7221, 98.9757, 98.2778, 98.0672]
+GOLDEN_IRIS_PSO = [198.6808, 198.4517, 196.4468, 195.3663, 194.8605]
+
+
+@pytest.mark.skipif(not os.path.exists(IRIS), reason="reference dataset absent")
+def test_cli_kmeans_iris_golden_trace(spark, tmp_path):
+    out = str(tmp_path / "iris_km.txt")
+    assert _run(["kmeans", IRIS, "10", "3", out, "1"]) == 0
+    vals, total = _read_trace(out)
+    assert total.endswith("ms")
+    for got, want in zip(vals, GOLDEN_IRIS_KMEANS):
+        assert abs(got - want) < 1e-2, (vals, GOLDEN_IRIS_KMEANS)
+
+
+@pytest.mark.skipif(not os.path.exists(IRIS), reason="reference dataset absent")
+def test_cli_gka_iris_golden_trace(spark, tmp_path):
+    out = str(tmp_path / "iris_gka.txt")
+    assert _run(["gka", IRIS, "5", "3", out, "1", "10", "0.6", "0.9"]) == 0
+    vals, _ = _read_trace(out)
+    for got, want in zip(vals, GOLDEN_IRIS_GKA):
+        assert abs(got - want) < 1e-2, (vals, GOLDEN_IRIS_GKA)
+
+
+@pytest.mark.skipif(not os.path.exists(IRIS), reason="reference dataset absent")
+def test_cli_pso_iris_golden_trace(spark, tmp_path):
+    out = str(tmp_path / "iris_pso.txt")
+    assert _run(
+        ["pso", IRIS, "5", "3", out, "1", "10", "2", "2", "0.9", "0.4"]
+    ) == 0
+    vals, _ = _read_trace(out)
+    for got, want in zip(vals, GOLDEN_IRIS_PSO):
+        assert abs(got - want) < 1e-2, (vals, GOLDEN_IRIS_PSO)
 
 
 def test_cli_reference_compat_flag(spark, tmp_path):
