@@ -55,17 +55,6 @@ class GKAResult:
     history: list[dict]
 
 
-def _py_euclidean(a: list[float], b: list[float]) -> float:
-    """Driver-side twin of the kernel distance (expanded dot-product
-    identity, ml/kernels.py::_dist_matrix) so the mutation patch uses
-    the same float formulation as the distributed assignment."""
-    import numpy as np
-
-    av, bv = np.asarray(a), np.asarray(b)
-    sq = float(av @ av) + float(bv @ bv) - 2.0 * float(av @ bv)
-    return math.sqrt(max(sq, 0.0))
-
-
 def _init_labels(
     spark: SparkSession, points: DataFrame, pop: int, k: int, seed: int
 ) -> DataFrame:
@@ -132,7 +121,10 @@ def _gen_stats_and_picks(
         ann.withColumn("is_first", is_first)
         .withColumn("is_pick", is_pick)
         .filter(F.col("is_first") | F.col("is_pick"))
-        .select("member_id", "vec_id", "label", "dist", "obj", "is_first", "is_pick")
+        .select(
+            "member_id", "vec_id", "label", "dist", "mdist", "obj",
+            "is_first", "is_pick",
+        )
         .collect()
     )
     objs = {int(r["member_id"]): float(r["obj"]) for r in rows if r["is_first"]}
@@ -180,38 +172,36 @@ def fit_gka(
         centers_map = gka_member_centers(labels, points, d)
         if prev_assigned is not None:
             prev_assigned.unpersist()
-        # persist (lazy) instead of an eager checkpoint: the 2-3
-        # downstream jobs this generation reuse the materialization the
-        # first one triggers, without paying a dedicated write job
-        assigned = gka_reassign(points, centers_map).persist()
-        prev_assigned = assigned
-
-        # ---- fused fitness + mutation pick (R12+R13): one job --------
+        # the mutation draws depend only on (member, gen, seed), so the
+        # target labels are known BEFORE reassignment — the kernel emits
+        # each point's distance to its member's target center (mdist)
+        # and the fit loop needs no separate gene-vector lookup job
         u1 = {m: py_lcg_uniform(m * 7919 + gen, seed + 1) for m in range(pop)}
         mutating = [m for m in range(pop) if u1[m] < pm]
         u2 = {m: py_lcg_uniform(m * 104729 + gen, seed + 2) for m in mutating}
         u3 = {m: py_lcg_uniform(m * 1299709 + gen, seed + 3) for m in mutating}
+        targets = {m: int(u3[m] * k) for m in mutating}
+        # persist (lazy) instead of an eager checkpoint: the 2-3
+        # downstream jobs this generation reuse the materialization the
+        # first one triggers, without paying a dedicated write job
+        assigned = gka_reassign(points, centers_map, targets).persist()
+        prev_assigned = assigned
+
+        # ---- fused fitness + mutation pick (R12+R13): one job --------
         objs, genes = _gen_stats_and_picks(assigned, mutating, u2, cm)
 
         patches: list[tuple[int, int, int, float]] = []
-        if genes:
-            gene_ids = sorted({g["vec_id"] for g in genes})
-            vecs = {
-                r["vec_id"]: list(r["vec"])
-                for r in points.filter(F.col("vec_id").isin(gene_ids)).collect()
-            }
-            for g in genes:
-                m = g["member_id"]
-                new_label = int(u3[m] * k)
-                ctr = centers_map.get(m, {}).get(new_label)
-                if ctr is not None:  # Q9 guard: missing center → keep old dist
-                    new_dist = _py_euclidean(vecs[g["vec_id"]], ctr)
-                else:
-                    new_dist = g["dist"]
-                patches.append((int(m), int(g["vec_id"]), new_label, float(new_dist)))
-                # patch the objective arithmetically (Q7: new distance is
-                # against the pre-mutation centroid) — no re-aggregation
-                objs[m] = objs[m] - g["dist"] + new_dist
+        for g in genes:
+            m = g["member_id"]
+            new_label = targets[m]
+            md = g["mdist"]
+            # Q9 guard: NaN mdist = target label has no center → keep
+            # the old distance (reference keeps the old contribution)
+            new_dist = g["dist"] if md is None or math.isnan(md) else md
+            patches.append((int(m), int(g["vec_id"]), new_label, float(new_dist)))
+            # patch the objective arithmetically (Q7: new distance is
+            # against the pre-mutation centroid) — no re-aggregation
+            objs[m] = objs[m] - g["dist"] + new_dist
         if patches:
             pdf = spark.createDataFrame(
                 patches, "p_m INT, p_v BIGINT, new_label INT, new_dist DOUBLE"

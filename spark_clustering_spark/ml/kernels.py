@@ -279,24 +279,40 @@ def gka_member_centers(
     return out
 
 
-GKA_ASSIGN_SCHEMA = "member_id INT, vec_id BIGINT, label INT, dist DOUBLE"
+GKA_ASSIGN_SCHEMA = (
+    "member_id INT, vec_id BIGINT, label INT, dist DOUBLE, mdist DOUBLE"
+)
 
 
-def gka_reassign(points: DataFrame, centers_by_member: dict[int, dict[int, list]]) -> DataFrame:
+def gka_reassign(
+    points: DataFrame,
+    centers_by_member: dict[int, dict[int, list]],
+    mutation_targets: dict[int, int] | None = None,
+) -> DataFrame:
     """KMO reassignment for every member in one narrow pass: per
     partition, one distance matrix per member against its own centers.
     ``centers_by_member``: {member_id: {cid: center_list}}. Returns the
-    (member, vec) assignment table (n·P rows — inherent to GKA)."""
+    (member, vec) assignment table (n·P rows — inherent to GKA).
+
+    ``mutation_targets`` ({member: label}, drawable before this job
+    because the mutation-target draw depends only on (member, gen,
+    seed)): for those members, ``mdist`` carries each point's distance
+    to the target label's center — a free column copy out of the
+    already-computed distance matrix that saves the fit loop a separate
+    gene-vector lookup job per generation. ``mdist`` is NaN when the
+    member has no target or the target label has no center (the Q9
+    missing-center guard: caller keeps the old distance)."""
     prepared = {
         m: (np.array(sorted(cs)), np.array([cs[c] for c in sorted(cs)], dtype=np.float64))
         for m, cs in centers_by_member.items()
     }
-    bc = points.sparkSession.sparkContext.broadcast(prepared)
+    targets = dict(mutation_targets or {})
+    bc = points.sparkSession.sparkContext.broadcast((prepared, targets))
 
     def kernel(batches) -> Iterator:
         import pandas as pd
 
-        prep = bc.value
+        prep, targ = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -306,6 +322,12 @@ def gka_reassign(points: DataFrame, centers_by_member: dict[int, dict[int, list]
             for m, (cids, C) in prep.items():
                 D = _dist_matrix(V, C)
                 idx = D.argmin(axis=1)
+                t = targ.get(m)
+                tpos = int(np.searchsorted(cids, t)) if t is not None else -1
+                if t is not None and tpos < len(cids) and cids[tpos] == t:
+                    mdist = D[:, tpos]
+                else:
+                    mdist = np.full(len(V), np.nan)
                 frames.append(
                     pd.DataFrame(
                         {
@@ -313,6 +335,7 @@ def gka_reassign(points: DataFrame, centers_by_member: dict[int, dict[int, list]
                             "vec_id": ids,
                             "label": cids[idx].astype(np.int32),
                             "dist": D[np.arange(len(V)), idx],
+                            "mdist": mdist,
                         }
                     )
                 )
