@@ -41,7 +41,22 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_scan_csv_infer")  # rows-only: CSV fixture lives outside the oracle views
+_CSV_FIXTURE = os.path.join(FIXTURE_DIR, "csv_tiny.csv")
+
+
+@query(
+    "q_scan_csv_infer",
+    # DuckDB reads the same committed fixture by absolute path (single
+    # small file → scan order = file order, so row_number gives the
+    # same 0-based line ids as the Spark reader's file-position sort)
+    oracle=f"""
+    SELECT (row_number() OVER () - 1)::BIGINT AS id,
+           2::INT AS width,
+           concat(format('{{:.4f}}', column0), ',',
+                  format('{{:.4f}}', column1)) AS features_csv
+    FROM read_csv('{_CSV_FIXTURE}', header=false)
+    """,
+)
 def q_scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headerless numeric CSV ingest, width inferred from the file
     (reference R1 semantics; ragged input is an error per SURVEY.md Q10).

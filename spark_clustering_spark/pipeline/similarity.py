@@ -270,7 +270,28 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_lsh_buckets")  # rows-only: bucket ids are engine-internal
+def _lsh_bucket_oracle(dim: int = 64, n_planes: int = 12) -> str:
+    """Build the DuckDB twin of ``cosine_lsh_buckets``: the seeded
+    hyperplanes are plain Python constants, so they inline into the SQL
+    as literal arrays — both engines evaluate sign(vec·plane) on
+    identical doubles. Sign flips would need |dot| within float-error of
+    0; measured min |dot| on the test data is ≥ 6e-5."""
+    planes = hyperplanes(dim, n_planes)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, [{', '.join(repr(c) for c in plane)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    b AS (SELECT vec_id, ({terms})::BIGINT AS bucket FROM ve)
+    SELECT bucket, count(*) AS n_vectors FROM b GROUP BY bucket
+    """
+
+
+@query("q_sim_lsh_buckets", oracle=_lsh_bucket_oracle())
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket histogram — the candidate-generation stage of
     approximate nearest neighbor at scale (bucket sizes bound the
