@@ -108,3 +108,26 @@ def test_dedup_exact_shuffles_digest_not_text(spark, qs):
     plan = formatted_plan(qs["q_dedup_exact"](spark, SF_SMALL))
     ex = plan[plan.index("Exchange"):]
     assert "text" not in ex.split("\n")[0]
+
+
+def test_ntile_scalable_has_no_single_partition_exchange(spark, qs):
+    """The scale-path ntile must not funnel data through one partition
+    (the exact variant does — that is why both exist)."""
+    plan = formatted_plan(qs["q_window_ntile_scalable"](spark, SF_SMALL))
+    assert "SinglePartition" not in plan, plan[:800]
+    exact = formatted_plan(qs["q_window_ntile"](spark, SF_SMALL))
+    assert "SinglePartition" in exact  # the contrast that motivates the variant
+
+
+def test_sim_topk_cosine_broadcasts_probe_side(spark, qs):
+    """The exploded pos-join must broadcast the tiny probe side — a
+    shuffled join on the d-valued pos key would skew at scale."""
+    plan = formatted_plan(qs["q_sim_topk_cosine"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_embedding_uses_blocked_cogroup_gemm(spark, qs):
+    """Embedding near-dup must run as the blocked cogroup GEMM (no
+    driver-side collect of the embedding table in the plan)."""
+    plan = formatted_plan(qs["q_dedup_embedding"](spark, SF_SMALL))
+    assert "FlatMapCoGroupsInPandas" in plan

@@ -30,6 +30,21 @@ NOTES = {
     "q_topk_global": (
         "TakeOrderedAndProject: per-partition top-k heaps, no global sort."
     ),
+    "q_window_ntile_scalable": (
+        "exact global ntile with NO single-partition Exchange: range "
+        "repartition into sorted slices, per-slice window, slice offsets "
+        "from a tiny count job."
+    ),
+    "q_sim_topk_cosine": (
+        "the probe side (N_PROBES·d rows) is BroadcastExchange'd, so the "
+        "n·d candidate side streams through the pos-join without a "
+        "shuffle keyed on the d-valued pos column."
+    ),
+    "q_dedup_embedding": (
+        "blocked all-pairs GEMM: FlatMapCoGroupsInPandas over "
+        "B·(B+1)/2 block pairs — no driver collect, no full-table "
+        "broadcast; per-task memory is two n/B-row blocks."
+    ),
 }
 
 
