@@ -179,6 +179,38 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority × status, statuses as columns.
+    The value list is given explicitly (['F','O','P']) so Catalyst skips
+    the extra distinct-values job a blind pivot would run — at scale the
+    pivot is then a single hash aggregate with one CASE-guarded counter
+    per pivoted value, same plan as the SQL FILTER formulation."""
+    o = table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0).cast("bigint")).alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
 @query("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct users per event type. Sketch results are

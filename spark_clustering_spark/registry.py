@@ -44,6 +44,7 @@ def load_all_queries() -> None:
         scalars,
         scans,
         setops,
+        timeseries,
         vectors,
         windows,
     )
