@@ -87,3 +87,35 @@ def q_sink_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.mkdtemp(prefix="metrics_sink_"), "metrics")
     metrics.write.mode("append").parquet(out)
     return spark.read.parquet(out)
+
+
+@query(
+    "q_sink_partitioned",
+    # the partitioned round-trip must reproduce exactly what a direct
+    # filtered aggregate over the source produces — that makes the
+    # write path itself hash-verifiable
+    oracle="""
+    SELECT user_id, count(*) AS n_clicks
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned read-back.
+
+    Writes events partitioned by event_type (at 100 TB the partition
+    column would be coarser — date or date×type — same mechanics), then
+    reads the lake back with a partition filter: only the one matching
+    directory is listed/scanned (PartitionFilters in the plan —
+    asserted in tests/test_plans.py), the other partitions are never
+    opened. The aggregate of the pruned read must hash-match a direct
+    filtered aggregate over the source table."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    out = os.path.join(tempfile.mkdtemp(prefix="events_lake_"), "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    lake = spark.read.parquet(out)
+    return (
+        lake.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )

@@ -180,6 +180,8 @@ def ntile_scalable(
         for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     total = sum(counts.values())
+    if total == 0:  # empty input: keep the output schema, zero rows
+        return d.withColumn(out_col, F.lit(0).cast("int")).drop("_pid")
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):

@@ -126,6 +126,18 @@ def test_sim_topk_cosine_broadcasts_probe_side(spark, qs):
     assert "BroadcastHashJoin" in plan
 
 
+def test_sink_partitioned_read_prunes_partitions(spark, qs):
+    """The partition filter must reach the scan as PartitionFilters —
+    non-matching event_type directories are never listed or opened."""
+    plan = formatted_plan(qs["q_sink_partitioned"](spark, SF_SMALL))
+    assert "PartitionFilters" in plan
+    # the filter must actually carry the predicate, not be empty
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:1200]
+
+
 def test_dedup_embedding_uses_blocked_cogroup_gemm(spark, qs):
     """Embedding near-dup must run as the blocked cogroup GEMM (no
     driver-side collect of the embedding table in the plan)."""

@@ -110,3 +110,42 @@ def test_kernel_distance_matches_math(vec):
     d = _dist_matrix(V, C)[0, 0]
     expected = float(np.linalg.norm(V[0]))
     assert math.isclose(d, expected, rel_tol=1e-9, abs_tol=1e-9)
+
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@pytest.mark.parametrize(
+    "n_rows,n_tiles,n_parts",
+    [
+        (0, 4, 4),    # empty input
+        (3, 4, 2),    # fewer rows than tiles (degenerates to rank)
+        (12, 4, 4),   # exact multiple
+        (13, 4, 4),   # remainder → first tile gets the extra row
+        (100, 7, 16), # remainder spread over several tiles
+        (5, 1, 3),    # single tile
+    ],
+)
+def test_ntile_scalable_matches_exact_ntile(spark, n_rows, n_tiles, n_parts):
+    """The range-partitioned ntile must reproduce F.ntile exactly for
+    every remainder/degenerate shape (including more partitions than
+    rows and more tiles than rows)."""
+    from spark_clustering_spark.operators.windows import ntile_scalable
+
+    df = spark.range(n_rows).select(
+        F.col("id").alias("k"), (F.col("id") * 37 % 11).alias("v")
+    )
+    got = {
+        (r["k"], r["t"])
+        for r in ntile_scalable(
+            df, ["v", "k"], n_tiles, num_partitions=n_parts, out_col="t"
+        ).collect()
+    }
+    w = Window.orderBy("v", "k")
+    want = {
+        (r["k"], r["t"])
+        for r in df.select("k", F.ntile(n_tiles).over(w).alias("t")).collect()
+    }
+    assert got == want
