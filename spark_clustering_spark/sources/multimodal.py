@@ -170,3 +170,95 @@ def sample_frames(
         "modality",
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
     )
+
+
+@query(
+    "q_multimodal_frames",
+    # the stub geometry is pure integer math over byte lengths, so the
+    # frame rows are fully SQL-verifiable from the source documents
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS item_id,
+             ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    f AS (
+      SELECT item_id, modality,
+             unnest(generate_series(0, least(n // 64, 7))) AS frame_idx
+      FROM m
+    )
+    SELECT item_id, modality, frame_idx::INT AS frame_idx,
+           (frame_idx * 64)::INT AS byte_offset
+    FROM f
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the media table: up to 8 evenly-spaced
+    byte-offset 'frames' per item (a real video path swaps the offset
+    arithmetic for codec keyframe indexes; the explode shape — narrow
+    flatMap, no shuffle — is identical)."""
+    return sample_frames(synthetic_media(spark, sf_dir))
+
+
+RESIZE_W, RESIZE_H = 64, 64
+RESIZED_SCHEMA = (
+    "item_id BIGINT, modality STRING, width INT, height INT, "
+    "n_bytes INT, content_md5 STRING"
+)
+
+
+def resize_media(
+    media: DataFrame, width: int = RESIZE_W, height: int = RESIZE_H
+) -> DataFrame:
+    """Resize plumbing: normalize every payload to a fixed width×height
+    byte raster by tiling/truncating (a real image path calls
+    PIL.resize at the same seam; batch shape and output contract are
+    identical). Emits the md5 of the resized raster so the transform
+    itself is content-verifiable."""
+    target = width * height
+
+    def kernel(batches) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows = {
+                "item_id": pdf["item_id"],
+                "modality": pdf["modality"],
+                "width": width,
+                "height": height,
+                "n_bytes": target,
+                "content_md5": [
+                    hashlib.md5(
+                        (bytes(b) * (target // max(len(b), 1) + 1))[:target]
+                    ).hexdigest()
+                    for b in pdf["payload"]
+                ],
+            }
+            yield pd.DataFrame(out_rows)
+
+    return media.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+@query(
+    "q_multimodal_resize",
+    # tiling/truncating ASCII text payloads is reproducible in SQL:
+    # repeat ceil(target/len) times, cut to target, md5
+    oracle=f"""
+    SELECT doc_id AS item_id,
+           ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+           {RESIZE_W} AS width, {RESIZE_H} AS height,
+           {RESIZE_W * RESIZE_H} AS n_bytes,
+           md5(substring(repeat(text, ({RESIZE_W * RESIZE_H - 1} // length(text) + 1)::INT),
+                         1, {RESIZE_W * RESIZE_H})) AS content_md5
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize every media payload to a fixed 64×64 raster (tile/
+    truncate stub at the PIL seam) — the content md5 of each resized
+    raster hash-matches the SQL reproduction, so the byte-level
+    transform is verified, not just the row count."""
+    return resize_media(synthetic_media(spark, sf_dir))
