@@ -211,6 +211,33 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_unpivot",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n FROM p
+    UNION ALL
+    SELECT o_orderpriority, 'n_o' AS status_col, n_o AS n FROM p
+    UNION ALL
+    SELECT o_orderpriority, 'n_p' AS status_col, n_p AS n FROM p
+    """,
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide pivoted counts back to long form —
+    Catalyst plans a single Expand node (each input row fans to one row
+    per value column), no shuffle beyond the source aggregate."""
+    wide = q_agg_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ["o_orderpriority"], ["n_f", "n_o", "n_p"], "status_col", "n"
+    )
+
+
 @query("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct users per event type. Sketch results are

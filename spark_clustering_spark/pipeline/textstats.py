@@ -245,3 +245,36 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("doc_id").agg(
         (F.sum(term) % F.lit(2147483647)).alias("fingerprint")
     )
+
+
+@query(
+    "q_text_editdist",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, substring(text, 1, 80) AS s
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.s, b.s)::INT AS edit_dist
+    FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification on a bounded candidate slice
+    (adjacent-id pairs, 80-char prefixes): the exact-verify stage a
+    near-dup pipeline runs AFTER candidate generation — Levenshtein is
+    O(len²) per pair, so it must only ever see a pruned pair list,
+    never the n² cross join."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", F.substring("text", 1, 80).alias("s")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("sa", "sb").alias("edit_dist"),
+        )
+    )
