@@ -347,3 +347,38 @@ def q_join_cdf_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return draws.join(
         F.broadcast(wheel), (draws.u >= wheel.lo) & (draws.u < wheel.hi)
     ).select("draw_id", "member_id")
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT e.event_id, e.event_type, t.n_type
+    FROM events e
+    JOIN (SELECT event_type AS et, count(*) AS n_type
+          FROM events GROUP BY event_type) t
+      ON e.event_type = t.et
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join, hash-verified against the plain join.
+
+    event_type has only 5 distinct values, each owning ~20% of the
+    table — exactly the hot-key shape where a plain shuffled join puts
+    a fifth of 100 TB on one reducer. The salt splits every hot key
+    across 8 sub-partitions (big side: deterministic LCG salt from the
+    row id; small side: replicated per salt), and the result must be
+    row-identical to the unsalted join — which is what the oracle
+    asserts."""
+    from spark_clustering_spark.functions.skew import salted_join
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("et"))
+        .agg(F.count(F.lit(1)).alias("n_type"))
+    )
+    out = salted_join(
+        e, t, big_key="event_type", small_key="et",
+        salt_source="event_id", n_salts=8,
+    )
+    return out.select("event_id", "event_type", "n_type")
