@@ -43,6 +43,21 @@ def main() -> None:
 
     # warmup: JVM + codegen + parquet footer caches
     qs["q_agg_hash"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warmup 2: spin up the Arrow Python workers (spark.python.worker.reuse
+    # keeps them alive), so the first Pandas-kernel query — alphabetically
+    # fit_gka — isn't charged the one-time worker fork/import cost
+    def _warm_kernel(batches):
+        # touch numpy + BLAS inside the worker so the heavy imports and
+        # thread-pool init happen here, not inside the first fit kernel
+        import numpy as np
+
+        _ = np.ones((8, 8)) @ np.ones((8, 8))
+        yield from batches
+
+    n_workers = max(int(spark.sparkContext.defaultParallelism), 8)
+    spark.range(n_workers * 4, numPartitions=n_workers).mapInPandas(
+        _warm_kernel, "id bigint"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
