@@ -105,6 +105,39 @@ def test_cli_pso_iris_golden_trace(spark, tmp_path):
         assert abs(got - want) < 1e-2, (vals, GOLDEN_IRIS_PSO)
 
 
+WINE = "/root/reference/dataset/wine.txt"        # 178×13
+FINLAND = "/root/reference/dataset/User-locations-Finland_N13467-D2.txt"  # 13467×2
+
+GOLDEN_WINE_KMEANS = [
+    26402.8001, 18849.5321, 18849.5321, 18844.6138,
+    18755.6651, 18609.2221, 18515.8679, 18489.7968,
+]
+GOLDEN_FINLAND_KMEANS = [
+    72676631.2358, 71108187.8779, 65009199.6159,
+    58585196.936, 57364273.9731, 57256782.947,
+]
+
+
+@pytest.mark.skipif(not os.path.exists(WINE), reason="reference dataset absent")
+def test_cli_kmeans_wine_golden_trace(spark, tmp_path):
+    out = str(tmp_path / "wine_km.txt")
+    assert _run(["kmeans", WINE, "8", "3", out, "1"]) == 0
+    vals, _ = _read_trace(out)
+    for got, want in zip(vals, GOLDEN_WINE_KMEANS):
+        # wide-magnitude features (proline ~1000s): relative tolerance
+        assert abs(got - want) / want < 1e-4, (vals, GOLDEN_WINE_KMEANS)
+
+
+@pytest.mark.skipif(not os.path.exists(FINLAND), reason="reference dataset absent")
+def test_cli_kmeans_finland_golden_trace(spark, tmp_path):
+    """The reference repo's headline dataset (13467×2 user locations)."""
+    out = str(tmp_path / "fin_km.txt")
+    assert _run(["kmeans", FINLAND, "6", "4", out, "1"]) == 0
+    vals, _ = _read_trace(out)
+    for got, want in zip(vals, GOLDEN_FINLAND_KMEANS):
+        assert abs(got - want) / want < 1e-6, (vals, GOLDEN_FINLAND_KMEANS)
+
+
 def test_cli_reference_compat_flag(spark, tmp_path):
     """Q2: --reference-compat (inertia-overwrite PSO) is accepted and
     produces a well-formed R20 trace. (That the flag changes the swarm
