@@ -220,8 +220,11 @@ def connected_components(
     (doc_a, doc_b). Returns (doc_id, component) for every node
     appearing in any pair."""
     spark = pairs.sparkSession
-    n_pairs = pairs.limit(small_graph_threshold + 1).count()
-    if n_pairs <= small_graph_threshold:
+    # one pass decides the path AND feeds the small-graph solver: the
+    # limited collect IS the size probe (a separate count() would
+    # recompute the candidate-pair pipeline twice)
+    sample = pairs.select("doc_a", "doc_b").limit(small_graph_threshold + 1).collect()
+    if len(sample) <= small_graph_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -230,7 +233,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in pairs.select("doc_a", "doc_b").collect():
+        for r in sample:
             a, b = int(r["doc_a"]), int(r["doc_b"])
             parent.setdefault(a, a)
             parent.setdefault(b, b)
