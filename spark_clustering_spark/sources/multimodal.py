@@ -137,14 +137,57 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(synthetic_media(spark, sf_dir))
 
 
-@query("q_multimodal_features")  # rows-only: numpy histogram kernel
+@query(
+    "q_multimodal_features",
+    # the numpy histogram kernel is reproducible character-wise in SQL
+    # (ASCII payloads: byte>>4 == ascii(char)//16); per-doc ratios are
+    # single float divisions (identical doubles in both engines) and the
+    # cross-doc mean accumulates in exact decimal, so the kernel output
+    # is hash-verified end to end
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS item_id,
+             ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+             text
+      FROM documents
+    ),
+    buck AS (
+      SELECT item_id, modality, ascii(c) // 16 AS pos, count(*) AS cnt
+      FROM (SELECT item_id, modality, unnest(string_split(text, '')) AS c FROM m)
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT item_id, sum(cnt) AS n_ch FROM buck GROUP BY 1),
+    grid AS (
+      SELECT m.item_id, m.modality, p.pos
+      FROM m CROSS JOIN (SELECT unnest(range(16)) AS pos) p
+    ),
+    ratio AS (
+      SELECT g.modality, g.pos,
+             coalesce(b.cnt, 0)::DOUBLE / t.n_ch AS v
+      FROM grid g
+      JOIN tot t ON t.item_id = g.item_id
+      LEFT JOIN buck b ON b.item_id = g.item_id AND b.pos = g.pos
+    )
+    SELECT modality, pos::INT AS pos,
+           cast(round(cast(cast((cast(sum(cast(v AS DECIMAL(38,8))) AS DOUBLE)
+             / count(*)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS mean_v,
+           count(*) AS n
+    FROM ratio GROUP BY modality, pos
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature extraction + per-modality feature means
-    (flattened so the output is a plain relational shape)."""
+    (flattened so the output is a plain relational shape; exact decimal
+    accumulation so the cross-doc mean is order-proof)."""
+    from spark_clustering_spark.functions.detagg import DEC, dround
+
     f = extract_features(synthetic_media(spark, sf_dir))
     ex = f.select("modality", F.posexplode("feat").alias("pos", "v"))
     return ex.groupBy("modality", "pos").agg(
-        F.round(F.avg("v"), 4).alias("mean_v"), F.count(F.lit(1)).alias("n")
+        dround(
+            F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
