@@ -76,7 +76,18 @@ def q_scan_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sink_metrics")  # rows-only: exercises a write path, not SQL-comparable
+@query(
+    "q_sink_metrics",
+    # the written metrics are deterministic expressions of the row
+    # index, so the oracle reproduces them directly — verifying that the
+    # parquet write/read round-trip preserves every value bit-exactly
+    oracle="""
+    SELECT i::INT AS iter,
+           (1000.0::DOUBLE / (i + 1)) AS best_objectvalue,
+           (10 + i)::BIGINT AS iter_ms
+    FROM (SELECT unnest(range(5)) AS i)
+    """,
+)
 def q_sink_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append an iteration-metrics table (reference R20 sink schema:
     iter, best_objectvalue, iter_ms) as parquet and read it back."""

@@ -130,7 +130,22 @@ def extract_features(media: DataFrame) -> DataFrame:
 from spark_clustering_spark.registry import query
 
 
-@query("q_multimodal_decode")  # rows-only: binary decode isn't SQL-expressible
+@query(
+    "q_multimodal_decode",
+    # the stub decoder's geometry is integer math over the first/last
+    # payload bytes and the length — reproducible in SQL for ASCII
+    # payloads, so the decode plumbing is hash-verified (a real codec
+    # would be rows-only at this seam)
+    oracle="""
+    SELECT doc_id AS item_id,
+           ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+           octet_length(encode(text))::INT AS n_bytes,
+           (16 + (ascii(substring(text, 1, 1)) * 7) % 240)::INT AS width,
+           (16 + (ascii(substring(text, length(text), 1)) * 13) % 240)::INT AS height,
+           (1 + octet_length(encode(text)) % 32)::INT AS n_frames
+    FROM documents
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode pipeline over the synthetic media table (stubbed codec,
     real Arrow/mapInPandas plumbing)."""
