@@ -138,6 +138,15 @@ def test_sink_partitioned_read_prunes_partitions(spark, qs):
     assert m and "event_type" in m.group(1), plan[:1200]
 
 
+def test_sessionize_single_shuffle(spark, qs):
+    """Both windows (lag, running sum) and the final aggregate must ride
+    ONE user_id exchange — grouping keys (user_id, session_idx) are
+    co-partitioned by the window's hash partitioning."""
+    plan = formatted_plan(qs["q_window_sessionize"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+
+
 def test_dedup_embedding_uses_blocked_cogroup_gemm(spark, qs):
     """Embedding near-dup must run as the blocked cogroup GEMM (no
     driver-side collect of the embedding table in the plan)."""

