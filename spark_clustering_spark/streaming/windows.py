@@ -175,3 +175,36 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id", "event_type").agg(
         F.min("event_id").alias("first_event_id")
     )
+
+
+@query(
+    "q_stream_enrich",
+    oracle=f"""
+    SELECT epoch(date_trunc('hour', e.ts))::BIGINT AS win_start,
+           c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           {sql_dsum('e.value', 'sum_value')}
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: events enriched with a customer
+    dimension, then hourly tumbling counts per market segment. In
+    Structured Streaming this exact plan runs with the static side
+    broadcast into every micro-batch (stream-static joins need no state
+    store); batch evaluation is semantically identical, which is what
+    the oracle checks."""
+    ev = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = ev.join(F.broadcast(c), F.col("c_custkey") == F.col("user_id") + 1)
+    return (
+        j.groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            _epoch(F.col("w.start")).alias("win_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )
