@@ -382,3 +382,29 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_source="event_id", n_salts=8,
     )
     return out.select("event_id", "event_type", "n_type")
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH c AS (SELECT c_custkey, nullif(c_nationkey, 3) AS nk FROM customer),
+         s AS (SELECT s_suppkey, nullif(s_nationkey, 3) AS nk FROM supplier)
+    SELECT c.c_custkey, s.s_suppkey
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=>): NULL keys match each other instead of
+    vanishing — SQL's IS NOT DISTINCT FROM. Catalyst plans <=> as a
+    normal hash join key (nulls hash to one bucket), so the usual
+    broadcast/shuffle strategies apply; a hot NULL key is exactly the
+    skew case q_join_salted handles."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk_c")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(3)).alias("nk_s")
+    )
+    return c.join(s, F.col("nk_c").eqNullSafe(F.col("nk_s"))).select(
+        "c_custkey", "s_suppkey"
+    )

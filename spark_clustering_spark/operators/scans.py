@@ -130,3 +130,62 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_clicks"))
     )
+
+
+@query(
+    "q_scan_merge_schema",
+    # the evolved lake must serve old + new batches under the union
+    # schema: rows from the v1 batch carry NULL for the later column
+    oracle="""
+    SELECT r_regionkey, r_name, NULL::VARCHAR AS r_alias FROM region
+    UNION ALL
+    SELECT r_regionkey, r_name, lower(r_name) AS r_alias FROM region
+    """,
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: a v1 batch (2 columns) and a v2 batch (adds
+    r_alias) land in the same lake path; reading with mergeSchema=true
+    serves both under the union schema, v1 rows null-filled. At 100 TB
+    this is how a lake absorbs producer schema changes without
+    rewriting history — parquet footers carry per-file schemas and the
+    scan reconciles them."""
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = os.path.join(tempfile.mkdtemp(prefix="lake_evolve_"), "region")
+    r.write.mode("append").parquet(out)  # v1 schema
+    r.withColumn("r_alias", F.lower("r_name")).write.mode("append").parquet(out)
+    return spark.read.option("mergeSchema", "true").parquet(out)
+
+
+@query(
+    "q_sink_compact",
+    # compaction must be content-neutral: the compacted lake aggregates
+    # exactly like the source table
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented write (32 files) is
+    rewritten into 4 right-sized files — repartition(4) forces a
+    round-robin shuffle so the output files are even, unlike coalesce
+    which can skew. The compacted lake must aggregate identically to
+    the source (content-neutrality is the whole point of compaction);
+    at 100 TB the target file count comes from total_bytes /
+    target_file_size, not a constant."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    base = tempfile.mkdtemp(prefix="compact_")
+    frag = os.path.join(base, "frag")
+    o.repartition(32).write.mode("overwrite").parquet(frag)
+    compact = os.path.join(base, "compact")
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    lake = spark.read.parquet(compact)
+    n_files = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    assert n_files == 4, f"compaction produced {n_files} files"
+    return lake.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
