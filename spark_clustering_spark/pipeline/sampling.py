@@ -103,3 +103,61 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean_text"),
         F.length(clean).cast("bigint").alias("clean_len"),
     )
+
+
+@query(
+    "q_pipeline_corpus",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS ct
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang, ct, length(ct) AS clean_len
+      FROM c WHERE length(ct) >= 100
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(ct)),
+    kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+    tagged AS (
+      SELECT *, {sql_lcg_uniform('doc_id', seed=23)} AS u FROM kept
+    )
+    SELECT CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, sum(clean_len)::BIGINT AS total_len
+    FROM tagged GROUP BY 1, 2
+    """,
+)
+def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation, composed from the individually
+    verified stages: normalize text → quality gate (≥100 clean chars) →
+    exact dedup on the cleaned content (keep lowest doc_id per digest)
+    → deterministic 80/10/10 split → per-(split, lang) summary. The
+    whole chain is one declarative plan: Catalyst pipelines the
+    projection/filter stages into the scan, the dedup is the only
+    content shuffle (keyed on the digest, text never moves), and the
+    split is a pure key function — the same plan at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    c = d.select("doc_id", "lang", clean.alias("ct"), F.length(clean).alias("clean_len"))
+    q = c.filter(F.col("clean_len") >= 100)
+    keep = q.groupBy(F.md5(F.col("ct").cast("binary"))).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    kept = q.join(keep, "doc_id")
+    u = lcg_uniform("doc_id", seed=23)
+    split = F.when(u < 0.8, "train").when(u < 0.9, "valid").otherwise("test")
+    return (
+        kept.select(split.alias("split"), "lang", "clean_len")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("clean_len").cast("bigint").alias("total_len"),
+        )
+    )
