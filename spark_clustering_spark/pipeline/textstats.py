@@ -7,6 +7,8 @@ Python in the hot path, each with a DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -278,3 +280,35 @@ def q_text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("sa", "sb").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "q_text_score_udf",
+    # numpy's exp and DuckDB's exp may differ in the last ulp; the
+    # decimal-pivot round to 4 dp absorbs that (values are nowhere near
+    # half-way boundaries at this precision)
+    oracle="""
+    SELECT doc_id,
+           cast(round(cast(cast((1.0 / (1.0 + exp(-(length(text) - 200.0) / 100.0))) AS VARCHAR)
+             AS DECIMAL(38,12)), 4) AS DOUBLE) AS keep_score
+    FROM documents
+    """,
+)
+def q_text_score_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar Pandas UDF (Arrow-batched): a logistic
+    keep-probability over document length — the idiomatic shape for
+    model-based scoring (a real pipeline swaps the closed form for an
+    ONNX/sklearn call on the same batch). One Arrow round-trip per
+    batch, no per-row Python; the other Python boundaries in this repo
+    are mapInPandas/applyInPandas — this exhibit covers the scalar-UDF
+    path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def keep_score(n_chars: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-(n_chars.astype("float64") - 200.0) / 100.0))
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", dround(keep_score(F.length("text"))).alias("keep_score"))

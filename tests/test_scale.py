@@ -190,3 +190,22 @@ def test_ntile_scalable_invariants_at_1m_rows(spark):
     assert sizes == sorted(sizes, reverse=True)  # remainder in leading tiles
     for prev, cur in zip(stats, stats[1:]):
         assert prev["kmax"] <= cur["kmin"]  # ranges monotone (ties only at edges)
+
+
+def test_blocked_gemm_invariant_to_block_count(spark):
+    """The blocked all-pairs GEMM must return identical pairs for any
+    n_blocks (blocking is an execution detail, not a semantic one) —
+    including n_blocks=1, the degenerate single-block case."""
+    from spark_clustering_spark.functions.distance import as_double_array
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.dedup import embedding_near_dup_pairs
+
+    e = table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    results = {}
+    for nb in (1, 3, 8):
+        rows = embedding_near_dup_pairs(e, threshold=0.4, n_blocks=nb).collect()
+        results[nb] = {(r["a_id"], r["b_id"], round(r["cos_raw"], 10)) for r in rows}
+    assert results[1] == results[3] == results[8]
+    assert len(results[1]) > 0  # non-vacuous at this threshold
