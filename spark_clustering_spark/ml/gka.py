@@ -151,7 +151,11 @@ def fit_gka(
     seed: int = 42,
 ) -> GKAResult:
     """GKA loop. ``points``: (vec_id, vec array<double>)."""
-    points = points.persist()
+    # hash-partition the data ONCE on the join key: the cached layout
+    # advertises its partitioning, so every generation's labels⋈points
+    # centers join shuffles only the labels side (n·P skinny rows) —
+    # the data-sized side never re-shuffles across generations
+    points = points.repartition("vec_id").persist()
     points.count()
 
     labels = _init_labels(spark, points, pop, k, seed)

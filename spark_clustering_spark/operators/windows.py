@@ -264,3 +264,52 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select("p_brand", "p_partkey", "p_size", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_window_pct_rank",
+    oracle="""
+    SELECT c_custkey,
+           cast(round(cast(cast((percent_rank() OVER w) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS pr,
+           cast(round(cast(cast((cume_dist() OVER w) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per market segment — exact rational
+    divisions ((rank-1)/(n-1), rank/n), so the doubles are bit-identical
+    cross-engine before the stabilizing round."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        dround(F.percent_rank().over(w)).alias("pr"),
+        dround(F.cume_dist().over(w)).alias("cd"),
+    )
+
+
+@query(
+    "q_window_mode",
+    oracle="""
+    SELECT user_id, event_type AS top_type, n FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type) t
+    WHERE rn = 1
+    """,
+)
+def q_window_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent event type per user with a deterministic
+    tie-break (count desc, then lexicographic) — the portable mode():
+    engine-native mode() picks ties arbitrarily, so it can never be
+    hash-verified."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "n")
+    )
