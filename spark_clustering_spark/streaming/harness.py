@@ -31,14 +31,25 @@ EVENT_SCHEMA = (
 
 def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 8) -> str:
     """Materialize events as n_chunks parquet files in event_id order —
-    a deterministic arrival-order replay source."""
+    a deterministic arrival-order replay source. Chunks are cut by
+    event_id range and written distributed (only the 1-row max-id
+    aggregate touches the driver), so the harness itself scales with
+    the source instead of materializing it driver-side."""
     out = tempfile.mkdtemp(prefix="stream_replay_")
-    ev = table(spark, sf_dir, "events").orderBy("event_id").collect()
-    chunk = max(1, len(ev) // n_chunks + (len(ev) % n_chunks > 0))
-    for i in range(0, len(ev), chunk):
-        spark.createDataFrame(ev[i : i + chunk], EVENT_SCHEMA).coalesce(
-            1
-        ).write.mode("overwrite").parquet(os.path.join(out, f"chunk_{i // chunk:04d}"))
+    ev = table(spark, sf_dir, "events").persist()
+    max_id = ev.agg(F.max("event_id").alias("m")).collect()[0]["m"]
+    n = int(max_id) + 1
+    chunk = max(1, n // n_chunks + (n % n_chunks > 0))
+    for ci, lo in enumerate(range(0, n, chunk)):
+        (
+            ev.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < lo + chunk)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"chunk_{ci:04d}"))
+        )
+    ev.unpersist()
     return out
 
 
