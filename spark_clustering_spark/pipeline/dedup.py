@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_clustering_spark.functions.detagg import dround
+from spark_clustering_spark.functions.porthash import md5_int32, sql_hex_int
 from spark_clustering_spark.io import table
 from spark_clustering_spark.registry import query
 
@@ -67,15 +68,16 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, sig array<bigint>[16]) — min over xxhash64(shingle) under
-    each of the 16 affine permutations. The base hash is computed ONCE
-    per shingle (projected before the aggregation — Catalyst does not
-    CSE duplicated expressions across aggregate functions); each
+    """(doc_id, sig array<bigint>[16]) — min over md5_int32(shingle)
+    under each of the 16 affine permutations. The base hash is computed
+    ONCE per shingle (projected before the aggregation — Catalyst does
+    not CSE duplicated expressions across aggregate functions); each
     permutation is then two integer ops. One groupBy(doc_id) shuffle of
-    (doc_id, 16×8B) — shingle strings never shuffle."""
-    hashed = sh.select(
-        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(2**32)).alias("h")
-    )
+    (doc_id, 16×8B) — shingle strings never shuffle. The md5-derived
+    base hash is DuckDB-reproducible (functions/porthash.py) so the
+    whole LSH pipeline is oracle-checkable; swap in xxhash64 for
+    cheaper hashing when cross-engine verification isn't needed."""
+    hashed = sh.select("doc_id", md5_int32(F.col("shingle")).alias("h"))
     mins = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"h{i}")
         for i, (a, b) in enumerate(_coeffs())
@@ -133,6 +135,93 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
+def _sql_minhash_ctes() -> str:
+    """DuckDB CTE chain ``docs → grams → hx → hh → sig → bands → pairs``
+    mirroring shingles() → minhash_signatures() → lsh_candidate_pairs()
+    byte-for-byte: same 3-gram construction as the q_dedup_ngram_jaccard
+    oracle, md5-derived base hash (porthash), identical LCG permutation
+    coefficients inlined as integer literals."""
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(_coeffs())
+    )
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        f"concat_ws(',', h{4 * bi}, h{4 * bi + 1}, h{4 * bi + 2}, h{4 * bi + 3}) AS key "
+        f"FROM sig"
+        for bi in range(_NUM_HASHES // _BAND_ROWS)
+    )
+    return f"""
+    docs AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   for i in range(1, greatest(len(ws) - 1, 1))])) AS shingle
+      FROM docs WHERE len(ws) >= 3
+    ),
+    hx AS (SELECT doc_id, md5(shingle) AS hs FROM grams WHERE len(shingle) > 0),
+    hh AS (SELECT doc_id, {sql_hex_int('hs')} AS h FROM hx),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hh GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
+
+
+def _sql_simhash() -> str:
+    """DuckDB twin of q_dedup_simhash: 64 per-bit ±1 sums from the two
+    md5 32-bit halves, fingerprint with the sign-bit handled in BIGINT
+    two's complement, chunk keys re-summed from the bit columns."""
+
+    def bit(i: int) -> str:
+        col, sh = ("lo", i) if i < 32 else ("hi", i - 32)
+        return f"sum(CASE WHEN ({col} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+
+    bits = ",\n             ".join(bit(i) for i in range(64))
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(63)
+    )
+    fp = f"CAST({fp_terms} + (CASE WHEN b63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END) AS BIGINT)"
+    chunks = ",\n           ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN b{16 * c + j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+        )
+        + f" AS BIGINT) AS chunk{c}"
+        for c in range(4)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    hx AS (SELECT doc_id, md5(tok) AS hs FROM toks WHERE len(tok) > 0),
+    th AS (
+      SELECT doc_id, {sql_hex_int('hs')} AS lo, {sql_hex_int('hs', 9, 8)} AS hi
+      FROM hx
+    ),
+    bs AS (
+      SELECT doc_id,
+             {bits}
+      FROM th GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {fp} AS simhash,
+           {chunks}
+    FROM bs
+    """
+
+
 @query(
     "q_dedup_exact",
     oracle="""
@@ -152,55 +241,72 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_minhash")  # rows-only: signature internals aren't SQL-portable
+@query(
+    "q_dedup_minhash",
+    oracle="WITH " + _sql_minhash_ctes() + "\n    SELECT doc_a, doc_b, n_bands FROM pairs",
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (16 hashes, 4 bands × 4 rows)
     over word 3-gram shingles. Deterministic: fixed coefficient table,
-    xxhash64 base hash. Invariants tested in tests/test_dedup.py."""
+    md5-derived base hash — the full shingle→signature→band→pair
+    pipeline is reproduced in the DuckDB oracle (hash-verified, not
+    rows-only). Invariants additionally tested in tests/test_pipeline.py."""
     d = table(spark, sf_dir, "documents")
     return lsh_candidate_pairs(minhash_signatures(shingles(d)))
 
 
-@query("q_dedup_simhash")  # rows-only: bit-level fingerprint, not SQL-portable
+@query("q_dedup_simhash", oracle=_sql_simhash())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc from token xxhash64s: bit i of the
-    fingerprint is the sign of sum(±1 over tokens' bit i). Emitted with
-    the 4 16-bit chunk keys used for banded near-dup search."""
+    """64-bit SimHash per doc: bit i of the fingerprint is the sign of
+    sum(±1 over tokens' bit i). Token bits come from the two md5 32-bit
+    halves (functions/porthash.py) so the DuckDB oracle reproduces the
+    fingerprint exactly. Emitted with the 4 16-bit chunk keys used for
+    banded near-dup search (chunks re-summed from the bit-sign columns —
+    identical to slicing the fingerprint, but avoids engine-specific
+    unsigned-shift semantics)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).filter(F.length("tok") > 0)
-    th = toks.select("doc_id", F.xxhash64("tok").alias("h"))
-    # mask for bit 63 as a signed bigint: -2^63 has exactly the top bit set
-    masks = [1 << i for i in range(63)] + [-(2**63)]
+    th = toks.select(
+        "doc_id",
+        md5_int32(F.col("tok")).alias("lo"),
+        md5_int32(F.col("tok"), hi=True).alias("hi"),
+    )
     bit_sums = th.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+                F.when(
+                    F.col("lo" if i < 32 else "hi").bitwiseAND(
+                        F.lit(1 << (i if i < 32 else i - 32))
+                    )
+                    != 0,
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{i}")
-            for i, m in enumerate(masks)
+            for i in range(64)
         ]
     )
     # bit 63 is the sign bit: add -2^63 (two's complement) instead of 2^63,
     # which would overflow bigint under ANSI arithmetic.
-    fp = bit_sums.select(
-        "doc_id",
+    fp = sum(
+        [
+            F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(63)
+        ],
+        F.when(F.col("b63") > 0, F.lit(-(2**63))).otherwise(F.lit(0)).cast("bigint"),
+    )
+    chunks = [
         sum(
             [
-                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-                for i in range(63)
+                F.when(F.col(f"b{16 * c + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(1, 16)
             ],
-            F.when(F.col("b63") > 0, F.lit(-(2**63))).otherwise(F.lit(0)).cast("bigint"),
-        ).alias("simhash"),
-    )
-    return fp.select(
-        "doc_id",
-        "simhash",
-        *[
-            F.pmod(F.shiftrightunsigned("simhash", 16 * c), F.lit(1 << 16)).alias(f"chunk{c}")
-            for c in range(4)
-        ],
-    )
+            F.when(F.col(f"b{16 * c}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+        ).alias(f"chunk{c}")
+        for c in range(4)
+    ]
+    return bit_sums.select("doc_id", fp.alias("simhash"), *chunks)
 
 
 def connected_components(
@@ -303,12 +409,33 @@ def connected_components(
     return labels
 
 
-@query("q_dedup_clusters")  # rows-only: iterative fixpoint, not SQL-expressible
+@query(
+    "q_dedup_clusters",
+    oracle="WITH RECURSIVE "
+    + _sql_minhash_ctes()
+    + """,
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(doc_id, comp) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.s, r.comp FROM edges e JOIN reach r ON e.d = r.doc_id
+    )
+    SELECT doc_id, min(comp) AS component FROM reach GROUP BY doc_id
+    """,
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash-LSH candidate pairs → connected
     components → (doc_id, component-representative). Downstream dedup
-    keeps rows where doc_id == component. Invariants (exact-duplicate
-    clustering, idempotence) in tests/test_pipeline.py."""
+    keeps rows where doc_id == component. Spark runs hybrid union-find /
+    min-label propagation; the oracle computes the same min-reachable
+    label as a DuckDB recursive CTE over the symmetric edge closure —
+    so even this iterative fixpoint is hash-verified, not rows-only.
+    Invariants (exact-duplicate clustering, idempotence) in
+    tests/test_pipeline.py."""
     d = table(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(minhash_signatures(shingles(d)))
     return connected_components(pairs.select("doc_a", "doc_b"))
