@@ -248,3 +248,32 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle=f"""
+    SELECT least(floor(o_totalprice / 50000), 9)::BIGINT AS bucket,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'bucket_total')},
+           {sql_davg('o_totalprice', 'bucket_avg')}
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: orders binned by total price into 10
+    buckets of 50k with an open top bucket. floor(x/w) on the same IEEE
+    division is bit-identical across engines, so the bucket ids cannot
+    flap. One hash-aggregate shuffle of (bucket, partials) — the
+    classic map-side-combine shape that stays cheap at any scale."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("bigint")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "bucket_total"),
+            davg("o_totalprice", "bucket_avg"),
+        )
+    )

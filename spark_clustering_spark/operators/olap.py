@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_clustering_spark.functions.detagg import dsum, sql_dsum
+from spark_clustering_spark.functions.detagg import dround, dsum, sql_dround, sql_dsum
 from spark_clustering_spark.io import table
 from spark_clustering_spark.registry import query
 
@@ -101,5 +101,98 @@ def q_olap_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
             F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_olap_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'lost_revenue')},
+           count(*) AS n_returned
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    """,
+)
+def q_olap_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    one order-date year — fact-fact equi-join chain with a selective
+    line-level predicate, small dims broadcast. The returnflag filter
+    reaches the lineitem scan (PushedFilters), so only ~25% of lines
+    leave the parquet reader."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "lost_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_returned"),
+        )
+    )
+
+
+@query(
+    "q_olap_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, {sql_dsum('l_quantity', 'total_qty')}
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 200.5
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           {sql_dround('o.o_totalprice')} AS total_price,
+           b.total_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed a total-quantity
+    threshold — aggregate-then-join (the HAVING prunes before any wide
+    join runs). Quantities are integer-valued, so sum(double) is exact
+    and the 200.5 cut cannot flap between engines; the emitted total
+    still goes through decimal accumulation per repo convention."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            dsum("l_quantity", "total_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 200.5)
+        .drop("_raw_qty")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            dround("o_totalprice").alias("total_price"),
+            "total_qty",
         )
     )

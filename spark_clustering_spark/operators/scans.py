@@ -189,3 +189,52 @@ def q_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+_JSONL_FIXTURE = os.path.join(FIXTURE_DIR, "events_tiny.jsonl")
+
+# DuckDB auto-detects the same types the explicit Spark schema declares
+# (ints BIGINT, score DOUBLE, list/struct nesting); null semantics line
+# up too: len(NULL list) and tags[1] on a missing/empty list are NULL
+# in DuckDB exactly where Spark's size()/try_element_at() yield NULL.
+from spark_clustering_spark.functions.detagg import sql_dround  # noqa: E402
+
+
+@query(
+    "q_scan_jsonl",
+    oracle=f"""
+    SELECT id, "user" AS user, kind,
+           {sql_dround('score')} AS score,
+           len(tags)::BIGINT AS n_tags,
+           tags[1] AS first_tag,
+           meta.device AS device,
+           meta.v AS v
+    FROM read_json('{_JSONL_FIXTURE}', format='newline_delimited')
+    """,
+)
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-delimited JSON source with an explicit nested schema
+    (array + struct columns), flattened to hashable scalars.
+
+    Schema is declared rather than inferred: on a 100 TB corpus,
+    inference is an extra full pass over the data AND can silently
+    widen types between runs — production JSONL ingest pins the schema.
+    Missing fields exercise null propagation (size/try_element_at on a
+    null array, struct access on a null struct)."""
+    from spark_clustering_spark.functions.detagg import dround
+
+    schema = (
+        "id bigint, user string, kind string, score double, "
+        "tags array<string>, meta struct<device: string, v: bigint>"
+    )
+    df = spark.read.schema(schema).json(_JSONL_FIXTURE)
+    return df.select(
+        "id",
+        "user",
+        "kind",
+        dround("score").alias("score"),
+        F.size("tags").cast("bigint").alias("n_tags"),
+        F.try_element_at("tags", F.lit(1)).alias("first_tag"),
+        F.col("meta.device").alias("device"),
+        F.col("meta.v").alias("v"),
+    )
