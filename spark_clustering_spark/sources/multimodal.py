@@ -320,3 +320,81 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     raster hash-matches the SQL reproduction, so the byte-level
     transform is verified, not just the row count."""
     return resize_media(synthetic_media(spark, sf_dir))
+
+
+@query(
+    "q_multimodal_audio_rms",
+    # the stub "PCM decode" treats payload bytes as unsigned 8-bit
+    # samples; per-frame sum of squared centered samples is integer
+    # math, and /n + sqrt are IEEE-identical across engines, so the
+    # whole audio framing pipeline is hash-verified (a real ffmpeg
+    # decode would be rows-only at this seam)
+    oracle="""
+    WITH audio AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+    ),
+    frames AS (
+      SELECT doc_id, i AS frame_no, substr(text, i * 128 + 1, 128) AS chunk
+      FROM audio CROSS JOIN unnest(range(0, (len(text) + 127) // 128)) AS t(i)
+    ),
+    stats AS (
+      SELECT doc_id, frame_no, len(chunk) AS n_samples,
+             list_sum([(ascii(chunk[j]) - 128) * (ascii(chunk[j]) - 128)
+                       for j in range(1, len(chunk) + 1)]) AS ss
+      FROM frames
+    )
+    SELECT doc_id AS item_id, frame_no::INT AS frame_no,
+           n_samples::INT AS n_samples,
+           cast(round(cast(cast((sqrt(ss / (16384.0 * n_samples))) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS rms
+    FROM stats
+    """,
+)
+def q_multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing + per-frame RMS energy over the binary payload.
+
+    The stub decoder reads the payload as unsigned 8-bit PCM (the
+    container has no audio codec; a real build would frombuffer the
+    ffmpeg output here — same kernel signature, same frame shape).
+    Frames are 128 samples with no overlap, the trailing partial frame
+    kept with its true length — the standard shape for feature
+    extraction ahead of an audio embedding model. One mapInPandas pass,
+    no shuffle: framing multiplies rows ~len/128× inside the Arrow
+    batch, never across executors."""
+    from spark_clustering_spark.functions.detagg import dround
+
+    audio = synthetic_media(spark, sf_dir).filter(F.col("modality") == "audio")
+
+    def kernel(batches) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fnos, ns, rms = [], [], [], []
+            for item_id, b in zip(pdf["item_id"], pdf["payload"]):
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
+                for fno, start in enumerate(range(0, len(arr), 128)):
+                    fr = arr[start : start + 128]
+                    ids.append(item_id)
+                    fnos.append(fno)
+                    ns.append(len(fr))
+                    # integer sum of squares -> exact; /n and sqrt are
+                    # correctly-rounded IEEE ops, identical in any engine
+                    rms.append(
+                        float(np.sqrt(int(np.sum(fr * fr)) / (16384.0 * len(fr))))
+                    )
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(fnos, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "rms_raw": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    decoded = audio.mapInPandas(
+        kernel, "item_id BIGINT, frame_no INT, n_samples INT, rms_raw DOUBLE"
+    )
+    return decoded.select(
+        "item_id", "frame_no", "n_samples", dround("rms_raw").alias("rms")
+    )
