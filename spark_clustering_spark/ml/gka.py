@@ -164,7 +164,6 @@ def fit_gka(
     metrics_rows: list[tuple] = []
     history: list[dict] = []
 
-    d = len(points.select("vec").head()["vec"])
     prev_assigned = None
     for gen in range(num_gen):
         t0 = time.time()
@@ -173,7 +172,7 @@ def fit_gka(
         # centers_map is COLLECTED driver-side, which also severs the
         # lineage between generations (next gen's kernel sees only the
         # cached points + a broadcast literal)
-        centers_map = gka_member_centers(labels, points, d)
+        centers_map = gka_member_centers(labels, points)
         if prev_assigned is not None:
             prev_assigned.unpersist()
         # the mutation draws depend only on (member, gen, seed), so the

@@ -27,7 +27,6 @@ from collections.abc import Iterator
 import numpy as np
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 LLOYD_STATS_SCHEMA = (
     "cluster_id INT, n_points BIGINT, sum_dist DOUBLE, sum_sq DOUBLE, "
@@ -41,6 +40,37 @@ def _dist_matrix(V: np.ndarray, C: np.ndarray) -> np.ndarray:
     sq = (V * V).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (V @ C.T)
     np.maximum(sq, 0.0, out=sq)
     return np.sqrt(sq)
+
+
+def _driver_combine(
+    partial: DataFrame,
+    key_fields: tuple[str, ...],
+    scalar_fields: tuple[str, ...],
+    vec_field: str | None = None,
+) -> dict[tuple, list]:
+    """Final combine of map-side partial stats on the driver.
+
+    The alternative — groupBy().agg() with one F.sum per vector dim —
+    costs a shuffle stage plus whole-stage codegen of a d-wide
+    aggregate on EVERY call (~0.5s warm, ~2s on first compile). The
+    partial pass already reduced data-sized input to at most
+    keys × num_partitions tiny rows, so collecting those and summing in
+    numpy is cheaper at any data scale. Accumulation follows collect
+    order (partition order) — deterministic for a fixed layout, the
+    same guarantee the kernel tests assert."""
+    acc: dict[tuple, list] = {}
+    for r in partial.collect():
+        key = tuple(int(r[k]) for k in key_fields)
+        e = acc.get(key)
+        if e is None:
+            e = acc[key] = [0] * len(scalar_fields) + (
+                [np.zeros(len(r[vec_field]))] if vec_field else []
+            )
+        for i, s in enumerate(scalar_fields):
+            e[i] += r[s]
+        if vec_field:
+            e[-1] += np.asarray(r[vec_field], dtype=np.float64)
+    return acc
 
 
 def lloyd_partial_stats(points: DataFrame, centers: np.ndarray) -> DataFrame:
@@ -91,25 +121,18 @@ def lloyd_iteration(
     Returns one dict per non-empty cluster:
     {cluster_id, n_points, sum_dist, sum_sq, mean(list)}."""
     partial = lloyd_partial_stats(points, centers)
-    k, d = centers.shape
-    final = partial.groupBy("cluster_id").agg(
-        F.sum("n_points").alias("n"),
-        F.sum("sum_dist").alias("sum_dist"),
-        F.sum("sum_sq").alias("sum_sq"),
-        F.array(
-            *[F.sum(F.element_at("sum_vec", i + 1)).alias(f"s{i}") for i in range(d)]
-        ).alias("sum_vec"),
+    acc = _driver_combine(
+        partial, ("cluster_id",), ("n_points", "sum_dist", "sum_sq"), "sum_vec"
     )
     out = []
-    for r in final.collect():
-        n = int(r["n"])
+    for (cid,), (n, sd, ss, sv) in sorted(acc.items()):
         out.append(
             {
-                "cluster_id": int(r["cluster_id"]),
-                "n_points": n,
-                "sum_dist": float(r["sum_dist"]),
-                "sum_sq": float(r["sum_sq"]),
-                "mean": [s / n for s in r["sum_vec"]],
+                "cluster_id": cid,
+                "n_points": int(n),
+                "sum_dist": float(sd),
+                "sum_sq": float(ss),
+                "mean": [s / n for s in sv],
             }
         )
     return out
@@ -137,7 +160,6 @@ def lloyd_iteration_multi(
     bc = spark.sparkContext.broadcast(
         {int(r): np.asarray(c, dtype=np.float64) for r, c in centers_stack.items()}
     )
-    d = next(iter(centers_stack.values())).shape[1]
 
     def kernel(batches) -> Iterator:
         import pandas as pd
@@ -169,24 +191,21 @@ def lloyd_iteration_multi(
             yield pd.DataFrame(out)
 
     partial = points.mapInPandas(kernel, LLOYD_MULTI_SCHEMA)
-    final = partial.groupBy("run", "cluster_id").agg(
-        F.sum("n_points").alias("n"),
-        F.sum("sum_dist").alias("sum_dist"),
-        F.sum("sum_sq").alias("sum_sq"),
-        F.array(
-            *[F.sum(F.element_at("sum_vec", i + 1)).alias(f"s{i}") for i in range(d)]
-        ).alias("sum_vec"),
+    acc = _driver_combine(
+        partial,
+        ("run", "cluster_id"),
+        ("n_points", "sum_dist", "sum_sq"),
+        "sum_vec",
     )
     out: dict[int, list[dict]] = {int(r): [] for r in centers_stack}
-    for row in final.collect():
-        n = int(row["n"])
-        out[int(row["run"])].append(
+    for (run, cid), (n, sd, ss, sv) in sorted(acc.items()):
+        out[run].append(
             {
-                "cluster_id": int(row["cluster_id"]),
-                "n_points": n,
-                "sum_dist": float(row["sum_dist"]),
-                "sum_sq": float(row["sum_sq"]),
-                "mean": [s / n for s in row["sum_vec"]],
+                "cluster_id": cid,
+                "n_points": int(n),
+                "sum_dist": float(sd),
+                "sum_sq": float(ss),
+                "mean": [s / n for s in sv],
             }
         )
     return out
@@ -218,10 +237,10 @@ def pso_objectives(points: DataFrame, X: np.ndarray) -> np.ndarray:
             yield pd.DataFrame({"pid": list(range(Xl.shape[0])), "partial_obj": objs})
 
     partial = points.mapInPandas(kernel, PARTICLE_OBJ_SCHEMA)
-    rows = partial.groupBy("pid").agg(F.sum("partial_obj").alias("obj")).collect()
+    acc = _driver_combine(partial, ("pid",), ("partial_obj",))
     out = np.zeros(P)
-    for r in rows:
-        out[r["pid"]] = r["obj"]
+    for (pid,), (obj,) in acc.items():
+        out[pid] = obj
     return out
 
 
@@ -231,7 +250,7 @@ GKA_CENTER_STATS_SCHEMA = (
 
 
 def gka_member_centers(
-    labels: DataFrame, points: DataFrame, d: int
+    labels: DataFrame, points: DataFrame
 ) -> dict[int, dict[int, list[float]]]:
     """KMO center update for every member in one pass: join labels to
     points (broadcast-friendly: the per-partition work is a segmented
@@ -264,18 +283,10 @@ def gka_member_centers(
             )
 
     partial = j.mapInPandas(kernel, GKA_CENTER_STATS_SCHEMA)
-    final = partial.groupBy("member_id", "label").agg(
-        F.sum("n_points").alias("n"),
-        F.array(
-            *[F.sum(F.element_at("sum_vec", i + 1)).alias(f"s{i}") for i in range(d)]
-        ).alias("sum_vec"),
-    )
+    acc = _driver_combine(partial, ("member_id", "label"), ("n_points",), "sum_vec")
     out: dict[int, dict[int, list[float]]] = {}
-    for r in final.collect():
-        n = int(r["n"])
-        out.setdefault(int(r["member_id"]), {})[int(r["label"])] = [
-            s / n for s in r["sum_vec"]
-        ]
+    for (m, lab), (n, sv) in sorted(acc.items()):
+        out.setdefault(m, {})[lab] = [s / n for s in sv]
     return out
 
 
