@@ -238,3 +238,44 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.device").alias("device"),
         F.col("meta.v").alias("v"),
     )
+
+
+from spark_clustering_spark.functions.detagg import dsum, sql_dsum  # noqa: E402
+
+
+@query(
+    "q_sink_orc",
+    # format neutrality: an ORC round-trip must aggregate exactly like
+    # the parquet source it was written from
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + read-back: the second columnar lake format Spark
+    ships a vectorized reader for. Values must survive the round-trip
+    bit-exactly — the read-back aggregate hash-matches a direct
+    aggregate over the parquet source. Predicate pushdown works the
+    same as parquet (the shipdate filter is applied at write here, so
+    the ORC lake is already the pruned slice; a filter on the read side
+    would push into the ORC scan identically)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+        )
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="lineitem_orc_"), "lineitem")
+    li.write.mode("overwrite").option("compression", "zlib").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+    )
