@@ -277,3 +277,66 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("o_totalprice", "bucket_avg"),
         )
     )
+
+
+@query(
+    "q_agg_stats",
+    # stddev/corr are NOT computed with the engines' native aggregates
+    # (both use online algorithms whose float accumulation order
+    # differs); instead: exact decimal sums of x, y, x², y², xy —
+    # products taken in DECIMAL(19,4)·DECIMAL(19,4) so they are exact,
+    # never a rounded double cast — then the textbook formulas evaluated
+    # in IEEE double with identical expression trees on both sides
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             cast(sum(cast(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+             cast(sum(cast(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+             cast(sum(cast(l_quantity AS DECIMAL(19,4)) * cast(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+             cast(sum(cast(l_extendedprice AS DECIMAL(19,4)) * cast(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+             cast(sum(cast(l_quantity AS DECIMAL(19,4)) * cast(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           cast(round(cast(cast((sx / n) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS mean_qty,
+           cast(round(cast(cast((sqrt((sxx - sx * sx / n) / (n - 1))) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS std_qty,
+           cast(round(cast(cast((sqrt((syy - sy * sy / n) / (n - 1))) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS std_price,
+           cast(round(cast(cast(((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS corr_qty_price
+    FROM s
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution statistics per return flag: mean, sample stddev,
+    and Pearson correlation of quantity vs extended price — computed
+    from exact decimal power sums so the result is independent of
+    accumulation order (the native stddev/corr aggregates are online
+    and order-sensitive, hence unverifiable cross-engine). One
+    map-side-combinable shuffle of 6 partials per group, any scale."""
+    from spark_clustering_spark.functions.detagg import dround
+
+    d154 = "decimal(19,4)"
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(d154)
+    y = F.col("l_extendedprice").cast(d154)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        dround(sx / n).alias("mean_qty"),
+        dround(F.sqrt((sxx - sx * sx / n) / (n - 1))).alias("std_qty"),
+        dround(F.sqrt((syy - sy * sy / n) / (n - 1))).alias("std_price"),
+        dround(
+            (sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+            6,
+        ).alias("corr_qty_price"),
+    )

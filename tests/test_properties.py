@@ -149,3 +149,52 @@ def test_ntile_scalable_matches_exact_ntile(spark, n_rows, n_tiles, n_parts):
         for r in df.select("k", F.ntile(n_tiles).over(w).alias("t")).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_porthash_matches_duckdb(spark, strings):
+    """functions/porthash.py: Spark's conv(md5) path and DuckDB's
+    unrolled hex-digit sum produce the same 32-bit integers (lo and hi
+    halves) for arbitrary printable-ASCII strings — the base-hash
+    parity the dedup oracles stand on."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.functions.porthash import md5_int32, sql_hex_int
+
+    df = spark.createDataFrame([(s,) for s in strings], "s STRING")
+    got = {
+        r["s"]: (r["lo"], r["hi"])
+        for r in df.select(
+            "s",
+            md5_int32(F.col("s")).alias("lo"),
+            md5_int32(F.col("s"), hi=True).alias("hi"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in strings])
+    want = {
+        s: (lo, hi)
+        for s, lo, hi in con.execute(
+            "SELECT s, "
+            + sql_hex_int("md5(s)")
+            + " AS lo, "
+            + sql_hex_int("md5(s)", 9, 8)
+            + " AS hi FROM t"
+        ).fetchall()
+    }
+    assert got == want
