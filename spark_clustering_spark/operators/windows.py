@@ -313,3 +313,36 @@ def q_window_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("top_type"), "n")
     )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_evt,
+           last_value(event_type) OVER w AS last_evt,
+           nth_value(event_type, 2) OVER w AS second_evt,
+           count(*) OVER w AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user journey endpoints: first / last / second event type by
+    time (ties broken by event_id so the frame order is total). All
+    navigation functions share one full-partition frame — Catalyst
+    evaluates them in a single Window node, one shuffle on user_id."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_evt"),
+        F.last("event_type").over(w).alias("last_evt"),
+        F.nth_value("event_type", 2).over(w).alias("second_evt"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    ).distinct()

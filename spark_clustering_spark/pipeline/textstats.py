@@ -312,3 +312,59 @@ def q_text_score_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", dround(keep_score(F.length("text"))).alias("keep_score"))
+
+
+@query(
+    "q_text_redact",
+    # the corpus has no natural PII, so both engines inject the same
+    # deterministic contact strings first (identical concat expression),
+    # then redact — the regexes use the Java-regex ∩ RE2 common subset
+    # (character classes, bounded repeats, \b; no lookaround/backrefs)
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             concat(text, ' contact user', doc_id, '@example.com or call 555-',
+                    lpad(cast(doc_id % 10000 AS VARCHAR), 4, '0'), ' now') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::INT AS n_emails,
+           len(regexp_extract_all(t, '\b555-[0-9]{4}\b'))::INT AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5,
+           len(regexp_replace(
+                 regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\b555-[0-9]{4}\b', '<PHONE>', 'g'))::INT AS redacted_len
+    FROM seeded
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the standard pre-training privacy pass: find and
+    replace email addresses and phone numbers, report match counts and
+    a digest of the redacted text. Pure JVM regexp (whole-stage
+    codegen); no shuffle at all — a 100 TB redaction is embarrassingly
+    parallel map work, which is exactly what this plan is."""
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone = r"\b555-[0-9]{4}\b"
+    d = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(t, F.lit(email), F.lit("<EMAIL>")),
+        F.lit(phone),
+        F.lit("<PHONE>"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(email)).alias("n_emails"),
+        F.regexp_count(t, F.lit(phone)).alias("n_phones"),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+        F.length(red).alias("redacted_len"),
+    )
