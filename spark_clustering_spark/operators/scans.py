@@ -279,3 +279,63 @@ def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_quantity", "sum_qty"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+@query(
+    "q_sink_upsert",
+    # MERGE semantics without a table format: the oracle states the
+    # post-merge table directly; the engine path materializes it as a
+    # copy-on-write parquet swap and reads it back
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, 'SEGMENT_X' AS c_mktsegment, 0.0::DOUBLE AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT 9000000 + r_regionkey, 'SEGMENT_NEW', 100.0 FROM region
+    )
+    SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+           coalesce(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment,
+           coalesce(u.c_acctbal, c.c_acctbal) AS c_acctbal,
+           (u.c_custkey IS NOT NULL)::INT AS was_upserted
+    FROM customer c FULL OUTER JOIN updates u USING (c_custkey)
+    """,
+)
+def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) as copy-on-write: matched rows take the
+    update's columns, unmatched updates insert, unmatched base rows
+    carry over. Without a table format (Delta/Iceberg) this is the
+    full-outer-join + rewrite pattern; on a real lake only the files
+    containing matched keys would be rewritten (partition-pruned
+    copy-on-write), but the join/coalesce semantics are exactly these.
+    The merged result round-trips through a parquet swap directory to
+    prove the rewrite path, then reads back."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    r = table(spark, sf_dir, "region")
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 3)
+        .select(
+            "c_custkey",
+            F.lit("SEGMENT_X").alias("c_mktsegment"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+        .unionByName(
+            r.select(
+                (F.lit(9000000) + F.col("r_regionkey")).alias("c_custkey"),
+                F.lit("SEGMENT_NEW").alias("c_mktsegment"),
+                F.lit(100.0).alias("c_acctbal"),
+            )
+        )
+    )
+    u = updates.alias("u")
+    base = c.alias("c")
+    merged = base.join(u, ["c_custkey"], "full_outer").select(
+        "c_custkey",
+        F.coalesce("u.c_mktsegment", "c.c_mktsegment").alias("c_mktsegment"),
+        F.coalesce("u.c_acctbal", "c.c_acctbal").alias("c_acctbal"),
+        F.col("u.c_mktsegment").isNotNull().cast("int").alias("was_upserted"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="upsert_cow_"), "customer_v2")
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
