@@ -1,0 +1,216 @@
+"""Corpus chunking / packing / decontamination operators.
+
+The three standard shaping passes between a cleaned document table and
+a pretraining (or RAG-indexing) job:
+
+- **Chunking** — split each document into fixed-size overlapping token
+  windows (the RAG-index / context-window prep step).
+- **Sequence packing** — assign documents to fixed token-budget bins by
+  position in the concatenated token stream, so downstream training
+  batches are dense (the "packed sequences" manifest).
+- **Decontamination** — flag training documents that share word n-grams
+  with a held-out eval slice (benchmark leakage scan).
+
+All three are pure DataFrame plans over JVM built-ins (split / slice /
+sequence / window / broadcast join) — no Python in the hot path — and
+each carries a DuckDB oracle. Scale notes are on each operator; none
+shuffles document text more than once, and the decontamination probe
+broadcasts only the (tiny) eval-side shingle set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_clustering_spark.io import table
+from spark_clustering_spark.pipeline.dedup import shingles
+from spark_clustering_spark.registry import query
+
+CHUNK_TOKENS = 32   # chunk width C
+CHUNK_STRIDE = 24   # stride S (overlap = C - S = 8 tokens)
+PACK_BUDGET = 512   # tokens per packed bin
+PACK_STREAMS = 8    # independent packing streams (see q_pack_sequences)
+DECON_N = 3         # decontamination shingle width
+DECON_MOD = 23      # eval slice = doc_id % 23 == 0 (~4%)
+
+
+def _toks(text_col):
+    """Whitespace tokens with empties removed (split on \\s+ can emit a
+    leading '' when the text starts with whitespace)."""
+    return F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
+
+
+@query(
+    "q_text_chunk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1)::INT, {CHUNK_STRIDE})) AS start
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           (start // {CHUNK_STRIDE})::BIGINT AS chunk_id,
+           len(list_slice(toks, start + 1, start + {CHUNK_TOKENS}))::BIGINT
+             AS n_chunk_toks,
+           array_to_string(list_slice(toks, start + 1, start + {CHUNK_TOKENS}), ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: every document becomes
+    ceil(n/S) chunks of up to C={CHUNK_TOKENS} tokens at stride
+    S={CHUNK_STRIDE} (8-token overlap) — the RAG-indexing / context-
+    window prep pass.
+
+    Scale: narrow per-row transform (split → sequence → slice), no
+    shuffle at all — chunks are emitted where the document partition
+    lives, so this runs at scan speed on any number of executors. The
+    ~C/S output amplification is byte-bounded (each token appears in at
+    most ceil(C/S)=2 chunks)."""
+    d = table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("toks") - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    return (
+        d.select("doc_id", _toks(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.size(F.slice("toks", F.col("start") + 1, F.lit(CHUNK_TOKENS)))
+            .cast("bigint")
+            .alias("n_chunk_toks"),
+            F.concat_ws(
+                " ", F.slice("toks", F.col("start") + 1, F.lit(CHUNK_TOKENS))
+            ).alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             doc_id % {PACK_STREAMS} AS stream,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT stream, doc_id, n_toks,
+             coalesce(sum(n_toks) OVER (
+               PARTITION BY stream ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    )
+    SELECT stream, (cum_before // {PACK_BUDGET})::BIGINT AS bin_id,
+           count(*) AS n_docs,
+           sum(n_toks)::BIGINT AS bin_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM pos
+    GROUP BY 1, 2
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: documents are laid out in doc_id order
+    along {PACK_STREAMS} independent token streams (stream = doc_id mod
+    {PACK_STREAMS}) and assigned to the {PACK_BUDGET}-token bin their
+    first token lands in — the dense-batch packing step of a
+    pretraining data loader, as a manifest of (stream, bin) → docs.
+
+    Scale: the running sum is windowed PER STREAM, so there is no
+    global single-partition sort — at 100 TB you raise PACK_STREAMS to
+    O(cluster parallelism) and each stream's prefix sum is an
+    independent partition-local scan. One shuffle on the narrow
+    (stream, doc_id, n_toks) triple; document text never moves."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(PACK_STREAMS)).alias("stream"),
+        F.size(_toks(F.col("text"))).cast("bigint").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+    )
+    return (
+        pos.groupBy(
+            "stream",
+            F.floor(F.col("cum_before") / PACK_BUDGET).alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   for i in range(1, greatest(len(ws) - 1, 1))]))
+               AS shingle
+      FROM docs
+    ),
+    ev AS (
+      SELECT DISTINCT shingle FROM grams WHERE doc_id % {DECON_MOD} = 0
+    )
+    SELECT g.doc_id,
+           count(*) AS n_shared_shingles
+    FROM grams g JOIN ev ON g.shingle = ev.shingle
+    WHERE g.doc_id % {DECON_MOD} <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    {DECON_N}-gram word shingle with a held-out eval slice (doc_id %
+    {DECON_MOD} == 0, ~4% of the corpus) — the leakage scan run before
+    every pretraining job. Output: contaminated doc → number of shared
+    distinct shingles.
+
+    Scale: the eval side is ~4% of docs reduced to DISTINCT shingles,
+    small enough to broadcast — so the train side never shuffles: the
+    contamination probe is a map-side broadcast semi-join at scan
+    speed, then a narrow partial count. If the eval set outgrew
+    broadcast range, the same plan falls back to a shuffle hash join on
+    the shingle hash."""
+    d = table(spark, sf_dir, "documents")
+    g = shingles(d, n=DECON_N)
+    ev = (
+        g.filter(F.pmod("doc_id", F.lit(DECON_MOD)) == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        g.filter(F.pmod("doc_id", F.lit(DECON_MOD)) != 0)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )

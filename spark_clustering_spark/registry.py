@@ -51,6 +51,7 @@ def load_all_queries() -> None:
     from spark_clustering_spark.ml import fits  # noqa: F401
     from spark_clustering_spark.sources import multimodal  # noqa: F401
     from spark_clustering_spark.pipeline import (  # noqa: F401
+        chunking,
         dedup,
         sampling,
         similarity,

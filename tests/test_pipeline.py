@@ -219,3 +219,64 @@ class TestApproxDistinct:
         }
         for k, n in exact.items():
             assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, approx[k], n)
+
+
+class TestChunking:
+    def test_chunks_reconstruct_documents(self, spark):
+        """Concatenating each doc's chunks at stride offsets recovers the
+        token stream: chunk i starts at token i*S, and non-final chunks
+        are exactly C tokens."""
+        import __spark_entry__ as e
+        from spark_clustering_spark.pipeline.chunking import (
+            CHUNK_STRIDE,
+            CHUNK_TOKENS,
+        )
+
+        rows = (
+            e.queries()["q_text_chunk"](spark, SF_SMALL)
+            .filter(F.col("doc_id") < 50)
+            .collect()
+        )
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        docs = {
+            r["doc_id"]: [t for t in r["text"].split() if t]
+            for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .filter(F.col("doc_id") < 50)
+            .collect()
+        }
+        for doc_id, chunks in by_doc.items():
+            toks = docs[doc_id]
+            chunks.sort(key=lambda r: r["chunk_id"])
+            assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+            for c in chunks:
+                start = c["chunk_id"] * CHUNK_STRIDE
+                want = toks[start : start + CHUNK_TOKENS]
+                assert c["chunk_text"].split(" ") == want
+                assert c["n_chunk_toks"] == len(want)
+
+    def test_packing_preserves_tokens_and_order(self, spark):
+        """Every doc lands in exactly one bin; per-stream bin ids are
+        dense from 0; total packed tokens == total corpus tokens."""
+        import __spark_entry__ as e
+
+        bins = e.queries()["q_pack_sequences"](spark, SF_SMALL).collect()
+        total_docs = sum(r["n_docs"] for r in bins)
+        n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+        assert total_docs == n_docs
+        by_stream: dict[int, list] = {}
+        for r in bins:
+            by_stream.setdefault(r["stream"], []).append(r["bin_id"])
+        for stream, ids in by_stream.items():
+            ids.sort()
+            assert ids == list(range(len(ids))), stream
+
+    def test_decontaminate_excludes_eval_docs(self, spark):
+        import __spark_entry__ as e
+        from spark_clustering_spark.pipeline.chunking import DECON_MOD
+
+        rows = e.queries()["q_decontaminate"](spark, SF_SMALL).collect()
+        assert rows, "decontamination scan should flag at least one doc"
+        assert all(r["doc_id"] % DECON_MOD != 0 for r in rows)
+        assert all(r["n_shared_shingles"] >= 1 for r in rows)
