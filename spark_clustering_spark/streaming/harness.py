@@ -138,3 +138,50 @@ def stream_dedup(
     )
     res = _run_to_completion(dedup, "append", f"dedup_{id(src)}")
     return res.select("user_id", "event_type", "event_id", "ts")
+
+
+def stream_stream_join(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Real stream-stream inner join: two watermarked streams off the
+    same replay (views and clicks), joined on user_id with a 4-hour
+    time-range condition — the state-store-backed operator behind
+    q_stream_join. The range bound plus both watermarks lets Spark
+    prune join state; append mode emits each matched pair once.
+    Returns (view_id, click_id, user_id, gap_s)."""
+    replay = replay_dir(spark, sf_dir)
+    v = (
+        _read_stream(spark, replay)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    c = (
+        _read_stream(spark, replay)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    j = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 4 HOURS")),
+    )
+    res = _run_to_completion(j, "append", f"ssjoin_{id(j)}")
+    return res.select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts"))
+        .cast("bigint")
+        .alias("gap_s"),
+    )

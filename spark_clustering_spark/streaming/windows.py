@@ -208,3 +208,51 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           (floor(epoch(c.ts)) - floor(epoch(v.ts)))::BIGINT AS gap_s
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (batch equivalent): every click that
+    follows a view by the same user within 4 hours. In Structured
+    Streaming this exact plan is a watermarked stream-stream inner join
+    with a time-range condition (state pruned by the watermark bound —
+    see harness.stream_stream_join for the readStream version); batch
+    evaluation is identical, which the oracle checks.
+
+    Scale: equi-key on user_id carries the join; the time-range is a
+    residual predicate, so this shuffles each side once by user — no
+    cross product. Streaming state is bounded by the 4h range +
+    watermark delay per user."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 4 HOURS")),
+    )
+    return j.select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (_epoch(F.col("c_ts")) - _epoch(F.col("v_ts"))).alias("gap_s"),
+    )

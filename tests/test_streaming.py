@@ -111,3 +111,24 @@ def test_session_window_batch_matches_streaming_operator(spark):
     n_events = sum(r["n_events"] for r in rows)
     total = load(spark, SF_SMALL, "events").count()
     assert n_events == total
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """The watermarked stream-stream interval join emits exactly the
+    batch join's pairs: the replay is in event-id order and the range
+    bound (4h) plus watermark (2h) keeps every matchable pair in state
+    until its partner arrives, so append output == batch result."""
+    from spark_clustering_spark.streaming.harness import stream_stream_join
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        (r["view_id"], r["click_id"], r["gap_s"])
+        for r in stream_stream_join(spark, sf).collect()
+    }
+    batch = {
+        (r["view_id"], r["click_id"], r["gap_s"])
+        for r in e.queries()["q_stream_join"](spark, sf).collect()
+    }
+    assert batch, "batch join should produce pairs at sf0.001"
+    assert streamed == batch
