@@ -196,3 +196,179 @@ def q_olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@query(
+    "q_olap_promo_revenue",
+    oracle=f"""
+    SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+           {sql_dround("100 * cast(sum(CASE WHEN p.p_type = 'ECONOMY' THEN cast(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8)) ELSE cast(0 AS DECIMAL(38,8)) END) AS DOUBLE) / cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8))) AS DOUBLE)")} AS economy_share_pct,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'total_revenue')}
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q_olap_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of revenue from one part type —
+    a conditional-aggregate ratio over a fact⋈dim join (dim broadcast).
+    Both sums accumulate in exact DECIMAL(38,8) so the double division
+    is bit-identical cross-engine (functions/detagg.py)."""
+    from spark_clustering_spark.functions.detagg import DEC
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    promo = F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(zero))
+    total = F.sum(rev)
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            dround(
+                F.lit(100) * promo.cast("double") / total.cast("double")
+            ).alias("economy_share_pct"),
+            F.round(total, 4).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q_olap_min_cost_supplier",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, s.s_name, l.l_extendedprice AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size = 25
+      AND l.l_extendedprice = (
+        SELECT min(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q_olap_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted — no partsupp table in this schema):
+    for each size-25 part, the supplier(s) of its cheapest shipped
+    line. Declared through spark.sql with a correlated scalar subquery
+    so Catalyst's decorrelation rewrites it into the min-aggregate join
+    — the planner path a warehouse relies on for Q2/Q17/Q20.
+
+    Scale: the subquery decorrelates to groupBy(l_partkey).min joined
+    back on partkey — one shuffle of a narrow (key, min) side, never a
+    per-row re-scan."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand, s.s_name,
+               l.l_extendedprice AS min_price
+        FROM v_part p
+        JOIN v_lineitem l ON l.l_partkey = p.p_partkey
+        JOIN v_supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_size = 25
+          AND l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice) FROM v_lineitem l2
+            WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+@query(
+    "q_olap_dormant_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT cast(avg(cast(c2.c_acctbal AS DECIMAL(38,8))) AS DOUBLE)
+        FROM customer c2
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1998-11-01'
+      )
+    """,
+)
+def q_olap_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders — an uncorrelated scalar subquery (global average, exact
+    decimal accumulation so the threshold can't flip cross-engine)
+    plus a NOT EXISTS anti-join.
+
+    Scale: the scalar average is a 1-row broadcast; the anti-join
+    shuffles only (custkey) pairs of the filtered recent-orders slice."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal
+        FROM v_customer c
+        WHERE c.c_acctbal > (
+            SELECT cast(avg(cast(c2.c_acctbal AS DECIMAL(38,8))) AS DOUBLE)
+            FROM v_customer c2
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM v_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1998-11-01'
+          )
+        """
+    )
+
+
+@query(
+    "q_olap_disjunctive",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 25)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+)
+def q_olap_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR-ed brand/size/quantity
+    clauses. Exercises disjunctive predicate handling — Catalyst keeps
+    the common join key (partkey) as the equi-condition and evaluates
+    the OR as a residual filter, so there is still exactly one
+    broadcast join and no cross product; each disjunct's part-side
+    conjuncts also push into the dim scan as an OR filter."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(clause)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -152,3 +152,33 @@ def test_dedup_embedding_uses_blocked_cogroup_gemm(spark, qs):
     driver-side collect of the embedding table in the plan)."""
     plan = formatted_plan(qs["q_dedup_embedding"](spark, SF_SMALL))
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_chunking_has_no_shuffle(spark, qs):
+    """q_text_chunk is a narrow per-row transform — chunks must be
+    emitted where the document partition lives, zero exchanges."""
+    assert num_shuffles(qs["q_text_chunk"](spark, SF_SMALL)) == 0
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, qs):
+    """The eval-slice shingle set is the small side; the train-side
+    probe must be a broadcast join (no shuffle of train shingles)."""
+    plan = formatted_plan(qs["q_decontaminate"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_min_cost_supplier_subquery_decorrelates(spark, qs):
+    """The correlated scalar subquery must rewrite to an aggregate
+    joined on partkey — no per-outer-row subplan re-execution node."""
+    plan = formatted_plan(qs["q_olap_min_cost_supplier"](spark, SF_SMALL))
+    assert "Subquery" not in plan, plan[:2000]
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_stream_join_is_single_equi_join_no_cross(spark, qs):
+    """The interval join must carry the user_id equi-key (hash or
+    sort-merge join), never a cartesian/BNL with a time filter."""
+    plan = formatted_plan(qs["q_stream_join"](spark, SF_SMALL))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, (
+        plan[:2000]
+    )
