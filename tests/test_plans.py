@@ -182,3 +182,49 @@ def test_stream_join_is_single_equi_join_no_cross(spark, qs):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, (
         plan[:2000]
     )
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """At 100 TB the shuffle join of a selectively-filtered dim against
+    the fact table should inject a runtime bloom filter: the dim side
+    builds a bloom_filter_agg and the fact scan applies might_contain
+    BEFORE the shuffle, cutting shuffled bytes by the dim filter's
+    selectivity. Local datasets are below the size thresholds, so the
+    test lowers them to prove the rewrite fires on our join shape."""
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.io import table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, SF_SMALL, "lineitem")
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, (
+            plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
