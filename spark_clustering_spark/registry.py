@@ -57,4 +57,5 @@ def load_all_queries() -> None:
         similarity,
         textstats,
     )
+    from spark_clustering_spark.streaming import stateful  # noqa: F401
     from spark_clustering_spark.streaming import windows as stream_windows  # noqa: F401

@@ -73,20 +73,23 @@ def test_stateful_user_engagement(spark):
     from spark_clustering_spark.streaming.stateful import run_user_engagement
 
     final = {
-        r["user_id"]: (r["n_events"], r["sum_value"])
+        r["user_id"]: (r["n_events"], r["sum_cents"])
         for r in run_user_engagement(spark, SF_SMALL).collect()
     }
     expected = {
         r["user_id"]: (r["n"], r["s"])
         for r in table(spark, SF_SMALL, "events")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("s"),
+        )
         .collect()
     }
     assert set(final) == set(expected)
     for u, (n, s) in expected.items():
         assert final[u][0] == n
-        assert abs(final[u][1] - s) < 1e-6
+        assert final[u][1] == s  # integer cents: exact across chunkings
 
 
 def test_asof_scale_path_matches_range_join(spark):
