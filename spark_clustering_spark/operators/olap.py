@@ -372,3 +372,234 @@ def q_olap_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "q_olap_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_olap_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority that had at least one line
+    shipped more than 60 days after ordering — a correlated EXISTS
+    whose predicate references BOTH sides (l_shipdate vs o_orderdate),
+    so it cannot be pushed to either scan alone. Catalyst rewrites it
+    to a left-semi join on orderkey with the date comparison as the
+    join residual.
+
+    Scale: semi-join output is at most one row per order, so the
+    aggregate input is bounded by the (filtered) orders side; only
+    (orderkey, shipdate) leaves the lineitem scan."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q_olap_cust_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def q_olap_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    (excluding urgent orders), zero-order customers included — a left
+    join whose non-equi conjunct must stay in the JOIN clause (in WHERE
+    it would silently drop the NULL-extended rows), then a two-level
+    aggregate (count per customer, histogram over counts).
+
+    Scale: first aggregate shuffles on custkey (same key as the join,
+    so AQE coalesces into one exchange); the second input is one row
+    per customer and the histogram fits in a hand."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "q_olap_parts_supplier",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_olap_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can ship each
+    qualifying part profile, excluding a denylisted supplier set (the
+    NOT IN subquery) — negated dim predicates + anti-join + distinct
+    aggregation.
+
+    Scale: the denylist is tiny (broadcast anti-join); the distinct
+    count shuffles the deduplicated (brand, type, size, suppkey)
+    quadruple — Catalyst plans the two-phase distinct expand, and the
+    part dim broadcasts into the fact scan."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_olap_small_qty_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice', 'lost_revenue')},
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q_olap_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lines whose quantity is below 20%
+    of the part's average quantity — a correlated AVG scalar subquery.
+    Declared through spark.sql so Catalyst decorrelates it into a
+    groupBy(partkey).avg joined back on partkey (one narrow shuffle),
+    never a per-row re-scan.
+
+    The threshold is double-exact cross-engine: quantities are
+    integer-valued doubles, so sum and count are exact and
+    0.2 * (sum/count) is the same two IEEE ops in both engines."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    table(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    from spark_clustering_spark.functions.detagg import sql_dsum as _sds
+
+    return spark.sql(
+        f"""
+        SELECT {_sds('l.l_extendedprice', 'lost_revenue')},
+               count(*) AS n_lines
+        FROM v_lineitem l
+        JOIN v_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM v_lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
+
+
+@query(
+    "q_olap_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q_olap_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to this schema: returnflag plays the
+    receipt-delay role): suppliers who were the SOLE returner on a
+    finished multi-supplier order — a correlated EXISTS and a
+    correlated NOT EXISTS against the same fact table, both on
+    non-key conjuncts. Catalyst turns them into a left-semi and a
+    left-anti self-join on orderkey with the suppkey inequality as the
+    residual.
+
+    Scale: both self-joins key on orderkey — the same key the fact
+    table already shuffled on for the orders join, so AQE reuses one
+    exchange; only (orderkey, suppkey, returnflag) columns move."""
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM v_supplier s
+        JOIN v_lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN v_orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM v_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM v_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s.s_name
+        """
+    )

@@ -1,0 +1,212 @@
+"""Corpus-quality and representation operators for training pipelines.
+
+Three passes a pretraining data pipeline runs between raw documents
+and the tokenizer that the rest of ``pipeline/`` doesn't yet cover:
+
+- **Repetition scoring** — the duplicate-n-gram fractions used as a
+  quality gate (highly repetitive docs are generation artifacts).
+- **Mixture resampling** — deterministic per-source downsampling to a
+  target mixture, via a portable-hash keep threshold (no sort, no
+  window: a constant-time filter per row, the only pattern that holds
+  at 100 TB).
+- **Embedding quantization** — int8 per-vector quantization with a
+  reconstruction-error report, the storage/serving compression step
+  for the ANN index.
+
+All JVM built-ins (split / transform / zip_with / aggregate), no
+Python in the hot path, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_clustering_spark.functions.detagg import dround, sql_dround
+from spark_clustering_spark.functions.porthash import md5_int32, sql_hex_int
+from spark_clustering_spark.io import table
+from spark_clustering_spark.registry import query
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+               AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gram
+      FROM t WHERE len(ws) >= 2
+    ),
+    c AS (
+      SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           sum(n)::BIGINT AS n_grams,
+           count(*)::BIGINT AS n_distinct,
+           {sql_dround('(sum(n) - count(*)) / sum(n)')} AS dup_frac,
+           {sql_dround('max(n) / sum(n)')} AS top_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals per document: total and distinct word
+    2-grams, the fraction of 2-gram occurrences that are repeats
+    (dup_frac = 1 - distinct/total) and the share of the single most
+    frequent 2-gram (top_frac) — the standard repetitive-content gate
+    applied before pretraining (docs with dup_frac near 1 are boiler-
+    plate or generation loops).
+
+    Scale: one shuffle of (doc_id, gram) to count within-doc repeats,
+    then a per-doc rollup on the same key — document text itself never
+    moves, and both aggregations combine map-side. The ratio math is
+    integer-derived so the 4-dp decimal round is stable cross-engine."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
+    )
+    c = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n")
+    return c.groupBy("doc_id").agg(
+        total.cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        dround((total - F.count(F.lit(1))) / total).alias("dup_frac"),
+        dround(F.max("n") / total).alias("top_frac"),
+    )
+
+
+@query(
+    "q_sample_mixture",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             md5(concat('mix', doc_id)) AS hx,
+             (1 + (CAST(substr(source, 4) AS BIGINT) % 4)) / 4.0 AS rate
+      FROM documents
+    )
+    SELECT doc_id, source, {sql_dround('rate')} AS keep_rate
+    FROM w
+    WHERE {sql_hex_int('hx')} < floor(rate * 4294967296)::BIGINT
+    """,
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling: each source is downsampled to a target rate
+    (here a deterministic per-source schedule of 25/50/75/100%) by
+    keeping documents whose portable 32-bit hash falls below
+    rate·2^32 — how a pretraining pipeline rebalances web/code/books
+    shares without materializing per-source sorts.
+
+    Scale: this is THE scale-correct sampling pattern — a stateless
+    per-row predicate (hash compare), no shuffle, no per-source window
+    or count pass; the sample is reproducible (seeded hash of doc_id),
+    stable under reruns and insertions, and composable with the
+    train/test splitter (`q_split_train_test` uses a disjoint hash
+    domain). Rates here come from a literal schedule; a production run
+    joins a tiny broadcast (source → rate) table instead — same plan."""
+    d = table(spark, sf_dir, "documents")
+    rate = (
+        1 + F.pmod(F.substring("source", 4, 10).cast("bigint"), F.lit(4))
+    ) / 4.0
+    h = md5_int32(F.concat(F.lit("mix"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "source", rate.alias("rate"))
+        .filter(h < F.floor(F.col("rate") * 4294967296).cast("bigint"))
+        .select("doc_id", "source", dround("rate").alias("keep_rate"))
+    )
+
+
+@query(
+    "q_vec_quantize",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             greatest(list_max([abs(x) for x in e]), 1e-12) / 127 AS scale
+      FROM t
+    ),
+    q AS (
+      SELECT vec_id, scale, e,
+             [round(x / scale)::BIGINT for x in e] AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           list_sum([qv[i] * i for i in range(1, len(qv) + 1)])::BIGINT
+             AS q_checksum,
+           list_max([abs(x) for x in qv])::BIGINT AS q_max,
+           {sql_dround('scale', 6)} AS scale,
+           {sql_dround('sqrt(list_sum([(e[i] - qv[i]*scale)*(e[i] - qv[i]*scale) for i in range(1, len(e) + 1)]))')}
+             AS l2_err
+    FROM q
+    """,
+)
+def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector scale =
+    max|x|/127, q_i = round(x_i/scale) ∈ [-127, 127], reported as a
+    position-weighted integer checksum (exact cross-engine), the max
+    magnitude (must be ≤ 127), and the L2 reconstruction error — the
+    4× compression step an ANN serving index applies to embeddings.
+
+    Scale: pure per-row array math (transform/zip_with/aggregate), no
+    shuffle, whole-stage codegen end to end; at 100 TB this runs at
+    scan speed and writes 1/4 the bytes. The checksum is integer-exact;
+    scale and l2_err go through the 4-dp decimal pivot which absorbs
+    sub-ulp fold-order differences between engines."""
+    d = table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    t = d.select("vec_id", e.alias("e"))
+    scale = F.greatest(
+        F.array_max(F.transform("e", F.abs)), F.lit(1e-12)
+    ) / 127
+    s = t.select("vec_id", "e", scale.alias("scale"))
+    qv = F.transform(
+        "e", lambda x: F.round(x / F.col("scale")).cast("long")
+    )
+    q = s.select("vec_id", "scale", "e", qv.alias("qv"))
+    checksum = F.aggregate(
+        F.zip_with("qv", F.sequence(F.lit(1), F.size("qv")), lambda v, i: v * i),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq_err = F.aggregate(
+        F.zip_with(
+            "e",
+            "qv",
+            lambda x, v: (x - v * F.col("scale")) * (x - v * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # Two selects on purpose: aliasing the rounded scale back to the
+    # name "scale" in the SAME select as sq_err would make the lambda's
+    # F.col("scale") resolve to the lateral column alias (the rounded
+    # value) under Spark's implicit lateral-alias resolution — the
+    # reconstruction error must use the exact scale.
+    out = q.select(
+        "vec_id",
+        checksum.alias("q_checksum"),
+        F.array_max(F.transform("qv", F.abs)).alias("q_max"),
+        "scale",
+        F.sqrt(sq_err).alias("raw_l2"),
+    )
+    return out.select(
+        "vec_id",
+        "q_checksum",
+        "q_max",
+        dround("scale", 6).alias("scale"),
+        dround("raw_l2").alias("l2_err"),
+    )

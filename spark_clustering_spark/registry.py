@@ -53,6 +53,7 @@ def load_all_queries() -> None:
     from spark_clustering_spark.pipeline import (  # noqa: F401
         chunking,
         dedup,
+        quality,
         sampling,
         similarity,
         textstats,

@@ -101,7 +101,7 @@ def run_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           sum(round(value * 100)::BIGINT) AS sum_cents,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
            floor(epoch(max(ts)))::BIGINT AS last_ts_epoch
     FROM events
     GROUP BY user_id

@@ -228,3 +228,41 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_priority_check_semi_join_not_subquery(spark, qs):
+    """The correlated EXISTS (predicate spans both sides) must plan as
+    a single left-semi join on orderkey — no per-row subquery node."""
+    plan = formatted_plan(qs["q_olap_priority_check"](spark, SF_SMALL))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "Subquery" not in plan, plan[:2000]
+
+
+def test_waiting_supplier_plans_semi_and_anti(spark, qs):
+    """EXISTS and NOT EXISTS against the same fact must decorrelate to
+    one left-semi and one left-anti self-join — never a nested-loop
+    re-scan per outer row."""
+    plan = formatted_plan(qs["q_olap_waiting_supplier"](spark, SF_SMALL))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_mixture_is_stateless_filter(spark, qs):
+    """Mixture resampling must be a per-row hash predicate at scan
+    speed: zero exchanges in the plan (the whole point of threshold
+    sampling over per-source windows)."""
+    assert num_shuffles(qs["q_sample_mixture"](spark, SF_SMALL)) == 0
+
+
+def test_vec_quantize_no_shuffle(spark, qs):
+    """int8 quantization is pure per-row array math — zero exchanges,
+    single codegen stage over the scan."""
+    assert num_shuffles(qs["q_vec_quantize"](spark, SF_SMALL)) == 0
+
+
+def test_parts_supplier_broadcasts_denylist_and_dim(spark, qs):
+    """Q16 shape: the supplier denylist anti-join and the part dim join
+    must both broadcast — the only shuffle is the distinct aggregate."""
+    plan = formatted_plan(qs["q_olap_parts_supplier"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan
