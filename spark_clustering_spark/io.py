@@ -56,3 +56,26 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql access."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition a WORK-AMPLIFYING input up to cluster parallelism —
+    only when the scan under-parallelizes it.
+
+    Operators like shingling explode each row into ~10-100x its bytes
+    before the first shuffle, so their map stage's parallelism is fixed
+    by the SCAN's split count. Spark sizes splits by input bytes
+    (maxPartitionBytes / openCostInBytes), which is right for scans but
+    wrong for amplifying maps: a single small file becomes ONE task
+    doing 100x work. At 100 TB the table has thousands of row groups
+    and this gate never fires; on a small/compacted input it buys the
+    full core count for the expensive stage at the cost of one narrow
+    shuffle of the raw rows.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)

@@ -54,14 +54,22 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
 
     Docs with fewer than ``n`` tokens emit no shingles (matching the SQL
     oracle, which generates an empty gram list for them — without the
-    guard the sequence() lower bound would emit one partial shingle)."""
+    guard the sequence() lower bound would emit one partial shingle).
+
+    The input is ``spread()`` first: shingling amplifies each document
+    ~token-count-fold before the first shuffle, so its parallelism is
+    pinned by the scan's split count, not its cost — a compacted input
+    would otherwise run the whole explode on a handful of cores."""
+    from spark_clustering_spark.io import spread
+
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return (
-        df.filter(F.size(toks) >= n)
+        spread(df, "doc_id")
+        .filter(F.size(toks) >= n)
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
@@ -264,8 +272,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded near-dup search (chunks re-summed from the bit-sign columns —
     identical to slicing the fingerprint, but avoids engine-specific
     unsigned-shift semantics)."""
+    from spark_clustering_spark.io import spread
+
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
+    # spread before the explode: 2 md5s/token + 64 conditional partial
+    # sums make this the most compute-amplified map in the repo — its
+    # parallelism must not be pinned to the scan's split count
+    toks = spread(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).filter(F.length("tok") > 0)
     th = toks.select(

@@ -71,8 +71,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size("toks") - 2),
         lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
     )
+    from spark_clustering_spark.io import spread
+
     c = (
-        d.select("doc_id", toks.alias("toks"))
+        spread(d.select("doc_id", "text"), "doc_id")
+        .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 2)
         .select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "gram")
