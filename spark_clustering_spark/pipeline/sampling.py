@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_clustering_spark.functions.porthash import sql_hex_int
 from spark_clustering_spark.functions.rng import lcg_uniform, sql_lcg_uniform
 from spark_clustering_spark.io import table
 from spark_clustering_spark.registry import query
@@ -160,4 +161,51 @@ def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("clean_len").cast("bigint").alias("total_len"),
         )
+    )
+
+
+@query(
+    "q_sample_per_group",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, source, md5(concat('pg', doc_id)) AS hx
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY {sql_hex_int('hx')}, doc_id
+             ) AS rn
+      FROM h
+    )
+    SELECT doc_id, lang, source, rn AS pick
+    FROM r WHERE rn <= 2
+    """,
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (k=2 per (lang, source)): rank
+    group members by a seeded portable hash and keep the first k — the
+    'few exemplars per stratum' draw used for eval slices and manual
+    inspection sets. Reproducible across runs and engines (the hash
+    order IS the sample), unlike sampleBy's RNG-dependent draw.
+
+    Scale: one shuffle of (doc_id, lang, source, hash32); text never
+    moves. Per-group row_number is safe because each stratum streams
+    through a single task ordered by hash — for k << group size the
+    window short-circuits nothing, so an even bigger-data variant would
+    swap in a per-partition bounded heap (the q_topk_per_group plan);
+    the semantics and output stay identical."""
+    from spark_clustering_spark.functions.porthash import md5_int32
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    h = md5_int32(F.concat(F.lit("pg"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(
+        h.asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= 2)
     )

@@ -266,3 +266,14 @@ def test_parts_supplier_broadcasts_denylist_and_dim(spark, qs):
     plan = formatted_plan(qs["q_olap_parts_supplier"](spark, SF_SMALL))
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     assert "SortMergeJoin" not in plan
+
+
+def test_range_join_buckets_to_equi_hash_join(spark, qs):
+    """The keyless range join must run as a hash equi-join on the
+    bucket id with a residual filter — never a BroadcastNestedLoop /
+    cartesian scan of the value space."""
+    plan = formatted_plan(qs["q_join_range_bucketed"](spark, SF_SMALL))
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, (
+        plan[:2000]
+    )
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
