@@ -179,7 +179,7 @@ def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS rn
       FROM h
     )
-    SELECT doc_id, lang, source, rn AS pick
+    SELECT doc_id, lang, source, rn::INT AS pick
     FROM r WHERE rn <= 2
     """,
 )

@@ -280,3 +280,27 @@ class TestChunking:
         assert rows, "decontamination scan should flag at least one doc"
         assert all(r["doc_id"] % DECON_MOD != 0 for r in rows)
         assert all(r["n_shared_shingles"] >= 1 for r in rows)
+
+
+class TestSpread:
+    def test_spread_splits_compacted_input(self, spark):
+        """A single-split scan must spread to core count for the
+        amplifying map; row content must be unchanged."""
+        from spark_clustering_spark.io import spread, table
+
+        d = table(spark, SF_SMALL, "documents").select("doc_id", "text")
+        assert d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+        s = spread(d, "doc_id")
+        assert (
+            s.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+        )
+        assert sorted(r["doc_id"] for r in s.select("doc_id").collect()) == (
+            sorted(r["doc_id"] for r in d.select("doc_id").collect())
+        )
+
+    def test_spread_noop_on_well_split_input(self, spark):
+        from spark_clustering_spark.io import spread
+
+        target = spark.sparkContext.defaultParallelism
+        df = spark.range(1000, numPartitions=target + 4)
+        assert spread(df) is df

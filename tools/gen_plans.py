@@ -45,6 +45,33 @@ NOTES = {
         "B·(B+1)/2 block pairs — no driver collect, no full-table "
         "broadcast; per-task memory is two n/B-row blocks."
     ),
+    "q_join_range_bucketed": (
+        "keyless range predicate run as a hash equi-join on "
+        "floor(price/δ) buckets with the exact |a−b|<δ residual — no "
+        "BroadcastNestedLoop/cartesian; pair blowup is density-bound "
+        "per bucket."
+    ),
+    "q_olap_priority_check": (
+        "correlated EXISTS whose predicate spans both sides "
+        "decorrelates to ONE left-semi join on orderkey with the date "
+        "comparison as join residual — no per-row subplan."
+    ),
+    "q_olap_waiting_supplier": (
+        "correlated EXISTS + NOT EXISTS against the same fact table "
+        "become a left-semi and a left-anti self-join, both keyed on "
+        "orderkey."
+    ),
+    "q_sample_mixture": (
+        "mixture resampling as a stateless per-row hash-threshold "
+        "filter: zero Exchange nodes — the only sampling shape with no "
+        "per-source sort or count pass."
+    ),
+    "q_dedup_minhash": (
+        "spread() splits the compacted scan before the shingle explode "
+        "(amplification-aware parallelism); signatures shuffle as "
+        "16×8 B rows/doc; the LSH self-join confines the pair blowup "
+        "to band buckets."
+    ),
 }
 
 
