@@ -339,3 +339,70 @@ def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.mkdtemp(prefix="upsert_cow_"), "customer_v2")
     merged.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+@query(
+    "q_cdc_snapshot_diff",
+    # v1/v2 are deterministic mutations of orders: keys %11==3 arrive
+    # only in v2 (inserts), keys %13==5 vanish from v2 (deletes), keys
+    # %7==0 flip status in v2 (updates); everything else is unchanged
+    # and excluded from the change feed
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 11 <> 3
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM orders WHERE o_orderkey % 13 <> 5
+    )
+    SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                WHEN v2.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           v1.o_orderstatus AS old_status,
+           v2.o_orderstatus AS new_status
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_orderstatus <> v2.o_orderstatus
+    """,
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: two versions of the orders
+    table full-outer-joined on the key, emitting insert/delete/update
+    change rows and dropping unchanged ones — the way you derive a
+    change feed when the source has no transaction log.
+
+    Scale shape: one co-partitioned sort-merge join keyed on the
+    primary key (both sides shuffle on the same key once); the
+    unchanged-row filter drops the bulk of the output before anything
+    downstream. On a lake with a real table format the change log
+    replaces the diff, but the join/classify semantics are exactly
+    these."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    v1 = o.filter(F.col("o_orderkey") % 11 != 3)
+    v2 = o.filter(F.col("o_orderkey") % 13 != 5).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    j = v1.alias("v1").join(
+        v2.alias("v2"),
+        F.col("v1.o_orderkey") == F.col("v2.o_orderkey"),
+        "full_outer",
+    )
+    return j.filter(
+        F.col("v1.o_orderkey").isNull()
+        | F.col("v2.o_orderkey").isNull()
+        | (F.col("v1.o_orderstatus") != F.col("v2.o_orderstatus"))
+    ).select(
+        F.coalesce("v1.o_orderkey", "v2.o_orderkey").alias("o_orderkey"),
+        F.when(F.col("v1.o_orderkey").isNull(), "insert")
+        .when(F.col("v2.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.col("v1.o_orderstatus").alias("old_status"),
+        F.col("v2.o_orderstatus").alias("new_status"),
+    )

@@ -22,6 +22,7 @@ from spark_clustering_spark.registry import query
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 HOUR_US = 3_600 * 1_000_000
+DAY_US = 24 * HOUR_US
 
 
 @query(
@@ -128,4 +129,114 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_id",
         F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
         F.last("avg_v", ignorenulls=True).over(w_ff).alias("avg_v_ffill"),
+    )
+
+
+@query(
+    "q_ts_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    s1 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts_us END) AS t_view
+      FROM e GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(ts_us) AS t_click
+      FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND ts_us >= t_view
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(ts_us) AS t_purchase
+      FROM e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts_us >= t_click
+      GROUP BY e.user_id
+    )
+    SELECT count(t_view) AS n_view,
+           (SELECT count(*) FROM s2) AS n_click_after_view,
+           (SELECT count(*) FROM s3) AS n_purchase_after_click
+    FROM s1
+    """,
+)
+def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel over the event stream: users who viewed, then
+    clicked at-or-after their first view, then purchased at-or-after
+    their first qualifying click — the ordered-sequence analysis every
+    event pipeline runs.
+
+    Scale shape: every stage is a groupBy/join keyed on user_id — one
+    hash partitioning reused across all three stages (AQE reuses the
+    exchange), per-user state is a single timestamp per stage, and the
+    final output is one row of counts. No sort, no window over the full
+    stream, no driver-side state."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias(
+            "t_view"
+        )
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts_us") >= F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_us") >= F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    return (
+        s1.agg(F.count("t_view").alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@query(
+    "q_ts_retention",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day_id FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(day_id) AS cohort_day FROM ud GROUP BY user_id
+    )
+    SELECT cohort_day // 7 AS cohort_week,
+           (day_id - cohort_day) // 7 AS week_offset,
+           count(DISTINCT ud.user_id) AS n_users
+    FROM ud JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the week of their first
+    activity, counted once per week-offset they return in — the
+    triangular retention matrix behind every growth dashboard.
+
+    Scale shape: the distinct (user, day) projection collapses the raw
+    stream first (the only pass over full data), then every later step
+    is keyed on user_id with one small join; integer day/week math on
+    microseconds keeps both engines bit-identical."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_id")
+    )
+    ud = e.distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("day_id").alias("cohort_day"))
+    return (
+        ud.join(cohort, "user_id")
+        .groupBy(
+            F.expr("cohort_day div 7").alias("cohort_week"),
+            F.expr("(day_id - cohort_day) div 7").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
     )

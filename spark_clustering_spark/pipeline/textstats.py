@@ -368,3 +368,69 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(red.cast("binary")).alias("redacted_md5"),
         F.length(red).alias("redacted_len"),
     )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             cast(round(cast(cast((tf * ln(n_docs / df)) AS VARCHAR)
+               AS DECIMAL(38,12)), 4) AS DOUBLE) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, rnk, tok, tfidf FROM (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, tok)::INT AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword-extraction
+    / relevance-weighting pass (tf * ln(N/df), natural log, rounded
+    through the decimal pivot before ranking so both engines order
+    identically).
+
+    Scale shape: term frequencies shuffle on (doc_id, tok) once;
+    document frequencies are an aggregate OF that aggregate (tiny —
+    vocabulary-sized, not corpus-sized) and come back as a broadcast
+    hash join on tok; the corpus size N joins as a broadcast 1-row
+    cross join, never a driver-side collect. The final per-doc top-3 is
+    a window over the already-aggregated tf rows, partitioned by
+    doc_id — no global sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            dround(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tfidf")
+    )

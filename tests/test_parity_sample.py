@@ -22,6 +22,7 @@ SAMPLE = [
     "q_stream_session",
     "q_dedup_exact",
     "q_text_fingerprint",
+    "q_text_tfidf",
 ]
 
 

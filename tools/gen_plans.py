@@ -66,6 +66,24 @@ NOTES = {
         "filter: zero Exchange nodes — the only sampling shape with no "
         "per-source sort or count pass."
     ),
+    "q_text_tfidf": (
+        "document frequencies are an aggregate of the tf aggregate "
+        "(vocabulary-sized) and return as a BroadcastHashJoin on tok; "
+        "corpus size N is a broadcast 1-row cross join — the corpus-"
+        "sized tf relation never re-shuffles after its one (doc_id, tok) "
+        "exchange."
+    ),
+    "q_ts_funnel": (
+        "all three funnel stages key their groupBy/join on user_id — "
+        "AQE reuses one hash partitioning across the chain; per-user "
+        "state is one timestamp per stage and the output is a single "
+        "row of counts."
+    ),
+    "q_cdc_snapshot_diff": (
+        "snapshot diff as ONE co-partitioned SortMergeJoin on the "
+        "primary key; the unchanged-row filter cuts the change feed "
+        "before anything downstream."
+    ),
     "q_dedup_minhash": (
         "spread() splits the compacted scan before the shingle explode "
         "(amplification-aware parallelism); signatures shuffle as "
