@@ -43,8 +43,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # deterministic timestamp rendering even on a caller-provided session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) parquet read via nanosAsLong
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # plain timestamp[us] (no tz) parquet arrives as TIMESTAMP_NTZ;
+            # session tz is pinned UTC above, so this cast is value-preserving
+            # and restores unix_micros()/window() compatibility.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

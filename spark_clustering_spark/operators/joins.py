@@ -437,14 +437,26 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair blowup is confined to co-bucketed rows (density-bound,
     like the LSH band join), the shuffle keys on an integer, and a hot
     price band is ordinary join skew — AQE splits it. The oracle states
-    the declarative range join; Spark runs the bucketed plan."""
+    the declarative range join; Spark runs the bucketed plan.
+
+    Pair-volume optimization: unit prices repeat heavily (they derive
+    from a bounded price grid), so the fact side is pre-aggregated to
+    distinct ``(bucket, unit, n)`` BEFORE the fanout join — the join
+    then touches one row per distinct unit value instead of one per
+    lineitem, and the final aggregate count-weights: ``sum(n)`` for
+    the pair count and an exact decimal ``sum(unit·n)`` for the value
+    sum (decimal arithmetic makes the weighted form bit-identical to
+    summing each occurrence)."""
     delta = 2.0
     li = table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_quantity"
     )
     unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
-    lb = li.select(unit).withColumn(
-        "bucket", F.floor(F.col("unit") / delta)
+    lb = (
+        li.select(unit)
+        .withColumn("bucket", F.floor(F.col("unit") / delta))
+        .groupBy("bucket", "unit")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     pb = p.select(
@@ -458,11 +470,18 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    from spark_clustering_spark.functions.detagg import dsum
-
+    # unit < 10^10 and n < 10^9 here, so decimal(18,8)*decimal(9,0) =
+    # decimal(28,8) stays exact (no precision-loss truncation at p>38);
+    # the sum accumulates the same decimal values dsum would.
+    weighted = F.col("unit").cast("decimal(18,8)") * F.col("n").cast(
+        "decimal(9,0)"
+    )
     return (
         lb.join(F.broadcast(pb), "bucket")
         .filter(F.abs(F.col("unit") - F.col("p_retailprice")) < delta)
         .groupBy("p_partkey")
-        .agg(F.count(F.lit(1)).alias("n_near"), dsum("unit", "sum_unit"))
+        .agg(
+            F.sum("n").alias("n_near"),
+            F.round(F.sum(weighted), 4).cast("double").alias("sum_unit"),
+        )
     )

@@ -83,6 +83,7 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", help="write per-query results to this JSON file")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -96,6 +97,7 @@ def main():
     spark = get_spark("parity")
     con = duck_conn(args.sf)
 
+    results: dict[str, dict] = {}
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         t0 = time.time()
@@ -104,26 +106,50 @@ def main():
             spark_pd = sdf.toPandas()
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "err": "spark error"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows {name}: {len(spark_pd)} rows ({time.time()-t0:.1f}s) [rows-only]")
+            results[name] = {"status": "rows_only", "spark_rows": len(spark_pd)}
             n_rowsonly += 1
             continue
         try:
             duck_pd = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "err": "duckdb error"}
             n_fail += 1
             continue
         problems = compare(name, spark_pd, duck_pd)
         if problems:
             print(f"FAIL {name} ({time.time()-t0:.1f}s): " + "; ".join(problems))
+            results[name] = {"status": "fail", "err": "; ".join(problems)}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(spark_pd)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "pass",
+                "spark_rows": len(spark_pd),
+                "sec": round(time.time() - t0, 2),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if args.json:
+        import json
+
+        Path(args.json).write_text(
+            json.dumps(
+                {
+                    "sf": args.sf,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rowsonly,
+                    "queries": results,
+                },
+                indent=1,
+            )
+        )
     sys.exit(1 if n_fail else 0)
 
 
