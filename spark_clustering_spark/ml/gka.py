@@ -35,6 +35,8 @@ import math
 import time
 from dataclasses import dataclass
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -76,7 +78,8 @@ def _gen_stats_and_picks(
     mutating: list[int],
     u2: dict[int, float],
     cm: float,
-) -> tuple[dict[int, float], list[dict]]:
+    partials: DataFrame | None = None,
+) -> tuple[dict[int, float], list[dict], dict[tuple[int, int], list]]:
     """ONE window pass over the assignment table returning both the
     per-member objectives (R13, exact decimal window sum) and the
     roulette-picked mutation gene per mutating member (R12: weight
@@ -88,7 +91,13 @@ def _gen_stats_and_picks(
     several intervals can contain u2 (first one wins) or none can (no
     mutation for that member — the reference's index = -1 path). Only
     ≤ 2P + a few rows are collected — fusing fitness into the pick job
-    saves a full aggregate job per generation."""
+    saves a full aggregate job per generation.
+
+    When ``partials`` is given (the kind=1 center-partial rows the
+    reassign kernel emits), they ride the SAME collect as extra rows
+    and come back as ``{(member, label): [n, sum_vec ndarray]}`` —
+    P·k·num_partitions tiny rows, combined in collect order exactly
+    like ``_driver_combine``."""
     w_all = Window.partitionBy("member_id")
     w_ord = Window.partitionBy("member_id").orderBy("vec_id")
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -117,7 +126,7 @@ def _gen_stats_and_picks(
     is_pick = (
         u2_col.isNotNull() & (u2_col >= F.col("lo")) & (u2_col < F.col("hi"))
     )
-    rows = (
+    picked = (
         ann.withColumn("is_first", is_first)
         .withColumn("is_pick", is_pick)
         .filter(F.col("is_first") | F.col("is_pick"))
@@ -125,19 +134,49 @@ def _gen_stats_and_picks(
             "member_id", "vec_id", "label", "dist", "mdist", "obj",
             "is_first", "is_pick",
         )
-        .collect()
     )
-    objs = {int(r["member_id"]): float(r["obj"]) for r in rows if r["is_first"]}
+    if partials is not None:
+        picked = picked.unionByName(
+            partials.select(
+                "member_id",
+                F.lit(None).cast("bigint").alias("vec_id"),
+                "label",
+                F.lit(None).cast("double").alias("dist"),
+                F.lit(None).cast("double").alias("mdist"),
+                F.lit(None).cast("double").alias("obj"),
+                F.lit(False).alias("is_first"),
+                F.lit(False).alias("is_pick"),
+                "n_points",
+                "sum_vec",
+            ),
+            allowMissingColumns=True,
+        )
+    rows = picked.collect()
+    objs = {
+        int(r["member_id"]): float(r["obj"])
+        for r in rows
+        if r["is_first"]
+    }
+    sums: dict[tuple[int, int], list] = {}
     # scan-and-break: keep only the first qualifying gene per member
     first_gene: dict[int, dict] = {}
     for r in rows:
+        if partials is not None and r["n_points"] is not None:
+            key = (int(r["member_id"]), int(r["label"]))
+            e = sums.get(key)
+            if e is None:
+                sums[key] = [int(r["n_points"]), np.array(r["sum_vec"])]
+            else:
+                e[0] += int(r["n_points"])
+                e[1] = e[1] + np.array(r["sum_vec"])
+            continue
         if r["is_pick"]:
             m = int(r["member_id"])
             if m not in first_gene or r["vec_id"] < first_gene[m]["vec_id"]:
                 first_gene[m] = r.asDict()
     genes = [first_gene[m] for m in sorted(first_gene)]
     assert len(genes) == len(first_gene), "at most one gene per mutating member"
-    return objs, genes
+    return objs, genes, sums
 
 
 def fit_gka(
@@ -152,10 +191,17 @@ def fit_gka(
 ) -> GKAResult:
     """GKA loop. ``points``: (vec_id, vec array<double>)."""
     # hash-partition the data ONCE on the join key: the cached layout
-    # advertises its partitioning, so every generation's labels⋈points
-    # centers join shuffles only the labels side (n·P skinny rows) —
-    # the data-sized side never re-shuffles across generations
-    points = points.repartition("vec_id").persist()
+    # advertises its partitioning, so the gen-0 labels⋈points centers
+    # join shuffles only the labels side (n·P skinny rows) — the
+    # data-sized side never re-shuffles across generations.
+    # Partition count scales with the data: the per-generation cost at
+    # small n is Python-worker round-trips (parts × jobs), so a tiny
+    # input gets few fat partitions; a 100 TB input saturates the
+    # cluster (ceil(n/20k) rows per BLAS batch, capped at parallelism).
+    n_rows = points.count()
+    par = points.sparkSession.sparkContext.defaultParallelism
+    parts = max(1, min(par, (n_rows + 19_999) // 20_000))
+    points = points.repartition(parts, "vec_id").persist()
     points.count()
 
     labels = _init_labels(spark, points, pop, k, seed)
@@ -164,17 +210,15 @@ def fit_gka(
     metrics_rows: list[tuple] = []
     history: list[dict] = []
 
-    prev_assigned = None
+    # gen-0 centers need one dedicated shuffle+kernel job (the initial
+    # labels exist only as a DF); every later generation's centers are
+    # derived DRIVER-SIDE from the partial sums the reassign kernel
+    # emits for free — see the sums bookkeeping at the loop tail
+    centers_map = gka_member_centers(labels, points)
+
+    prev_mixed = None
     for gen in range(num_gen):
         t0 = time.time()
-        # KMO via kernels (ml/kernels.py): segmented-sum center update +
-        # per-member BLAS reassignment — no exploded shuffles.
-        # centers_map is COLLECTED driver-side, which also severs the
-        # lineage between generations (next gen's kernel sees only the
-        # cached points + a broadcast literal)
-        centers_map = gka_member_centers(labels, points)
-        if prev_assigned is not None:
-            prev_assigned.unpersist()
         # the mutation draws depend only on (member, gen, seed), so the
         # target labels are known BEFORE reassignment — the kernel emits
         # each point's distance to its member's target center (mdist)
@@ -184,14 +228,36 @@ def fit_gka(
         u2 = {m: py_lcg_uniform(m * 104729 + gen, seed + 2) for m in mutating}
         u3 = {m: py_lcg_uniform(m * 1299709 + gen, seed + 3) for m in mutating}
         targets = {m: int(u3[m] * k) for m in mutating}
-        # persist (lazy) instead of an eager checkpoint: the 2-3
-        # downstream jobs this generation reuse the materialization the
-        # first one triggers, without paying a dedicated write job
-        assigned = gka_reassign(points, centers_map, targets).persist()
-        prev_assigned = assigned
+        # persist (lazy) instead of an eager checkpoint: the downstream
+        # jobs this generation reuse the materialization the first one
+        # triggers, without paying a dedicated write job
+        mixed = gka_reassign(
+            points, centers_map, targets, emit_partials=True
+        ).persist()
+        if prev_mixed is not None:
+            prev_mixed.unpersist()
+        prev_mixed = mixed
+        assigned = mixed.filter(F.col("kind") == 0).select(
+            "member_id", "vec_id", "label", "dist", "mdist"
+        )
+        partials = mixed.filter(F.col("kind") == 1).select(
+            "member_id", "label", "n_points", "sum_vec"
+        )
 
-        # ---- fused fitness + mutation pick (R12+R13): one job --------
-        objs, genes = _gen_stats_and_picks(assigned, mutating, u2, cm)
+        # ---- fused fitness + pick + center partials: ONE job ---------
+        objs, genes, sums = _gen_stats_and_picks(
+            assigned, mutating, u2, cm, partials
+        )
+
+        # tiny lookup job for the ≤P mutated gene vectors (pruned scan
+        # of the cached points) — needed to patch the center sums
+        gene_vecs: dict[int, list] = {}
+        if genes:
+            vids = [int(g["vec_id"]) for g in genes]
+            gene_vecs = {
+                int(r["vec_id"]): list(r["vec"])
+                for r in points.filter(F.col("vec_id").isin(vids)).collect()
+            }
 
         patches: list[tuple[int, int, int, float]] = []
         for g in genes:
@@ -205,6 +271,21 @@ def fit_gka(
             # patch the objective arithmetically (Q7: new distance is
             # against the pre-mutation centroid) — no re-aggregation
             objs[m] = objs[m] - g["dist"] + new_dist
+            # patch the center sums the same way: membership sums are
+            # linear, so moving one point is two O(d) updates
+            v = np.array(gene_vecs[int(g["vec_id"])], dtype=np.float64)
+            old_key = (int(m), int(g["label"]))
+            n_old, s_old = sums[old_key]
+            if n_old <= 1:
+                del sums[old_key]
+            else:
+                sums[old_key] = [n_old - 1, s_old - v]
+            new_key = (int(m), int(new_label))
+            e = sums.get(new_key)
+            if e is None:
+                sums[new_key] = [1, v.copy()]
+            else:
+                sums[new_key] = [e[0] + 1, e[1] + v]
         if patches:
             pdf = spark.createDataFrame(
                 patches, "p_m INT, p_v BIGINT, new_label INT, new_dist DOUBLE"
@@ -250,13 +331,25 @@ def fit_gka(
             .join(F.broadcast(remap), "old_member")
             .select("member_id", "vec_id", "label")
         )
+        # next generation's KMO centers, derived arithmetically: the
+        # selection remap copies the chosen member's patched sums into
+        # each slot (sums are linear in membership — no re-aggregation
+        # job; a label with zero members has no entry, preserving Q9)
+        centers_map = {
+            slot: {
+                lab: (s / n).tolist()
+                for (m, lab), (n, s) in sums.items()
+                if m == old
+            }
+            for slot, old in enumerate(chosen)
+        }
 
     # release cached blocks (ADVICE: long sessions run many fits); the
     # returned labels DF stays valid — it recomputes from parquet +
     # broadcast centers if consumed after this point
     points.unpersist()
-    if prev_assigned is not None:
-        prev_assigned.unpersist()
+    if prev_mixed is not None:
+        prev_mixed.unpersist()
     metrics = spark.createDataFrame(metrics_rows, GKA_METRICS_SCHEMA)
     return GKAResult(
         best_member=best_member,

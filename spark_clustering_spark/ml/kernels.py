@@ -294,11 +294,18 @@ GKA_ASSIGN_SCHEMA = (
     "member_id INT, vec_id BIGINT, label INT, dist DOUBLE, mdist DOUBLE"
 )
 
+# emit_partials=True adds per-partition center partials as kind=1 rows
+# (assignment rows are kind=0 with the extra columns NULL)
+GKA_ASSIGN_STATS_SCHEMA = (
+    GKA_ASSIGN_SCHEMA + ", kind TINYINT, n_points BIGINT, sum_vec ARRAY<DOUBLE>"
+)
+
 
 def gka_reassign(
     points: DataFrame,
     centers_by_member: dict[int, dict[int, list]],
     mutation_targets: dict[int, int] | None = None,
+    emit_partials: bool = False,
 ) -> DataFrame:
     """KMO reassignment for every member in one narrow pass: per
     partition, one distance matrix per member against its own centers.
@@ -312,7 +319,17 @@ def gka_reassign(
     already-computed distance matrix that saves the fit loop a separate
     gene-vector lookup job per generation. ``mdist`` is NaN when the
     member has no target or the target label has no center (the Q9
-    missing-center guard: caller keeps the old distance)."""
+    missing-center guard: caller keeps the old distance).
+
+    ``emit_partials`` additionally emits, per partition, one kind=1 row
+    per (member, new-label) holding the partial point count + vector
+    sum of the fresh assignment — the same segmented sums
+    ``gka_member_centers`` computes, but for free out of the V already
+    in hand. The fit loop collects these with the fitness pass, applies
+    the mutation patch and the selection remap to the sums
+    ARITHMETICALLY on the driver (they are linear in membership), and
+    derives the next generation's centers without a dedicated
+    shuffle+kernel job."""
     prepared = {
         m: (np.array(sorted(cs)), np.array([cs[c] for c in sorted(cs)], dtype=np.float64))
         for m, cs in centers_by_member.items()
@@ -339,17 +356,43 @@ def gka_reassign(
                     mdist = D[:, tpos]
                 else:
                     mdist = np.full(len(V), np.nan)
-                frames.append(
-                    pd.DataFrame(
+                labels = cids[idx].astype(np.int32)
+                frame = pd.DataFrame(
+                    {
+                        "member_id": np.full(len(V), m, dtype=np.int32),
+                        "vec_id": ids,
+                        "label": labels,
+                        "dist": D[np.arange(len(V)), idx],
+                        "mdist": mdist,
+                    }
+                )
+                if emit_partials:
+                    frame["kind"] = np.int8(0)
+                    frame["n_points"] = pd.array(
+                        [None] * len(V), dtype="Int64"
+                    )
+                    frame["sum_vec"] = None
+                    uniq, inv = np.unique(labels, return_inverse=True)
+                    sums = np.zeros((len(uniq), V.shape[1]))
+                    np.add.at(sums, inv, V)
+                    counts = np.bincount(inv, minlength=len(uniq))
+                    part = pd.DataFrame(
                         {
-                            "member_id": np.full(len(V), m, dtype=np.int32),
-                            "vec_id": ids,
-                            "label": cids[idx].astype(np.int32),
-                            "dist": D[np.arange(len(V)), idx],
-                            "mdist": mdist,
+                            "member_id": np.full(len(uniq), m, dtype=np.int32),
+                            "vec_id": pd.array([None] * len(uniq), dtype="Int64"),
+                            "label": uniq.astype(np.int32),
+                            "dist": np.nan,
+                            "mdist": np.nan,
+                            "kind": np.int8(1),
+                            "n_points": counts.astype(np.int64),
+                            "sum_vec": [s.tolist() for s in sums],
                         }
                     )
-                )
+                    frames.append(frame)
+                    frames.append(part)
+                else:
+                    frames.append(frame)
             yield pd.concat(frames, ignore_index=True)
 
-    return points.mapInPandas(kernel, GKA_ASSIGN_SCHEMA)
+    schema = GKA_ASSIGN_STATS_SCHEMA if emit_partials else GKA_ASSIGN_SCHEMA
+    return points.mapInPandas(kernel, schema)

@@ -147,11 +147,24 @@ def test_sessionize_single_shuffle(spark, qs):
     assert tree.count("Exchange") == 1, tree
 
 
-def test_dedup_embedding_uses_blocked_cogroup_gemm(spark, qs):
-    """Embedding near-dup must run as the blocked cogroup GEMM (no
-    driver-side collect of the embedding table in the plan)."""
-    plan = formatted_plan(qs["q_dedup_embedding"](spark, SF_SMALL))
-    assert "FlatMapCoGroupsInPandas" in plan
+def test_dedup_embedding_hybrid_gemm_paths(spark, qs):
+    """Embedding near-dup is hybrid: a broadcast-sized table runs the
+    single-pass broadcast GEMM (one MapInPandas, no cogroup shuffle);
+    past the broadcast bound it must fall back to the blocked cogroup
+    GEMM (no full-table broadcast, no driver collect)."""
+    from spark_clustering_spark.functions.distance import as_double_array
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.dedup import embedding_near_dup_pairs
+
+    e = table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    small = formatted_plan(embedding_near_dup_pairs(e, threshold=0.45))
+    assert "MapInPandas" in small and "FlatMapCoGroupsInPandas" not in small
+    big = formatted_plan(
+        embedding_near_dup_pairs(e, threshold=0.45, broadcast_elems=0)
+    )
+    assert "FlatMapCoGroupsInPandas" in big
 
 
 def test_chunking_has_no_shuffle(spark, qs):
