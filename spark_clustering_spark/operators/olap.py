@@ -603,3 +603,326 @@ def q_olap_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.s_name
         """
     )
+
+
+@query(
+    "q_olap_nation_trade",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_olap_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year — the supplier- and customer-side nation dims both join
+    (broadcast) against the fact chain, with a disjunctive cross-pair
+    filter that Catalyst pushes into the two tiny nation scans."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("ns_key") == F.col("s_nationkey"))
+        .join(F.broadcast(nc), F.col("nc_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "q_olap_market_share",
+    oracle=f"""
+    SELECT o_year,
+           {sql_dround("100 * cast(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE cast(0 AS DECIMAL(38,8)) END) AS DOUBLE) / cast(sum(rev) AS DOUBLE)")} AS mkt_share_pct
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             cast(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8)) AS rev,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = nc.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+    )
+    GROUP BY o_year
+    """,
+)
+def q_olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue sold
+    into a region, by order year — a conditional-sum ratio over a
+    7-table join where every dimension broadcasts and only the
+    lineitem⋈orders⋈customer chain shuffles. Both sums accumulate in
+    DECIMAL(38,8) so the double division is cross-engine stable."""
+    from spark_clustering_spark.functions.detagg import DEC
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero))
+    total = F.sum(rev)
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("nc_key") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("nc_region"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("ns_key") == F.col("s_nationkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            dround(
+                F.lit(100) * nat.cast("double") / total.cast("double")
+            ).alias("mkt_share_pct")
+        )
+    )
+
+
+@query(
+    "q_olap_product_profit",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * l.l_quantity', 'profit')}
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q_olap_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted — no partsupp, so p_retailprice·quantity
+    stands in for supply cost): profit on one product family by
+    supplier nation and ship year. The LIKE filter prunes the part dim
+    before it broadcasts; profit accumulates in exact decimal."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("ns_key") == F.col("s_nationkey"))
+        .groupBy(
+            "supp_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+        )
+        .agg(dsum(profit, "profit"))
+    )
+
+
+@query(
+    "q_olap_important_parts",
+    oracle=f"""
+    SELECT l.l_partkey,
+           {sql_dsum('l.l_extendedprice * l.l_quantity', 'supply_value')}
+    FROM lineitem l
+    GROUP BY l.l_partkey
+    HAVING sum(cast(l.l_extendedprice * l.l_quantity AS DECIMAL(38,8)))
+         > 0.0002 * (SELECT sum(cast(l2.l_extendedprice * l2.l_quantity AS DECIMAL(38,8)))
+                     FROM lineitem l2)
+    """,
+)
+def q_olap_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted — shipped value stands in for partsupp
+    stock value): parts whose total shipped value exceeds a fixed
+    fraction of the global total. The global total is an uncorrelated
+    scalar subquery (1-row broadcast); the HAVING threshold compares
+    EXACT decimal sums on both sides, so the cut cannot flip between
+    engines on a float ulp.
+
+    Scale: two aggregates over the same shuffle key layout + a scalar
+    broadcast — no per-group rescan of the fact table."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               CAST(round(sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(38,8))), 4) AS DOUBLE) AS supply_value
+        FROM v_lineitem l
+        GROUP BY l.l_partkey
+        HAVING sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(38,8)))
+             > CAST(0.0002 AS DECIMAL(38,8)) * (SELECT sum(CAST(l2.l_extendedprice * l2.l_quantity AS DECIMAL(38,8)))
+                         FROM v_lineitem l2)
+        """
+    )
+
+
+@query(
+    "q_olap_priority_shipping",
+    oracle="""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_olap_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted — line status stands in for ship mode,
+    which this schema lacks): high- vs low-priority order line counts
+    per status for one ship year. A pure conditional-count pivot over
+    the fact⋈orders join."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_olap_top_supplier",
+    oracle=f"""
+    WITH srev AS (
+      SELECT l.l_suppkey,
+             sum(cast(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8))) AS rev
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           cast(round(srev.rev, 4) AS DOUBLE) AS total_revenue
+    FROM srev JOIN supplier s ON s.s_suppkey = srev.l_suppkey
+    WHERE srev.rev = (SELECT max(rev) FROM srev)
+    """,
+)
+def q_olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
+    quarter. The revenue CTE aggregates once; the max is an
+    uncorrelated scalar subquery over that tiny aggregate, and the
+    equality compares EXACT decimals (ties kept, like the reference
+    view formulation).
+
+    Scale: one fact shuffle keyed on suppkey; everything after is
+    supplier-cardinality."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    return spark.sql(
+        """
+        WITH srev AS (
+          SELECT l.l_suppkey,
+                 sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8))) AS rev
+          FROM v_lineitem l
+          WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+          GROUP BY l.l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(round(srev.rev, 4) AS DOUBLE) AS total_revenue
+        FROM srev JOIN v_supplier s ON s.s_suppkey = srev.l_suppkey
+        WHERE srev.rev = (SELECT max(rev) FROM srev)
+        """
+    )
+
+
+@query(
+    "q_olap_volume_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           cast(sum(l.l_quantity) AS DOUBLE) AS red_qty
+    FROM supplier s
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'red %'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY s.s_suppkey, s.s_name, n.n_name
+    HAVING sum(l.l_quantity) > 100
+    """,
+)
+def q_olap_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted — shipped quantity stands in for
+    partsupp availability): suppliers who moved over 100 units of
+    red-named parts in a year, with their nation. The part dim prunes
+    via LIKE before broadcasting; quantity sums are integral doubles so
+    the HAVING cut is exact in both engines."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("red %"))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.sum("l_quantity").cast("double").alias("red_qty"))
+        .filter(F.col("red_qty") > 100)
+    )

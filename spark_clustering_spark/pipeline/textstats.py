@@ -434,3 +434,61 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "rnk", "tok", "tfidf")
     )
+
+
+@query(
+    "q_text_bigrams",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1]
+                     for i in range(1, greatest(len(ws), 1))]) AS bigram
+      FROM docs WHERE len(ws) >= 2
+    )
+    SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM grams WHERE bigram NOT LIKE '% ' AND bigram NOT LIKE ' %'
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 bigram frequency table (count + document
+    frequency, deterministic count-then-lexical tie-break) — the
+    building block of n-gram language models, contamination screens,
+    and boilerplate detection.
+
+    Scale: per-doc bigram counts aggregate FIRST on (bigram, doc_id) —
+    a plain two-level rollup instead of count-distinct's Expand node
+    (which would double every exploded row pre-shuffle); the second
+    level is vocabulary×doc-frequency sized. The top-50 is a
+    TakeOrdered over that aggregate (per-partition heaps + a 50-row
+    driver merge), NOT a global sort of the corpus. The explode rides
+    ``spread()`` so a compacted input still fans the amplifying map
+    across the cluster."""
+    from spark_clustering_spark.io import spread
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    per_doc = (
+        spread(d.select("doc_id", "text"), "doc_id")
+        .filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(grams).alias("bigram"))
+        .filter(~F.col("bigram").like("% ") & ~F.col("bigram").like(" %"))
+        .groupBy("bigram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_doc.groupBy("bigram")
+        .agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
