@@ -168,14 +168,33 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont: both sort and linearly interpolate, so the doubles
     are bit-identical). The approximate scale path is
     q_agg_approx_distinct's sibling approx_percentile, kept out of the
-    hash-matched surface because sketches are engine-specific."""
-    from spark_clustering_spark.functions.detagg import dround
+    hash-matched surface because sketches are engine-specific.
 
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        dround(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50"),
-        dround(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90"),
-        dround(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99"),
+    Plan notes: exact percentile buffers the whole value multiset per
+    aggregate expression, so the three cut points share ONE
+    array-argument percentile (one buffer, not three), and the input is
+    ``spread()`` first — the buffering partial pass is the cost, and a
+    3-split scan would pin it to 3 cores."""
+    from spark_clustering_spark.functions.detagg import dround
+    from spark_clustering_spark.io import spread
+
+    li = spread(
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        )
+    )
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("ps"))
+        .select(
+            "l_returnflag",
+            dround(F.col("ps")[0]).alias("p50"),
+            dround(F.col("ps")[1]).alias("p90"),
+            dround(F.col("ps")[2]).alias("p99"),
+        )
     )
 
 

@@ -87,8 +87,25 @@ NOTES = {
     "q_dedup_minhash": (
         "spread() splits the compacted scan before the shingle explode "
         "(amplification-aware parallelism); signatures shuffle as "
-        "16×8 B rows/doc; the LSH self-join confines the pair blowup "
-        "to band buckets."
+        "16×8 B rows/doc; candidate pairs come from ONE (band, key) "
+        "bucket aggregate with in-bucket combinations — no self-join, "
+        "no second pass over the signature pipeline."
+    ),
+    "q_olap_market_share": (
+        "7-table Q8 shape: every dimension (nation×2, region, supplier, "
+        "part) is a BroadcastHashJoin; only the "
+        "lineitem⋈orders⋈customer fact chain exchanges."
+    ),
+    "q_olap_important_parts": (
+        "uncorrelated scalar subquery (global total) is a 1-row "
+        "Subquery broadcast reused by the HAVING filter — the fact "
+        "table aggregates once; threshold compares exact decimals."
+    ),
+    "q_text_bigrams": (
+        "two-level aggregate — (bigram, doc_id) partial/final then "
+        "(bigram) — instead of count-distinct's Expand (which would "
+        "double the exploded rows pre-shuffle); top-50 is "
+        "TakeOrderedAndProject, not a global sort."
     ),
 }
 
