@@ -240,3 +240,121 @@ def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_pairs
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join on the event stream: ordered pairs of events
+    by the SAME user within a 5-minute window, counted per event-type
+    transition — the co-occurrence matrix behind session stitching and
+    next-event models.
+
+    Scale shape: unlike the keyless range join (q_join_range_bucketed),
+    this has an equi key — user_id — so it plans as one ordinary
+    shuffle/broadcast hash join with the time band as a residual
+    filter. Pair blowup is bounded per user by event density within the
+    window; a pathological hot user is ordinary join skew (AQE split or
+    salted_join). No time-bucketing machinery is needed BECAUSE the
+    equi key already confines the candidate space."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (
+                F.col("b.ts")
+                <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")
+            ),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "q_ts_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    framed AS (
+      SELECT hour, cnt,
+             count(*) OVER w AS n,
+             sum(cast(cnt AS DECIMAL(38,8))) OVER w AS s,
+             sum(cast(cnt AS DECIMAL(38,8)) * cast(cnt AS DECIMAL(38,8))) OVER w AS ss
+      FROM hourly
+      WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, cnt,
+           cast(round(cast(cast((
+             CASE WHEN n >= 12 AND (cast(ss AS DOUBLE) - cast(s AS DOUBLE) * cast(s AS DOUBLE) / n) / (n - 1) > 0
+                  THEN (cnt - cast(s AS DOUBLE) / n)
+                       / sqrt((cast(ss AS DOUBLE) - cast(s AS DOUBLE) * cast(s AS DOUBLE) / n) / (n - 1))
+                  ELSE 0.0 END) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS zscore
+    FROM framed
+    """,
+)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over hourly event volume: each
+    hour scored against the trailing 24-hour window (warm-up hours and
+    zero-variance windows score 0). The monitoring primitive behind
+    rate-spike alerts.
+
+    Cross-engine determinism: the rolling mean/variance come from
+    EXACT decimal window sums of cnt and cnt² (not stddev_samp, whose
+    internal accumulation differs between engines); the float math
+    happens once, on identical inputs, after the window.
+
+    Scale: the hourly pre-aggregate reduces the stream to
+    hours-cardinality before any window; the single unpartitioned
+    window is over that tiny series (at 100 TB, partition the window by
+    entity/tenant — the per-key form of this exact query)."""
+    from spark_clustering_spark.functions.detagg import DEC
+
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("hour").rowsBetween(-23, 0)
+    cdec = F.col("cnt").cast(DEC)
+    framed = hourly.select(
+        "hour",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(cdec).over(w).alias("s"),
+        F.sum(cdec * cdec).over(w).alias("ss"),
+    )
+    s, ss, n = (
+        F.col("s").cast("double"),
+        F.col("ss").cast("double"),
+        F.col("n"),
+    )
+    var = (ss - s * s / n) / (n - 1)
+    z = F.when(
+        (n >= 12) & (var > 0), (F.col("cnt") - s / n) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return framed.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "cnt",
+        dround(z).alias("zscore"),
+    )
