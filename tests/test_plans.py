@@ -290,3 +290,48 @@ def test_range_join_buckets_to_equi_hash_join(spark, qs):
         plan[:2000]
     )
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
+
+
+def test_market_share_broadcasts_all_dims(spark, qs):
+    """Q8 shape: all five dimension joins (nation x2, region, supplier,
+    part) must be broadcast — only the fact chain may exchange."""
+    plan = formatted_plan(qs["q_olap_market_share"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 5, tree
+    assert "SortMergeJoin" not in tree or tree.count("SortMergeJoin") <= 2
+
+
+def test_important_parts_single_fact_aggregate(spark, qs):
+    """Q11 shape: the global-total scalar subquery must appear as a
+    Subquery reuse, not a second full-plan join of the fact table."""
+    plan = formatted_plan(qs["q_olap_important_parts"](spark, SF_SMALL))
+    assert "Subquery" in plan, plan[:2000]
+
+
+def test_bigrams_avoids_expand(spark, qs):
+    """The bigram doc-frequency must come from the two-level aggregate,
+    never count-distinct's Expand node (doubles exploded rows)."""
+    plan = formatted_plan(qs["q_text_bigrams"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "Expand" not in tree, tree
+    assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_interval_join_is_hash_join(spark, qs):
+    """The interval self-join has an equi key (user_id), so it must be
+    a hash/sort-merge equi-join with the band as residual — never a
+    BroadcastNestedLoopJoin or CartesianProduct."""
+    plan = formatted_plan(qs["q_join_interval"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "NestedLoop" not in tree and "Cartesian" not in tree, tree
+
+
+def test_anomaly_preaggregates_before_window(spark, qs):
+    """The rolling z-score must window over the hourly aggregate, not
+    raw events: exactly one aggregate exchange below the Window node."""
+    plan = formatted_plan(qs["q_ts_anomaly"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree, tree
+    agg_pos = tree.find("HashAggregate")
+    win_pos = tree.find("Window")
+    assert agg_pos != -1 and win_pos < tree.rfind("HashAggregate"), tree
