@@ -926,3 +926,35 @@ def q_olap_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").cast("double").alias("red_qty"))
         .filter(F.col("red_qty") > 100)
     )
+
+
+@query(
+    "q_olap_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice * l.l_discount', 'revenue_delta')},
+           count(*) AS n_lines
+    FROM lineitem l
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l.l_discount BETWEEN 0.05 AND 0.07
+      AND l.l_quantity < 24
+    """,
+)
+def q_olap_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from discount changes — a
+    single-table scan whose entire predicate set (date range, discount
+    band, quantity cap) pushes to the parquet scan, followed by one
+    global decimal-exact aggregate. The canonical pushdown/pruning
+    benchmark: at 100 TB this reads only the matching row groups of
+    three columns plus the two aggregated ones."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

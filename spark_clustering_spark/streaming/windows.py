@@ -256,3 +256,60 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (_epoch(F.col("c_ts")) - _epoch(F.col("v_ts"))).alias("gap_s"),
     )
+
+
+@query(
+    "q_stream_cluster_volume",
+    oracle="""
+    WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    ctr AS (SELECT vec_id AS cid, vec AS cvec FROM pts ORDER BY vec_id LIMIT 8),
+    assign AS (
+      SELECT p.vec_id, c.cid AS cluster_id
+      FROM pts p CROSS JOIN ctr c
+      QUALIFY row_number() OVER (
+        PARTITION BY p.vec_id ORDER BY list_distance(p.vec, c.cvec), c.cid) = 1
+    )
+    SELECT (vec_id // 100) * 3600 AS win_start, cluster_id,
+           count(*) AS n_vectors
+    FROM assign
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_cluster_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cluster-volume monitor: vectors arrive on an event
+    time (synthetic here: one hour per 100 vec_ids), each is assigned
+    to its nearest centroid (the fixed model is a broadcast — exactly
+    how an online classifier deploys a trained k-means), and per-
+    cluster volume is counted in hourly tumbling windows. Drift in
+    these counts is the standard trigger for re-fitting.
+
+    Every operator here is streaming-native: the assignment is a
+    stateless broadcast cross-join + argmin (runs per micro-batch
+    unchanged), and the windowed count is `F.window` over event time —
+    the same plan `readStream` would execute with a watermark; the
+    batch run IS the replay, which is what makes the DuckDB oracle
+    applicable (tests/test_streaming.py runs the harness twins)."""
+    from spark_clustering_spark.operators.clustering import (
+        assign,
+        centroids_df,
+        points_df,
+    )
+
+    pts = points_df(spark, sf_dir)
+    a = assign(pts, centroids_df(spark, sf_dir))
+    timed = a.select(
+        "vec_id",
+        "cluster_id",
+        F.timestamp_seconds(
+            (F.col("vec_id") / 100).cast("bigint") * 3600
+        ).alias("ts"),
+    )
+    return (
+        timed.groupBy(F.window("ts", "1 hour").alias("w"), "cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            _epoch(F.col("w.start")).alias("win_start"),
+            "cluster_id",
+            "n_vectors",
+        )
+    )
