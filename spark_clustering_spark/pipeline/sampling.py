@@ -209,3 +209,58 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pick", F.row_number().over(w))
         .filter(F.col("pick") <= 2)
     )
+
+
+@query(
+    "q_sample_temperature",
+    oracle="""
+    WITH src AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_docs) AS total,
+                   cast(sum(cast(pow(cast(n_docs AS DOUBLE), 0.7)
+                     AS DECIMAL(38,8))) AS DOUBLE) AS z
+            FROM src)
+    SELECT s.source, s.n_docs,
+           cast(round(cast(cast((pow(cast(s.n_docs AS DOUBLE), 0.7) / t.z) AS VARCHAR)
+             AS DECIMAL(38,12)), 4) AS DOUBLE) AS weight,
+           cast(round(cast(cast((pow(cast(s.n_docs AS DOUBLE), 0.7) / t.z * t.total)
+             AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS expected_docs
+    FROM src s CROSS JOIN tot t
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (T=0.7): sampling weight
+    w_s ∝ n_s^0.7 — the standard rebalancing that upsamples small
+    sources (low-resource languages, rare domains) without letting any
+    single giant source dominate an epoch. Emits each source's weight
+    and expected document count at corpus size.
+
+    Scale: one source-cardinality aggregate + a 1-row broadcast cross
+    join; the per-doc keep/repeat decision that consumes these weights
+    is the zero-shuffle hash filter q_sample_mixture already
+    implements."""
+    from spark_clustering_spark.functions.detagg import dround
+
+    d = table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    pw = F.pow(F.col("n_docs").cast("double"), F.lit(0.7))
+    # z accumulates in DECIMAL(38,8) (each pow() double rounded
+    # identically in both engines first) so the normalizer is
+    # accumulation-order-proof — the detagg discipline
+    tot = src.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(
+            F.pow(F.col("n_docs").cast("double"), F.lit(0.7)).cast(
+                "decimal(38,8)"
+            )
+        )
+        .cast("double")
+        .alias("z"),
+    )
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        dround(pw / F.col("z")).alias("weight"),
+        dround(pw / F.col("z") * F.col("total")).alias("expected_docs"),
+    )

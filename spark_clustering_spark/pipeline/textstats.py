@@ -492,3 +492,62 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(50)
     )
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    dtf AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    g AS (SELECT tok, sum(c) AS gc FROM dtf GROUP BY tok),
+    t AS (SELECT sum(c) AS total FROM dtf)
+    SELECT d.doc_id,
+           CAST(sum(d.c) AS BIGINT) AS n_toks,
+           cast(round(sum(cast(d.c * ln(cast(g.gc AS DOUBLE) / t.total)
+                AS DECIMAL(38,8))), 4) AS DOUBLE) AS sum_logprob
+    FROM dtf d JOIN g USING (tok) CROSS JOIN t
+    GROUP BY d.doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document total log-probability under the corpus unigram LM
+    (the perplexity proxy used as a fluency/quality gate: gibberish and
+    rare-token spam score far below fluent text; divide by n_toks for
+    the mean). Emitted as (n_toks, sum_logprob) so the engine does the
+    order-sensitive work and consumers do one division.
+
+    Determinism: each token's c·ln(p) double is computed from identical
+    inputs in both engines, then rounded into DECIMAL(38,8) BEFORE the
+    order-ambiguous summation — so the aggregate is exact and
+    accumulation-order-proof (the detagg discipline).
+
+    Scale: same shape as TF-IDF — one (doc_id, tok) shuffle; the
+    unigram table is an aggregate of that aggregate (vocabulary-sized)
+    re-joined as a broadcast; the corpus total is a 1-row cross join."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dtf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    g = dtf.groupBy("tok").agg(F.sum("c").alias("gc"))
+    t = dtf.agg(F.sum("c").alias("total"))
+    term = F.col("c") * F.log(
+        F.col("gc").cast("double") / F.col("total")
+    )
+    return (
+        dtf.join(F.broadcast(g), "tok")
+        .crossJoin(F.broadcast(t))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.round(F.sum(term.cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("sum_logprob"),
+        )
+    )
