@@ -198,11 +198,16 @@ def fit_gka(
     # small n is Python-worker round-trips (parts × jobs), so a tiny
     # input gets few fat partitions; a 100 TB input saturates the
     # cluster (ceil(n/20k) rows per BLAS batch, capped at parallelism).
-    n_rows = points.count()
+    # The sizing count runs against a persisted input so the caller's
+    # upstream pipeline is computed ONCE; the repartition then reads
+    # the cache, and the pre-shuffle blocks are released right after.
+    src = points.persist()
+    n_rows = src.count()
     par = points.sparkSession.sparkContext.defaultParallelism
     parts = max(1, min(par, (n_rows + 19_999) // 20_000))
-    points = points.repartition(parts, "vec_id").persist()
+    points = src.repartition(parts, "vec_id").persist()
     points.count()
+    src.unpersist()
 
     labels = _init_labels(spark, points, pop, k, seed)
     best = float("inf")

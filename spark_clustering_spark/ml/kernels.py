@@ -269,15 +269,12 @@ def gka_member_centers(
                 pdf["member_id"].to_numpy().astype(np.int64) * 100_000
                 + pdf["label"].to_numpy()
             )
-            uniq, inv = np.unique(key, return_inverse=True)
-            sums = np.zeros((len(uniq), V.shape[1]))
-            np.add.at(sums, inv, V)
-            counts = np.bincount(inv, minlength=len(uniq))
+            uniq, counts, sums = _segmented_sums(key, V)
             yield pd.DataFrame(
                 {
                     "member_id": (uniq // 100_000).astype(np.int32),
                     "label": (uniq % 100_000).astype(np.int32),
-                    "n_points": counts.astype(np.int64),
+                    "n_points": counts,
                     "sum_vec": [s.tolist() for s in sums],
                 }
             )
@@ -288,6 +285,19 @@ def gka_member_centers(
     for (m, lab), (n, sv) in sorted(acc.items()):
         out.setdefault(m, {})[lab] = [s / n for s in sv]
     return out
+
+
+def _segmented_sums(
+    keys: np.ndarray, V: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-key (count, vector-sum) segmented reduction — the shared
+    partial-stats kernel for the center-update passes. Returns
+    (unique_keys, counts int64, sums float64[len(unique), d])."""
+    uniq, inv = np.unique(keys, return_inverse=True)
+    sums = np.zeros((len(uniq), V.shape[1]))
+    np.add.at(sums, inv, V)
+    counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    return uniq, counts, sums
 
 
 GKA_ASSIGN_SCHEMA = (
@@ -372,10 +382,9 @@ def gka_reassign(
                         [None] * len(V), dtype="Int64"
                     )
                     frame["sum_vec"] = None
-                    uniq, inv = np.unique(labels, return_inverse=True)
-                    sums = np.zeros((len(uniq), V.shape[1]))
-                    np.add.at(sums, inv, V)
-                    counts = np.bincount(inv, minlength=len(uniq))
+                    uniq, counts, sums = _segmented_sums(
+                        labels.astype(np.int64), V
+                    )
                     part = pd.DataFrame(
                         {
                             "member_id": np.full(len(uniq), m, dtype=np.int32),
@@ -384,7 +393,7 @@ def gka_reassign(
                             "dist": np.nan,
                             "mdist": np.nan,
                             "kind": np.int8(1),
-                            "n_points": counts.astype(np.int64),
+                            "n_points": counts,
                             "sum_vec": [s.tolist() for s in sums],
                         }
                     )

@@ -328,10 +328,12 @@ def test_interval_join_is_hash_join(spark, qs):
 
 def test_anomaly_preaggregates_before_window(spark, qs):
     """The rolling z-score must window over the hourly aggregate, not
-    raw events: exactly one aggregate exchange below the Window node."""
+    raw events: in the plan tree (parent first, inputs below) an
+    aggregate must sit BETWEEN the Window node and the events scan."""
     plan = formatted_plan(qs["q_ts_anomaly"](spark, SF_SMALL))
     tree = plan.split("\n\n")[0]
-    assert "Window" in tree, tree
-    agg_pos = tree.find("HashAggregate")
-    win_pos = tree.find("Window")
-    assert agg_pos != -1 and win_pos < tree.rfind("HashAggregate"), tree
+    win = tree.find("Window")
+    scan = tree.find("Scan parquet")
+    assert win != -1 and scan != -1 and win < scan, tree
+    agg_below_window = tree.find("HashAggregate", win)
+    assert win < agg_below_window < scan, tree
