@@ -185,3 +185,58 @@ def stream_stream_join(
         .cast("bigint")
         .alias("gap_s"),
     )
+
+
+def stream_cluster_volume(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Real streaming twin of q_stream_cluster_volume: the timed
+    centroid assignments replay as an 8-chunk file stream, and the
+    per-cluster hourly volume aggregates with a watermark in append
+    mode. The trained model (centroid table) is the static side — it
+    is evaluated per micro-batch exactly as a deployed classifier
+    would. Returns (win_start epoch, cluster_id, n_vectors)."""
+    from spark_clustering_spark.operators.clustering import (
+        assign,
+        centroids_df,
+        points_df,
+    )
+
+    pts = points_df(spark, sf_dir)
+    timed = assign(pts, centroids_df(spark, sf_dir)).select(
+        "vec_id",
+        "cluster_id",
+        F.timestamp_seconds(
+            (F.col("vec_id") / 100).cast("bigint") * 3600
+        ).alias("ts"),
+    )
+    out = tempfile.mkdtemp(prefix="cluster_replay_")
+    n_chunks = 8
+    max_id = timed.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    n = int(max_id) + 1
+    chunk = max(1, n // n_chunks + (n % n_chunks > 0))
+    for ci, lo in enumerate(range(0, n, chunk)):
+        (
+            timed.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + chunk)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"chunk_{ci:04d}"))
+        )
+    src = (
+        spark.readStream.schema("vec_id BIGINT, cluster_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(out, "chunk_*"))
+    )
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    res = _run_to_completion(agg, "append", f"clustervol_{id(src)}")
+    return res.select(
+        F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
+        "cluster_id",
+        "n_vectors",
+    )

@@ -132,3 +132,32 @@ def test_stream_stream_join_matches_batch(spark):
     }
     assert batch, "batch join should produce pairs at sf0.001"
     assert streamed == batch
+
+
+def test_stream_cluster_volume_matches_batch(spark):
+    """Every window the readStream replay emits must carry exactly the
+    batch query's count (arrival is vec_id order == event-time order,
+    so no row is ever late), and every window that ends before the
+    final watermark must have been emitted — only the unexpired tail
+    may be withheld by append mode."""
+    from spark_clustering_spark.streaming.harness import stream_cluster_volume
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        (r["win_start"], r["cluster_id"]): r["n_vectors"]
+        for r in stream_cluster_volume(spark, sf).collect()
+    }
+    batch = {
+        (r["win_start"], r["cluster_id"]): r["n_vectors"]
+        for r in e.queries()["q_stream_cluster_volume"](spark, sf).collect()
+    }
+    assert streamed, "streaming produced no windows"
+    for key, n in streamed.items():
+        assert batch[key] == n, (key, n, batch[key])
+    max_start = max(k[0] for k in batch)
+    # 2h watermark + 1h window: windows ending 3h+ before the last
+    # event time are necessarily finalized and must have been emitted
+    for key, n in batch.items():
+        if key[0] + 3600 <= max_start - 2 * 7200:
+            assert key in streamed, f"finalized window {key} never emitted"
