@@ -212,3 +212,57 @@ def test_blocked_gemm_invariant_to_block_count(spark):
         results[nb] = {(r["a_id"], r["b_id"], round(r["cos_raw"], 10)) for r in rows}
     assert results[1] == results[3] == results[8]
     assert len(results[1]) > 0  # non-vacuous at this threshold
+
+
+def test_lsh_bucket_pairs_hot_bucket_streams_and_matches_self_join(spark):
+    """A pathological hot bucket (300 identical docs sharing every
+    band) must (a) complete via the chained-generator expansion without
+    materializing the O(b²) pair array as one value, (b) produce
+    exactly C(300,2) pairs with n_bands = 4, and (c) agree pair-for-
+    pair with the reference band self-join formulation."""
+    from spark_clustering_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(300)]
+    rows += [(1000 + i, f"unique text {i} nothing shared here at all {i}") for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    sig = minhash_signatures(shingles(d)).persist()
+    got = lsh_candidate_pairs(sig)
+    hot = got.filter(F.col("doc_a") < 1000).persist()
+    n_hot = hot.count()
+    assert n_hot == 300 * 299 // 2, n_hot
+    assert hot.filter(F.col("n_bands") != 4).count() == 0
+
+    # reference: the pre-rewrite band self-join
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(",", *[
+                        F.element_at("sig", bi * 4 + r + 1).cast("string")
+                        for r in range(4)
+                    ]).alias("key"),
+                )
+                for bi in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    ref = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    hot.unpersist()
+    sig.unpersist()
