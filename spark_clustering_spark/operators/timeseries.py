@@ -358,3 +358,76 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         dround(z).alias("zscore"),
     )
+
+
+@query(
+    "q_ts_session_summary",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::INT
+               AS session_idx
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_idx, count(*) AS n_events,
+             (max(ts_us) - min(ts_us)) // 1000000 AS dur_s
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           cast(round(sum(cast(dur_s AS DECIMAL(38,8))), 4) AS DOUBLE)
+             / count(*) AS avg_dur_s
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q_ts_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement summary COMPOSED on the sessionization
+    operator: session count, the largest session, and mean session
+    duration — the roll-up an activity dashboard reads. Durations are
+    integral seconds, so the mean divides an exact decimal sum by an
+    exact count (order-proof).
+
+    Scale: all three window/aggregate levels (session flag → per-
+    session → per-user) key on user_id, so the whole chain rides the
+    sessionize operator's single hash exchange."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lag_us = F.lag("ts_us").over(w)
+    is_new = F.when(
+        lag_us.isNull() | (F.col("ts_us") - lag_us > SESSION_GAP_US), 1
+    ).otherwise(0)
+    sess = e.withColumn("is_new", is_new).withColumn(
+        "session_idx", F.sum("is_new").over(w_run).cast("int")
+    )
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("dur_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_events"),
+        (
+            F.round(F.sum(F.col("dur_s").cast("decimal(38,8)")), 4).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("avg_dur_s"),
+    )
