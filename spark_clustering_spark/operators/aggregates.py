@@ -257,15 +257,39 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+@query(
+    "q_agg_approx_distinct",
+    # HLL sketch values are engine-specific, so the oracle cannot match
+    # the estimate itself. Instead the query returns an ERROR ENVELOPE:
+    # the exact distinct count plus a boolean asserting the HLL estimate
+    # landed within 5% relative error (rsd=0.02 → ~2% typical). The
+    # oracle computes the same exact count and claims TRUE — if Spark's
+    # sketch ever drifted past the envelope the hash would fail.
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct users per event type. Sketch results are
-    engine-specific, so this is rows-only checked; the pytest suite
-    asserts the estimate is within rsd bounds of the exact count."""
+    """HLL approximate distinct users per event type, hash-verified via
+    an error envelope: |approx − exact| / exact ≤ 5%. The exact count
+    rides along for the oracle compare; at 100 TB you would drop the
+    exact column and trust the (tested) envelope."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    err = F.abs(F.col("_approx") - F.col("exact_users")) / F.col("exact_users")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (err <= F.lit(0.05)).alias("within_5pct"),
     )
 
 

@@ -132,12 +132,17 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ntile — a single-partition sort; at 100 TB the scalable
-    equivalent is approx percentile_disc bucketing, kept here because
-    the declared semantics are exact quartiles."""
+    """Exact global quartiles, served by the range-partitioned scale
+    path (``ntile_scalable``) — ``Window.orderBy`` with no PARTITION BY
+    would funnel every row through one reducer, which is the classic
+    100 TB scale-killer. Both this query and
+    ``q_window_ntile_scalable`` hash-match the identical ntile(4)
+    oracle, so delegation changes the plan, not the answer."""
     c = table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+    t = ntile_scalable(
+        c, ["c_acctbal", "c_custkey"], n_tiles=4, out_col="quartile"
+    )
+    return t.select("c_custkey", "quartile")
 
 
 def ntile_scalable(

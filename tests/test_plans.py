@@ -111,12 +111,13 @@ def test_dedup_exact_shuffles_digest_not_text(spark, qs):
 
 
 def test_ntile_scalable_has_no_single_partition_exchange(spark, qs):
-    """The scale-path ntile must not funnel data through one partition
-    (the exact variant does — that is why both exist)."""
+    """Neither ntile variant may funnel data through one partition —
+    q_window_ntile now delegates to the range-partitioned scale path
+    (round-4: closed the last single-partition-sort in the inventory)."""
     plan = formatted_plan(qs["q_window_ntile_scalable"](spark, SF_SMALL))
     assert "SinglePartition" not in plan, plan[:800]
     exact = formatted_plan(qs["q_window_ntile"](spark, SF_SMALL))
-    assert "SinglePartition" in exact  # the contrast that motivates the variant
+    assert "SinglePartition" not in exact, exact[:800]
 
 
 def test_sim_topk_cosine_broadcasts_probe_side(spark, qs):
