@@ -212,6 +212,9 @@ def stream_cluster_volume(
     )
     out = tempfile.mkdtemp(prefix="cluster_replay_")
     n_chunks = 8
+    # persist: the assign pipeline would otherwise recompute once per
+    # chunk write plus once for the max-id probe (9 full jobs)
+    timed = timed.persist()
     max_id = timed.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
     n = int(max_id) + 1
     chunk = max(1, n // n_chunks + (n % n_chunks > 0))
@@ -224,6 +227,7 @@ def stream_cluster_volume(
             .write.mode("overwrite")
             .parquet(os.path.join(out, f"chunk_{ci:04d}"))
         )
+    timed.unpersist()
     src = (
         spark.readStream.schema("vec_id BIGINT, cluster_id BIGINT, ts TIMESTAMP")
         .option("maxFilesPerTrigger", 1)

@@ -299,7 +299,10 @@ def test_market_share_broadcasts_all_dims(spark, qs):
     plan = formatted_plan(qs["q_olap_market_share"](spark, SF_SMALL))
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastHashJoin") >= 5, tree
-    assert "SortMergeJoin" not in tree or tree.count("SortMergeJoin") <= 2
+    # at most the single fact-chain join may shuffle; a dimension join
+    # regressing to SMJ pushes the count past 1 and fails here (at test
+    # scale the whole chain broadcasts: 0 SMJ / 7 BHJ observed)
+    assert tree.count("SortMergeJoin") <= 1, tree
 
 
 def test_important_parts_single_fact_aggregate(spark, qs):

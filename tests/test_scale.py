@@ -198,7 +198,12 @@ def test_ntile_scalable_invariants_at_1m_rows(spark):
 def test_blocked_gemm_invariant_to_block_count(spark):
     """The blocked all-pairs GEMM must return identical pairs for any
     n_blocks (blocking is an execution detail, not a semantic one) —
-    including n_blocks=1, the degenerate single-block case."""
+    including n_blocks=1, the degenerate single-block case.
+    broadcast_elems=0 forces the blocked cogroup path (at test scale
+    the size gate would otherwise route every call through the
+    broadcast kernel and this test would compare a single code path to
+    itself); a final broadcast-path run asserts the two kernels agree
+    pair-for-pair on the same input."""
     from spark_clustering_spark.functions.distance import as_double_array
     from spark_clustering_spark.io import table
     from spark_clustering_spark.pipeline.dedup import embedding_near_dup_pairs
@@ -208,10 +213,18 @@ def test_blocked_gemm_invariant_to_block_count(spark):
     )
     results = {}
     for nb in (1, 3, 8):
-        rows = embedding_near_dup_pairs(e, threshold=0.4, n_blocks=nb).collect()
+        rows = embedding_near_dup_pairs(
+            e, threshold=0.4, n_blocks=nb, broadcast_elems=0
+        ).collect()
         results[nb] = {(r["a_id"], r["b_id"], round(r["cos_raw"], 10)) for r in rows}
     assert results[1] == results[3] == results[8]
     assert len(results[1]) > 0  # non-vacuous at this threshold
+
+    bcast = embedding_near_dup_pairs(
+        e, threshold=0.4, broadcast_elems=2**40
+    ).collect()
+    bset = {(r["a_id"], r["b_id"], round(r["cos_raw"], 10)) for r in bcast}
+    assert bset == results[1]  # broadcast and blocked kernels agree
 
 
 def test_lsh_bucket_pairs_hot_bucket_streams_and_matches_self_join(spark):
