@@ -166,8 +166,94 @@ def cosine_lsh_buckets(e: DataFrame, dim: int, n_planes: int = 16) -> DataFrame:
     return e.withColumn("bucket", bucket)
 
 
-IVF_NLIST = 16   # coarse quantizer size
-IVF_NPROBE = 4   # lists searched per probe
+IVF_NLIST = 16        # coarse quantizer size
+IVF_NPROBE = 4        # lists searched per probe
+IVF_TRAIN_ITERS = 2   # Lloyd refinement steps on the coarse quantizer
+
+
+def ivf_train(
+    ve: DataFrame, nlist: int = IVF_NLIST, n_iter: int = IVF_TRAIN_ITERS
+) -> DataFrame:
+    """Train the IVF coarse quantizer: deterministic seeding (the
+    ``nlist`` lowest-id vectors) refined by ``n_iter`` Lloyd steps.
+
+    Replaces the round-3 stand-in that used the raw seed vectors as
+    cells — trained centroids spread the inverted lists over the data's
+    actual density, which is what buys recall at a given nprobe.
+
+    Every step is order-proof so the DuckDB oracle can replay it
+    exactly: assignments argmin on the bit-matched ``euclidean`` /
+    ``list_distance`` pair with (distance, cid) tiebreak, and the
+    centroid update is an exact DECIMAL(38,8) per-dimension sum (sum
+    order can't change the bits) divided in IEEE double. Empty cells
+    keep their previous centroid. Each step broadcasts the k·d centroid
+    table and shuffles only (cid, pos, partials) — the same
+    constant-size-state shape as the kmeans kernels, so it holds at
+    100 TB. ``ve``: (vec_id, vec array<double>). Returns (cid, cvec)."""
+    from spark_clustering_spark.functions.distance import euclidean
+
+    cents = (
+        ve.orderBy("vec_id")
+        .limit(nlist)
+        .select(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"))
+    )
+    for _ in range(n_iter):
+        pairs = ve.crossJoin(F.broadcast(cents)).withColumn(
+            "cdist", euclidean(F.col("vec"), F.col("cvec"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("cdist", "cid")
+        assign = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cid", "vec")
+        )
+        unn = assign.select("cid", F.posexplode("vec").alias("pos", "v"))
+        means = unn.groupBy("cid", "pos").agg(
+            (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("m")
+        )
+        newv = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("mvec")
+        )
+        cents = cents.join(newv, "cid", "left").select(
+            "cid", F.coalesce("mvec", "cvec").alias("cvec")
+        )
+    return cents
+
+
+def _ivf_train_ctes(nlist: int, n_iter: int) -> str:
+    """DuckDB twin of ``ivf_train`` as unrolled CTEs ending in
+    ``coarse`` — the same seeded init, Lloyd steps with decimal-exact
+    means, and empty-cell carry-over."""
+    ctes = [
+        f"cent0 AS (SELECT vec_id AS cid, vec AS cvec "
+        f"FROM ve ORDER BY vec_id LIMIT {nlist})"
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"""assign{t} AS (
+      SELECT v.vec_id, v.vec, c.cid
+      FROM ve v CROSS JOIN cent{t - 1} c
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY list_distance(v.vec, c.cvec), c.cid) = 1
+    ),
+    means{t} AS (
+      SELECT cid, list(m ORDER BY pos) AS mvec FROM (
+        SELECT cid, pos,
+               cast(sum(cast(v AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS m
+        FROM (SELECT cid, unnest(vec) AS v,
+                     generate_subscripts(vec, 1) AS pos FROM assign{t})
+        GROUP BY cid, pos) GROUP BY cid
+    ),
+    cent{t} AS (
+      SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec
+      FROM cent{t - 1} c LEFT JOIN means{t} m ON m.cid = c.cid
+    )"""
+        )
+    ctes.append(f"coarse AS (SELECT cid, cvec FROM cent{n_iter})")
+    return ",\n    ".join(ctes)
 
 
 @query(
@@ -176,9 +262,7 @@ IVF_NPROBE = 4   # lists searched per probe
     WITH ve AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
     ),
-    coarse AS (
-      SELECT vec_id AS cid, vec AS cvec FROM ve ORDER BY vec_id LIMIT {IVF_NLIST}
-    ),
+    {_ivf_train_ctes(IVF_NLIST, IVF_TRAIN_ITERS)},
     lists AS (  -- inverted lists: every vector -> its nearest coarse cell
       SELECT v.vec_id, v.vec, c.cid AS list_id
       FROM ve v CROSS JOIN coarse c
@@ -215,24 +299,40 @@ IVF_NPROBE = 4   # lists searched per probe
 )
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbor — the scale path for similarity
-    search: a coarse quantizer (IVF_NLIST deterministic centroids)
-    partitions vectors into inverted lists; each probe searches only its
-    IVF_NPROBE nearest lists. Candidate volume drops from n to
-    ~n·nprobe/nlist; at 100 TB the lists become the partitioning key so
-    each search touches a bounded slice. Exact within searched lists —
-    recall vs. the brute-force top-k is measured in
-    tests/test_pipeline.py."""
-    from spark_clustering_spark.functions.distance import cosine, euclidean
+    search: a kmeans-trained coarse quantizer (``ivf_train``:
+    deterministic seeds + Lloyd refinement) partitions vectors into
+    inverted lists; each probe searches only its IVF_NPROBE nearest
+    lists. Candidate volume drops from n to ~n·nprobe/nlist; at 100 TB
+    the lists become the partitioning key so each search touches a
+    bounded slice. Exact within searched lists — recall vs. the
+    brute-force top-k is measured in tests/test_pipeline.py and
+    tools/ivf_recall.py (table in PERF.md)."""
     from spark_clustering_spark.io import table
 
     ve = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("vec")
     )
-    coarse = (
-        ve.orderBy("vec_id")
-        .limit(IVF_NLIST)
-        .select(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"))
+    probes = ve.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
     )
+    top = ivf_topk(ve, ivf_train(ve), probes, nprobe=IVF_NPROBE, k=TOP_K)
+    return top.select("probe_id", "cand_id", dround("cos").alias("cos"), "rn")
+
+
+def ivf_topk(
+    ve: DataFrame,
+    coarse: DataFrame,
+    probes: DataFrame,
+    nprobe: int = IVF_NPROBE,
+    k: int = TOP_K,
+) -> DataFrame:
+    """IVF search against a given coarse quantizer: assign every vector
+    to its nearest cell (inverted lists), route each probe to its
+    ``nprobe`` nearest cells, score only those lists. ``ve``: (vec_id,
+    vec), ``coarse``: (cid, cvec), ``probes``: (probe_id, pvec).
+    Returns (probe_id, cand_id, cos raw, rn)."""
+    from spark_clustering_spark.functions.distance import cosine, euclidean
+
     pairs = ve.crossJoin(F.broadcast(coarse)).withColumn(
         "cdist", euclidean(F.col("vec"), F.col("cvec"))
     )
@@ -242,16 +342,13 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "vec", F.col("cid").alias("list_id"))
     )
-    probes = ve.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
-    )
     ppairs = probes.crossJoin(F.broadcast(coarse)).withColumn(
         "cdist", euclidean(F.col("pvec"), F.col("cvec"))
     )
     w_probe = Window.partitionBy("probe_id").orderBy("cdist", "cid")
     probe_lists = (
         ppairs.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= IVF_NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("probe_id", F.col("cid").alias("list_id"))
     )
     cands = (
@@ -263,11 +360,9 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "cand_id", cosine(F.col("pvec"), F.col("vec")).alias("cos")
     )
     w_top = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
-    return (
-        scored.select("probe_id", "cand_id", "cos", F.row_number().over(w_top).alias("rn"))
-        .filter(F.col("rn") <= TOP_K)
-        .select("probe_id", "cand_id", dround("cos").alias("cos"), "rn")
-    )
+    return scored.select(
+        "probe_id", "cand_id", "cos", F.row_number().over(w_top).alias("rn")
+    ).filter(F.col("rn") <= k)
 
 
 def _lsh_bucket_oracle(dim: int = 64, n_planes: int = 12) -> str:

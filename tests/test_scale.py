@@ -145,9 +145,12 @@ def test_partition_pruning(spark):
 
 
 def test_ivf_recall_vs_bruteforce(spark):
-    """IVF with nprobe=4/nlist=16 should recover most of the exact
-    top-10 (recall >= 0.5 on random vectors; exactness within searched
-    lists is guaranteed)."""
+    """Trained IVF (nprobe=4/nlist=16) must recover >= 0.6 of the exact
+    top-10. The bar is set by measurement, not hope: the synthetic
+    embeddings are uniform random unit vectors (no cluster structure),
+    which caps nprobe=4 recall near 0.67 however the quantizer is
+    trained — see PERF.md's recall table. Raised from 0.5 when the
+    Lloyd-trained quantizer replaced the raw-seed cells."""
     import __spark_entry__ as e
 
     qs = e.queries()
@@ -160,7 +163,49 @@ def test_ivf_recall_vs_bruteforce(spark):
     recalls = [
         len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
     ]
-    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_ivf_recall_monotone_in_nprobe(spark):
+    """Searching more lists can only add candidates, so recall must be
+    non-decreasing in nprobe — and nprobe=nlist is exhaustive, i.e.
+    exact brute force."""
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.functions.distance import as_double_array
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.similarity import (
+        IVF_NLIST,
+        cosine_topk_fast,
+        ivf_topk,
+        ivf_train,
+    )
+
+    ve = table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    ).persist()
+    probes = ve.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
+    )
+    exact: dict[int, set[int]] = {}
+    for r in cosine_topk_fast(
+        ve, probes.select(F.col("probe_id").alias("vec_id"), F.col("pvec").alias("vec")), k=10
+    ).collect():
+        exact.setdefault(r["probe_id"], set()).add(r["cand_id"])
+    coarse = ivf_train(ve).persist()
+    prev = -1.0
+    for nprobe in (1, 4, IVF_NLIST):
+        approx: dict[int, set[int]] = {}
+        for r in ivf_topk(ve, coarse, probes, nprobe=nprobe, k=10).collect():
+            approx.setdefault(r["probe_id"], set()).add(r["cand_id"])
+        rec = sum(
+            len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
+        ) / len(exact)
+        assert rec >= prev, (nprobe, rec, prev)
+        prev = rec
+    assert prev == 1.0  # nprobe = nlist searches everything -> exact
+    ve.unpersist()
+    coarse.unpersist()
 
 
 def test_ntile_scalable_invariants_at_1m_rows(spark):
