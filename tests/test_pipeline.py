@@ -169,16 +169,72 @@ class TestMultimodal:
         assert all(16 <= r["width"] < 256 and 16 <= r["height"] < 256 for r in rows)
         assert {r["modality"] for r in rows} == {"image", "audio", "video"}
 
-    def test_decode_real_codec_seam_raises(self, spark):
+    def test_decode_real_codec_on_text_payload_raises(self, spark):
+        """The synthetic media payloads are plain text, not containers:
+        the real codec must reject them (a real decode error, not a
+        stub)."""
         from spark_clustering_spark.sources.multimodal import (
             decode_media,
             synthetic_media,
         )
 
-        with pytest.raises(Exception, match="NotImplementedError|real media"):
+        with pytest.raises(Exception, match="unrecognized media container"):
             decode_media(
                 synthetic_media(spark, SF_SMALL), decode_stub=False
             ).collect()
+
+    def test_decode_real_codec_on_committed_fixtures(self, spark):
+        """decode_stub=False parses GENUINE container bytes end-to-end
+        through the distributed mapInPandas plumbing: committed BMP /
+        P6-PPM / PNG fixtures come back with their true dimensions.
+        This proves the codec seam rather than just declaring it."""
+        from pathlib import Path
+
+        from spark_clustering_spark.sources.multimodal import decode_media
+
+        fx = Path("spark_clustering_spark/fixtures")
+        rows = [
+            (1, "image", bytearray(fx.joinpath("tiny_6x4.bmp").read_bytes()),
+             (134, "bmp")),
+            (2, "image", bytearray(fx.joinpath("tiny_5x3.ppm").read_bytes()),
+             (71, "ppm")),
+            (3, "image", bytearray(fx.joinpath("tiny_8x2.png").read_bytes()),
+             (103, "png")),
+        ]
+        media = spark.createDataFrame(
+            [(i, m, bytes(p), (n, t)) for i, m, p, (n, t) in rows],
+            "item_id BIGINT, modality STRING, payload BINARY, "
+            "meta STRUCT<declared_size: INT, tag: STRING>",
+        )
+        got = {
+            r["item_id"]: (r["width"], r["height"], r["n_frames"], r["n_bytes"])
+            for r in decode_media(media, decode_stub=False).collect()
+        }
+        assert got[1] == (6, 4, 1, 134)   # BMP: full pixel-array validation
+        assert got[2] == (5, 3, 1, 71)    # PPM: header + body length check
+        assert got[3] == (8, 2, 1, 103)   # PNG: IHDR
+        # truncated container -> loud decode error, not silent garbage
+        bad = spark.createDataFrame(
+            [(9, "image", bytes(b"BM\x00\x01"), (4, "bad"))],
+            "item_id BIGINT, modality STRING, payload BINARY, "
+            "meta STRUCT<declared_size: INT, tag: STRING>",
+        )
+        with pytest.raises(Exception, match="unrecognized|truncated"):
+            decode_media(bad, decode_stub=False).collect()
+
+    def test_decode_real_codec_via_pil_if_available(self, spark):
+        """When PIL is installed the seam also decodes formats the
+        pure-Python parsers don't cover (skips where PIL is absent)."""
+        pytest.importorskip("PIL")
+        import io
+
+        from PIL import Image
+
+        from spark_clustering_spark.sources.multimodal import decode_payload
+
+        buf = io.BytesIO()
+        Image.new("RGB", (7, 5)).save(buf, format="GIF")
+        assert decode_payload(buf.getvalue())[:2] == (7, 5)
 
     def test_features_are_normalized_histograms(self, spark):
         from spark_clustering_spark.sources.multimodal import (
