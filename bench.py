@@ -59,25 +59,33 @@ def main() -> None:
         _warm_kernel, "id bigint"
     ).write.format("noop").mode("overwrite").save()
 
-    # min of 2 executions per query: this host shows episodic multi-x
-    # slowdowns (shared-host steal), and a single sample under such a
-    # burst misreports a query by 3-8x. The min is the steady-state
-    # cost — the number that actually scales to cluster sizing.
+    # min of 2 executions per query, escalating to 3 when the two
+    # samples disagree by more than 2x: this host shows episodic
+    # multi-second steal bursts, and when BOTH of two samples land in a
+    # burst the min still misreports a query 3-5x (documented in
+    # PERF.md — q_join_anti "benched" 3.1 s vs 0.2 s steady state). A
+    # >2x spread between samples is the burst signature, so only then
+    # is a third sample worth its cost. The min is the steady-state
+    # number — the one that actually scales to cluster sizing.
     timings: dict[str, float] = {}
+    samples: dict[str, int] = {}
     for name in sorted(qs):
-        best = -1.0
+        runs: list[float] = []
         try:
-            for _ in range(2):
+            for attempt in range(3):
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                dt = round(time.time() - t0, 3)
-                best = dt if best < 0 else min(best, dt)
+                runs.append(round(time.time() - t0, 3))
+                if attempt == 1 and max(runs) <= 2 * max(min(runs), 0.05):
+                    break  # two consistent samples: no escalation
+            best = min(runs)
         except Exception as ex:  # keep the harness alive; surface the failure
             best = -1.0
             print(f"# bench error {name}: {ex}", file=sys.stderr)
         timings[name] = best
+        samples[name] = len(runs)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     detail_path = _REPO / "BENCH_DETAIL.json"
@@ -88,6 +96,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": sf,
             },
             indent=1,
@@ -104,7 +113,8 @@ def main() -> None:
                 "queries": slowest,
                 "sf": sf,
                 "n_queries": len(timings),
-                "protocol": "min_of_2",
+                "protocol": "min_of_2_escalate_3_on_2x_spread",
+                "n_escalated": sum(1 for v in samples.values() if v > 2),
                 "errors": sorted(n for n, t in timings.items() if t < 0),
                 "detail": detail_path.name,
             },

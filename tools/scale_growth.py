@@ -1,0 +1,109 @@
+"""Scale-growth measurement: wall time vs corpus multiple.
+
+Extends PERF.md's MinHash 4x protocol to the blocked GEMM
+(embedding near-dup, broadcast path disabled so the cogroup scale path
+is what's measured) and IVF search. The corpus is replicated via
+vec_id shift — identical replicas are the worst case for the
+pair-emission stage (every vector pairs with its replicas at
+threshold), exercised deliberately, same as the MinHash measurement.
+
+Usage: python tools/scale_growth.py [--sf DIR] [--multiples 1,4,16]
+       [--n-blocks 8] [--runs 2]
+Prints one markdown row per (query, multiple) plus a JSON line.
+
+Protocol notes: warm min-of-N wall via the no-op sink; run ALONE
+(bench isolation — concurrent Spark sessions corrupt the numbers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from functools import reduce
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--multiples", default="1,4,16")
+    ap.add_argument("--n-blocks", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.functions.distance import as_double_array
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.dedup import embedding_near_dup_pairs
+    from spark_clustering_spark.pipeline.similarity import ivf_topk, ivf_train
+    from spark_clustering_spark.session import get_spark
+
+    spark = get_spark("scale_growth")
+    ve = table(spark, args.sf, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    n = ve.count()
+
+    def replicated(times: int) -> DataFrame:
+        parts = [
+            ve.select((F.col("vec_id") + F.lit(i * n)).alias("vec_id"), "vec")
+            for i in range(times)
+        ]
+        return reduce(DataFrame.unionByName, parts)
+
+    def wall(df_fn) -> tuple[float, int]:
+        best, rows = -1.0, -1
+        for _ in range(args.runs):
+            t0 = time.monotonic()
+            df = df_fn()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best < 0 else min(best, dt)
+        rows = df_fn().count()
+        return best, rows
+
+    multiples = [int(x) for x in args.multiples.split(",")]
+    results: dict[str, dict[int, dict[str, float]]] = {"gemm": {}, "ivf": {}}
+    print(f"sf={args.sf} base_n={n} n_blocks={args.n_blocks} "
+          f"runs={args.runs} (min)\n")
+    print("| query | corpus | rows_out | wall s | growth |")
+    print("|---|---|---|---|---|")
+    for mult in multiples:
+        rep = replicated(mult).persist()
+        rep.count()  # materialize outside the timed region
+
+        w, rows = wall(
+            lambda: embedding_near_dup_pairs(
+                rep, threshold=0.99, n_blocks=args.n_blocks, broadcast_elems=0
+            )
+        )
+        base = results["gemm"].get(multiples[0], {}).get("wall", w)
+        results["gemm"][mult] = {"wall": round(w, 3), "rows": rows}
+        print(f"| gemm blocked | {mult}x ({mult * n}) | {rows} | {w:.2f} "
+              f"| {w / base:.2f}x |")
+
+        probes = rep.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
+        )
+        coarse = ivf_train(rep).persist()
+        coarse.count()
+        w2, rows2 = wall(lambda: ivf_topk(rep, coarse, probes, nprobe=4, k=10))
+        base2 = results["ivf"].get(multiples[0], {}).get("wall", w2)
+        results["ivf"][mult] = {"wall": round(w2, 3), "rows": rows2}
+        print(f"| ivf nprobe=4 | {mult}x ({mult * n}) | {rows2} | {w2:.2f} "
+              f"| {w2 / base2:.2f}x |")
+        coarse.unpersist()
+        rep.unpersist()
+    print()
+    print(json.dumps({"sf": args.sf, "base_n": n, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
