@@ -294,6 +294,58 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_approx_percentile",
+    # same envelope pattern as q_agg_approx_distinct: the GK-sketch
+    # value is engine-specific, so the query emits the exact discrete
+    # percentiles (order-proof — percentile_disc returns an actual data
+    # value, no float interpolation) plus booleans asserting the sketch
+    # landed inside the exact ±0.01-rank band; the oracle computes the
+    # same exact values and claims TRUE
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.5) AS p50_exact,
+           quantile_disc(o_totalprice, 0.9) AS p90_exact,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (GK sketch, ``percentile_approx``) per
+    order priority, hash-verified via a rank-error envelope: with
+    accuracy 10000 the sketch guarantees rank error ≤ 1/10000, so the
+    estimate must lie within the exact [p−0.01, p+0.01] discrete
+    percentile band — far looser than the guarantee, far tighter than
+    garbage. At 100 TB the sketch is the only viable path (exact
+    percentiles need a full sort per group; the sketch is one
+    mergeable map-side state per partition) — the exact columns ride
+    along only for the oracle compare at test scale."""
+    o = table(spark, sf_dir, "orders")
+
+    def disc(p: float):
+        return F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+        )
+
+    agg = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9], 10000).alias("_ap"),
+        disc(0.5).alias("p50_exact"),
+        disc(0.9).alias("p90_exact"),
+        disc(0.49).alias("_p50_lo"),
+        disc(0.51).alias("_p50_hi"),
+        disc(0.89).alias("_p90_lo"),
+        disc(0.91).alias("_p90_hi"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "p50_exact",
+        "p90_exact",
+        F.col("_ap")[0].between(F.col("_p50_lo"), F.col("_p50_hi")).alias("p50_ok"),
+        F.col("_ap")[1].between(F.col("_p90_lo"), F.col("_p90_hi")).alias("p90_ok"),
+    )
+
+
+@query(
     "q_agg_histogram",
     oracle=f"""
     SELECT least(floor(o_totalprice / 50000), 9)::BIGINT AS bucket,

@@ -214,3 +214,106 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+BLOOM_BITS = 1 << 20   # m: 128 KB of bitset for the eval shingle set
+BLOOM_HASHES = 4       # k
+
+
+def _bloom_pos_sql(key: str, i: int) -> tuple[str, str]:
+    """(word, bit) SQL fragments for hash i of column ``key`` — ONE
+    generator shared by build and probe, so the hash families cannot
+    drift and false negatives are impossible by construction."""
+    pos = f"pmod(xxhash64({key}, {i}), {BLOOM_BITS}L)"
+    return f"CAST({pos} / 64 AS INT)", f"CAST(pmod({pos}, 64) AS INT)"
+
+
+def bloom_build(keys: DataFrame, col: str = "shingle") -> DataFrame:
+    """Distributed bloom-filter build: each key sets k bits; bits OR
+    into ≤ m/64 bitset words (one small groupBy — the shuffle carries
+    (word, partial-OR) pairs, never the key strings); the words pack
+    into a single-row map. Spark's own ``bloom_filter_agg`` exists but
+    is not SQL-registered in 4.1, so the same structure is built from
+    first-class relational ops."""
+    structs = ", ".join(
+        f"struct({w} AS word, {b} AS bit)"
+        for w, b in (_bloom_pos_sql(col, i) for i in range(BLOOM_HASHES))
+    )
+    pos = keys.select(F.expr(f"explode(array({structs}))").alias("p"))
+    words = pos.groupBy(F.col("p.word").alias("word")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), p.bit))").alias("bits")
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
+    )
+
+
+def bloom_might_contain(bloom: str, key: str):
+    """AND over the k probed bits; absent words mean bit unset.
+    ``bloom``/``key`` are column names resolvable in the frame."""
+    conds = []
+    for i in range(BLOOM_HASHES):
+        w, b = _bloom_pos_sql(key, i)
+        conds.append(
+            f"(coalesce(element_at({bloom}, {w}), CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), {b})) != 0"
+        )
+    return F.expr(" AND ".join(conds))
+
+
+@query(
+    "q_decontaminate_bloom",
+    # identical declared output to q_decontaminate — the bloom is a
+    # prefilter whose false positives the exact verify join removes, so
+    # the oracle is the same exact contamination scan
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   for i in range(1, greatest(len(ws) - 1, 1))]))
+               AS shingle
+      FROM docs
+    ),
+    ev AS (
+      SELECT DISTINCT shingle FROM grams WHERE doc_id % {DECON_MOD} = 0
+    )
+    SELECT g.doc_id,
+           count(*) AS n_shared_shingles
+    FROM grams g JOIN ev ON g.shingle = ev.shingle
+    WHERE g.doc_id % {DECON_MOD} <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — the true 100 TB shape of the
+    leakage scan. ``q_decontaminate`` broadcasts the eval set's DISTINCT
+    shingle *strings*; at pretraining scale that set outgrows broadcast
+    long before the training side does. Here the broadcast is a fixed
+    128 KB bloom bitset over shingle hashes (~10 bits/item regardless
+    of string length): the training side drops non-candidates at scan
+    speed inside codegen — no shuffle, no join — and only the surviving
+    sliver pays the exact verify join that removes bloom false
+    positives. No false negatives by construction (build and probe
+    share the hash family), so the declared output is identical to the
+    exact scan and hash-verifies against the same oracle."""
+    d = table(spark, sf_dir, "documents")
+    g = shingles(d, n=DECON_N)
+    ev = (
+        g.filter(F.pmod("doc_id", F.lit(DECON_MOD)) == 0)
+        .select("shingle")
+        .distinct()
+    )
+    bf = bloom_build(ev)
+    train = g.filter(F.pmod("doc_id", F.lit(DECON_MOD)) != 0)
+    candidates = train.crossJoin(F.broadcast(bf)).filter(
+        bloom_might_contain("bloom", "shingle")
+    ).drop("bloom")
+    return (
+        candidates.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )

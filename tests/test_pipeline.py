@@ -277,6 +277,86 @@ class TestApproxDistinct:
             assert r["within_5pct"], (r["event_type"], r["exact_users"])
             assert r["exact_users"] == exact[r["event_type"]]
 
+    def test_approx_percentile_within_envelope(self, spark):
+        """Every group's GK-sketch estimate must land in the exact
+        ±0.01-rank band the query self-reports."""
+        import __spark_entry__ as e
+
+        rows = e.queries()["q_agg_approx_percentile"](spark, SF_SMALL).collect()
+        assert rows, "no groups"
+        for r in rows:
+            assert r["p50_ok"] and r["p90_ok"], r
+            assert r["p50_exact"] <= r["p90_exact"]
+
+
+class TestBloomDecontaminate:
+    def test_bloom_matches_exact_scan(self, spark):
+        """The bloom-prefiltered scan must return exactly the exact
+        scan's rows (false positives removed by the verify join; false
+        negatives impossible — shared hash family)."""
+        import __spark_entry__ as e
+
+        qs = e.queries()
+        exact = {
+            (r["doc_id"], r["n_shared_shingles"])
+            for r in qs["q_decontaminate"](spark, SF_SMALL).collect()
+        }
+        bloom = {
+            (r["doc_id"], r["n_shared_shingles"])
+            for r in qs["q_decontaminate_bloom"](spark, SF_SMALL).collect()
+        }
+        assert bloom == exact
+        assert len(exact) > 0
+
+    def test_bloom_prefilter_is_selective(self, spark):
+        """The 128 KB bitset must actually discard most non-eval
+        shingles: candidate rows after the bloom may exceed the true
+        matches only by a small false-positive margin."""
+        from spark_clustering_spark.pipeline.chunking import (
+            DECON_MOD,
+            DECON_N,
+            bloom_build,
+            bloom_might_contain,
+            shingles,
+        )
+        from spark_clustering_spark.io import table
+
+        d = table(spark, SF_SMALL, "documents")
+        g = shingles(d, n=DECON_N)
+        ev = (
+            g.filter(F.pmod("doc_id", F.lit(DECON_MOD)) == 0)
+            .select("shingle").distinct()
+        )
+        train = g.filter(F.pmod("doc_id", F.lit(DECON_MOD)) != 0)
+        n_train = train.count()
+        n_cand = (
+            train.crossJoin(F.broadcast(bloom_build(ev)))
+            .filter(bloom_might_contain("bloom", "shingle"))
+            .count()
+        )
+        n_true = train.join(ev, "shingle").count()
+        assert n_true <= n_cand  # no false negatives
+        assert n_cand <= n_true + 0.05 * n_train, (n_cand, n_true, n_train)
+
+
+class TestUrlDedup:
+    def test_canonical_urls_are_clean_and_partition_docs(self, spark):
+        """Canonicalization must remove fragments, tracking params,
+        default ports, and host case — while keeping meaningful params —
+        and every document lands in exactly one group."""
+        import __spark_entry__ as e
+
+        rows = e.queries()["q_dedup_url"](spark, SF_SMALL).collect()
+        n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+        assert sum(r["n_urls"] for r in rows) == n_docs
+        assert any(r["n_urls"] > 1 for r in rows)  # real dup groups
+        for r in rows:
+            u = r["canonical_url"]
+            assert "#" not in u and "utm_" not in u and ":443" not in u, u
+            assert not u.endswith("/"), u
+            assert u.startswith("https://www."), u  # host lowercased
+        assert any("?id=" in r["canonical_url"] for r in rows)  # kept param
+
 
 class TestChunking:
     def test_chunks_reconstruct_documents(self, spark):
