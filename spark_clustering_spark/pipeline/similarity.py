@@ -220,6 +220,11 @@ def ivf_train(
         cents = cents.join(newv, "cid", "left").select(
             "cid", F.coalesce("mvec", "cvec").alias("cvec")
         )
+    if n_iter > 0:
+        # nlist rows of k·d doubles — pin them so the two consumers
+        # (inverted-list assignment and probe routing) don't re-run the
+        # training subtree, and per-step lineage doesn't stack
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 

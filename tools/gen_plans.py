@@ -61,6 +61,17 @@ NOTES = {
         "become a left-semi and a left-anti self-join, both keyed on "
         "orderkey."
     ),
+    "q_decontaminate_bloom": (
+        "the 128 KB bloom bitset is a 1-row broadcast; the training "
+        "side's might-contain probe is a codegen Filter — no shuffle "
+        "and no join until the surviving sliver hits the exact verify "
+        "join."
+    ),
+    "q_dedup_url": (
+        "URL synthesis + canonicalization are narrow string "
+        "expressions; the single Exchange is the hash-aggregate on the "
+        "canonical key (map-side combine), carrying (url, doc_id) only."
+    ),
     "q_sample_mixture": (
         "mixture resampling as a stateless per-row hash-threshold "
         "filter: zero Exchange nodes — the only sampling shape with no "
