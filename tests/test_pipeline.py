@@ -222,6 +222,62 @@ class TestMultimodal:
         with pytest.raises(Exception, match="unrecognized|truncated"):
             decode_media(bad, decode_stub=False).collect()
 
+    def test_real_pixel_decode_and_resize(self, spark):
+        """decode_pixels must recover the EXACT pixel values the fixture
+        generator wrote (BMP: bottom-up BGR with row padding undone;
+        PPM: top-down RGB), and the real-codec resize_media path must
+        emit the md5 of the true nearest-neighbor-resampled raster."""
+        import hashlib
+        from pathlib import Path
+
+        import numpy as np
+
+        from spark_clustering_spark.sources.multimodal import (
+            decode_pixels,
+            resize_media,
+            resize_pixels,
+        )
+
+        fx = Path("spark_clustering_spark/fixtures")
+        bmp = fx.joinpath("tiny_6x4.bmp").read_bytes()
+        ppm = fx.joinpath("tiny_5x3.ppm").read_bytes()
+
+        # independent references from the generator formulas. The BMP
+        # generator wrote raw file bytes (x*40, y*60, x+y) per pixel —
+        # BMP stores B,G,R, so the decoded RGB triple is the reverse —
+        # and wrote y=0 first, which BMP stores as the BOTTOM row.
+        ref_bmp = np.array(
+            [[[(x + y) % 256, (y * 60) % 256, (x * 40) % 256]
+              for x in range(6)] for y in range(4)], dtype=np.uint8
+        )[::-1]
+        ref_ppm = np.array(
+            [[[(x * 17) % 256, (y * 31) % 256, (x * y) % 256]
+              for x in range(5)] for y in range(3)], dtype=np.uint8
+        )
+        assert (decode_pixels(bmp) == ref_bmp).all()
+        assert (decode_pixels(ppm) == ref_ppm).all()
+
+        # distributed real-codec resize: md5 of the resampled raster
+        media = spark.createDataFrame(
+            [(1, "image", bmp, (len(bmp), "bmp")),
+             (2, "image", ppm, (len(ppm), "ppm"))],
+            "item_id BIGINT, modality STRING, payload BINARY, "
+            "meta STRUCT<declared_size: INT, tag: STRING>",
+        )
+        got = {
+            r["item_id"]: r["content_md5"]
+            for r in resize_media(media, 3, 2, real_codec=True).collect()
+        }
+        for i, ref in ((1, ref_bmp), (2, ref_ppm)):
+            ys = np.arange(2) * ref.shape[0] // 2
+            xs = np.arange(3) * ref.shape[1] // 3
+            expect = hashlib.md5(ref[ys][:, xs].tobytes()).hexdigest()
+            assert got[i] == expect
+        # resize_pixels must agree with the pure-numpy reference too
+        ys_b = np.arange(2) * ref_bmp.shape[0] // 2
+        xs_b = np.arange(3) * ref_bmp.shape[1] // 3
+        assert (resize_pixels(ref_bmp, 3, 2) == ref_bmp[ys_b][:, xs_b]).all()
+
     def test_decode_real_codec_via_pil_if_available(self, spark):
         """When PIL is installed the seam also decodes formats the
         pure-Python parsers don't cover (skips where PIL is absent)."""
