@@ -96,3 +96,108 @@ def q_dist_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(euclidean(F.col("va"), F.col("vb"))).alias("dist"),
         )
     )
+
+
+COV_DIMS = 8  # leading dims in the exact-decimal declared query
+
+
+@query(
+    "q_vec_covariance",
+    # exact DECIMAL(38,8) sums of v, and of the vi·vj products (the
+    # per-row product is one IEEE double op, identical both engines;
+    # the SUM over rows is exact decimal, so accumulation order can't
+    # flap bits) — then the textbook E[xy] − E[x]E[y] evaluated with
+    # identical double expression trees
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ),
+    d8 AS (SELECT vec_id, pos, v FROM dims WHERE pos < {COV_DIMS}),
+    pairs AS (
+      SELECT a.pos AS i, b.pos AS j, count(*) AS n,
+             cast(sum(cast(a.v AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+             cast(sum(cast(b.v AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+             cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      FROM d8 a JOIN d8 b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      GROUP BY 1, 2
+    )
+    SELECT i::INT AS i, j::INT AS j, n,
+           cast(round(cast(cast((sxy / n - (sx / n) * (sy / n)) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS cov
+    FROM pairs
+    """,
+)
+def q_vec_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix (upper triangle) of the leading {COV_DIMS}
+    embedding dimensions — the PCA / whitening precursor of every
+    embedding pipeline, with exact-decimal sums so it hash-verifies.
+
+    Scale: the i≤j self-join amplifies each row by COV_DIMS², so the
+    exact-decimal form is declared on a bounded dim slice; the full-d
+    scale path is ``gram_matrix`` below — per-partition d×d float
+    partials (constant-size state, the kernel pattern), which trades
+    bit-reproducibility for a single narrow pass and is cross-checked
+    against numpy in tests."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode(as_double_array("embedding")).alias("pos", "v")
+    ).filter(F.col("pos") < COV_DIMS)
+    a = dims.select("vec_id", F.col("pos").alias("i"), F.col("v").alias("va"))
+    b = dims.select("vec_id", F.col("pos").alias("j"), F.col("v").alias("vb"))
+    DEC = "decimal(38,8)"
+    pairs = (
+        a.join(b, "vec_id")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("va").cast(DEC)).cast("double").alias("sx"),
+            F.sum(F.col("vb").cast(DEC)).cast("double").alias("sy"),
+            F.sum((F.col("va") * F.col("vb")).cast(DEC)).cast("double").alias("sxy"),
+        )
+    )
+    cov = F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (
+        F.col("sy") / F.col("n")
+    )
+    return pairs.select("i", "j", "n", dround(cov).alias("cov"))
+
+
+def gram_matrix(e: DataFrame, vec_col: str = "vec"):
+    """Full-d Gram/covariance scale path: each partition emits ONE
+    (count, sum-vector, flattened XᵀX) row via mapInPandas — d·(d+1)
+    doubles of state per partition regardless of row count, the same
+    constant-size-partials shape as the fit kernels — and the driver
+    reduces the handful of partials. Returns (n, mean (d,), cov (d,d))
+    as numpy. Float accumulation (BLAS) — the bit-exact declared twin
+    is ``q_vec_covariance`` on the leading dim slice."""
+    import numpy as np
+
+    def partials(batches):
+        import pandas as pd
+
+        n, s, g = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n += X.shape[0]
+            s = X.sum(0) if s is None else s + X.sum(0)
+            gg = X.T @ X
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    rows = e.select(vec_col).mapInPandas(
+        partials, "n BIGINT, s ARRAY<DOUBLE>, g ARRAY<DOUBLE>"
+    ).collect()
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.array(r["g"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    return n, mean, cov
