@@ -401,3 +401,263 @@ def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = cosine_lsh_buckets(e, dim=64, n_planes=12)
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+# --- Product quantization (third ANN family beside IVF and sign-LSH) ---
+
+PQ_SUBS = 8      # subspaces
+PQ_SUBDIM = 8    # dims per subspace (PQ_SUBS * PQ_SUBDIM = embedding d)
+PQ_K = 16        # codebook size per subspace -> 4 bits/code, 8 codes/vector
+PQ_ITERS = 1     # Lloyd refinement steps per sub-codebook
+
+
+def pq_train(ve: DataFrame, n_subs: int = PQ_SUBS, subdim: int = PQ_SUBDIM,
+             k: int = PQ_K, n_iter: int = PQ_ITERS) -> DataFrame:
+    """Train all ``n_subs`` PQ sub-codebooks in ONE pipeline: slice
+    every vector into subvectors (posexplode of slices), seed each
+    subspace with its k lowest-id subvectors, and run the same
+    order-proof Lloyd step as ``ivf_train`` keyed by subspace — exact
+    DECIMAL means, (distance, cid) argmin tiebreak, empty cells keep
+    their centroid. Returns (s, cid, cvec). The per-step shuffle is
+    (s, cid, pos, partials): n_subs·k·subdim rows of state, constant in
+    the corpus size."""
+    from spark_clustering_spark.functions.distance import euclidean
+
+    subs = ve.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("vec", s * subdim + 1, subdim)
+                      for s in range(n_subs)])
+        ).alias("s", "sub"),
+    )
+    wseed = Window.partitionBy("s").orderBy("vec_id")
+    cents = (
+        subs.withColumn("rn", F.row_number().over(wseed))
+        .filter(F.col("rn") <= k)
+        .select("s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec"))
+    )
+    for _ in range(n_iter):
+        pairs = subs.join(F.broadcast(cents), "s").withColumn(
+            "cdist", euclidean(F.col("sub"), F.col("cvec"))
+        )
+        w = Window.partitionBy("vec_id", "s").orderBy("cdist", "cid")
+        assign = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("s", "cid", "sub")
+        )
+        unn = assign.select("s", "cid", F.posexplode("sub").alias("pos", "v"))
+        means = unn.groupBy("s", "cid", "pos").agg(
+            (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("m")
+        )
+        newv = means.groupBy("s", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"],
+            ).alias("mvec")
+        )
+        cents = cents.join(newv, ["s", "cid"], "left").select(
+            "s", "cid", F.coalesce("mvec", "cvec").alias("cvec")
+        )
+    return cents.localCheckpoint(eager=True)
+
+
+def pq_encode(ve: DataFrame, cents: DataFrame,
+              n_subs: int = PQ_SUBS, subdim: int = PQ_SUBDIM) -> DataFrame:
+    """Assign every (vector, subspace) its nearest sub-centroid.
+    Returns (vec_id, s, code, qdist) — qdist is the subspace
+    quantization L2 error."""
+    from spark_clustering_spark.functions.distance import euclidean
+
+    subs = ve.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("vec", s * subdim + 1, subdim)
+                      for s in range(n_subs)])
+        ).alias("s", "sub"),
+    )
+    pairs = subs.join(F.broadcast(cents), "s").withColumn(
+        "cdist", euclidean(F.col("sub"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("cdist", "cid")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("cid").alias("code"),
+                F.col("cdist").alias("qdist"))
+    )
+
+
+def _pq_sql_ctes(n_subs: int, subdim: int, k: int, n_iter: int) -> str:
+    """DuckDB twin of pq_train + pq_encode as CTEs ending in ``codes``
+    (vec_id, s, code, qdist)."""
+    ctes = [
+        f"""subs AS (
+      SELECT vec_id, s,
+             vec[s * {subdim} + 1 : s * {subdim} + {subdim}] AS sub
+      FROM ve CROSS JOIN (SELECT unnest(range(0, {n_subs})) AS s)
+    )""",
+        f"""pcent0 AS (
+      SELECT s, vec_id AS cid, sub AS cvec FROM subs
+      QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= {k}
+    )""",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"""passign{t} AS (
+      SELECT v.vec_id, v.s, v.sub, c.cid
+      FROM subs v JOIN pcent{t - 1} c ON c.s = v.s
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id, v.s
+        ORDER BY list_distance(v.sub, c.cvec), c.cid) = 1
+    ),
+    pmeans{t} AS (
+      SELECT s, cid, list(m ORDER BY pos) AS mvec FROM (
+        SELECT s, cid, pos,
+               cast(sum(cast(v AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS m
+        FROM (SELECT s, cid, unnest(sub) AS v,
+                     generate_subscripts(sub, 1) AS pos FROM passign{t})
+        GROUP BY s, cid, pos) GROUP BY s, cid
+    ),
+    pcent{t} AS (
+      SELECT c.s, c.cid, coalesce(m.mvec, c.cvec) AS cvec
+      FROM pcent{t - 1} c LEFT JOIN pmeans{t} m
+        ON m.s = c.s AND m.cid = c.cid
+    )"""
+        )
+    ctes.append(
+        f"""codes AS (
+      SELECT v.vec_id, v.s, c.cid AS code,
+             list_distance(v.sub, c.cvec) AS qdist
+      FROM subs v JOIN pcent{n_iter} c ON c.s = v.s
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id, v.s
+        ORDER BY list_distance(v.sub, c.cvec), c.cid) = 1
+    )"""
+    )
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "q_sim_pq_codes",
+    oracle=f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    {_pq_sql_ctes(PQ_SUBS, PQ_SUBDIM, PQ_K, PQ_ITERS)}
+    SELECT vec_id, s::INT AS subspace, code,
+           cast(round(cast(cast((qdist) AS VARCHAR) AS DECIMAL(38,12)), 4)
+                AS DOUBLE) AS qdist
+    FROM codes
+    """,
+)
+def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding — the memory-side ANN scale path
+    (IVF bounds candidates, PQ bounds bytes): every 64-d vector
+    compresses to {PQ_SUBS} 4-bit codes against per-subspace trained
+    codebooks, 512× smaller than the float vector. Training and
+    encoding are order-proof (same machinery as ``ivf_train``), so the
+    whole train→encode pipeline hash-verifies against the DuckDB
+    replay. At 100 TB the codebooks are a broadcast k·d table and
+    encoding is one narrow pass; the per-step training shuffle is
+    constant-size (s, cid, pos) partials."""
+    from spark_clustering_spark.io import table
+
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    codes = pq_encode(ve, pq_train(ve))
+    return codes.select(
+        "vec_id",
+        F.col("s").cast("int").alias("subspace"),
+        "code",
+        dround("qdist").alias("qdist"),
+    )
+
+
+@query(
+    "q_sim_pq_adc_topk",
+    oracle=f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    {_pq_sql_ctes(PQ_SUBS, PQ_SUBDIM, PQ_K, PQ_ITERS)},
+    probes AS (
+      SELECT vec_id AS probe_id, s, sub AS psub FROM subs
+      WHERE vec_id < {N_PROBES}
+    ),
+    pe AS (SELECT probe_id, s, unnest(psub) AS pv,
+                  generate_subscripts(psub, 1) AS pos FROM probes),
+    ce AS (SELECT s, cid, unnest(cvec) AS cv,
+                  generate_subscripts(cvec, 1) AS pos FROM pcent{PQ_ITERS}),
+    d2 AS (
+      SELECT pe.probe_id, pe.s, ce.cid,
+             cast(sum(cast((pe.pv - ce.cv) * (pe.pv - ce.cv)
+                  AS DECIMAL(38,8))) AS DOUBLE) AS d2
+      FROM pe JOIN ce ON ce.s = pe.s AND ce.pos = pe.pos
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT d.probe_id, k.vec_id AS cand_id,
+             cast(sum(cast(d.d2 AS DECIMAL(38,8))) AS DOUBLE) AS adc
+      FROM codes k JOIN d2 d ON d.s = k.s AND d.cid = k.code
+      WHERE k.vec_id <> d.probe_id
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, cand_id,
+           cast(round(cast(cast((adc) AS VARCHAR) AS DECIMAL(38,12)), 4)
+                AS DOUBLE) AS adc,
+           rn::INT AS rn
+    FROM (
+      SELECT probe_id, cand_id, adc,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY adc, cand_id) AS rn
+      FROM adc) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the query path
+    that makes PQ an ANN method: the probe computes one tiny distance
+    table to every sub-centroid (n_probes·{PQ_SUBS}·{PQ_K} entries),
+    then every candidate's approximate distance is {PQ_SUBS} table
+    lookups summed — the original vectors are NEVER touched at query
+    time, which is the whole 100 TB point (8 bytes/vector in memory,
+    no float scan). The distance table is decimal-exact per entry and
+    the {PQ_SUBS}-term ADC sum is decimal-exact too, so the ranking
+    hash-verifies. Shuffle: (probe, cand) partial sums only."""
+    from spark_clustering_spark.io import table
+
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    cents = pq_train(ve)
+    codes = pq_encode(ve, cents).select("vec_id", "s", "code")
+    psubs = ve.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.posexplode(
+            F.array(*[F.slice("vec", s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                      for s in range(PQ_SUBS)])
+        ).alias("s", "psub"),
+    )
+    sq = psubs.join(F.broadcast(cents), "s").select(
+        "probe_id", "s", "cid",
+        F.explode(
+            F.zip_with("psub", "cvec", lambda x, y: (x - y) * (x - y))
+        ).alias("sqd"),
+    )
+    d2 = sq.groupBy("probe_id", "s", "cid").agg(
+        F.sum(F.col("sqd").cast(DEC)).cast("double").alias("d2")
+    )
+    adc = (
+        codes.join(
+            F.broadcast(d2.withColumnRenamed("cid", "code")), ["s", "code"]
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum(F.col("d2").cast(DEC)).cast("double").alias("adc"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc", "cand_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "cand_id", dround("adc").alias("adc"), "rn")
+    )

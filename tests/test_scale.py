@@ -324,3 +324,78 @@ def test_lsh_bucket_pairs_hot_bucket_streams_and_matches_self_join(spark):
     assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
     hot.unpersist()
     sig.unpersist()
+
+
+def test_pq_codes_valid_and_training_reduces_error(spark):
+    """Every (vector, subspace) gets exactly one code from the trained
+    codebook, and one Lloyd step must not increase total quantization
+    error vs the raw seeds (Lloyd is monotone on the objective)."""
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.functions.distance import as_double_array
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.similarity import (
+        PQ_K,
+        PQ_SUBS,
+        pq_encode,
+        pq_train,
+    )
+
+    ve = table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    ).persist()
+    n = ve.count()
+    err = {}
+    for it in (0, 1):
+        codes = pq_encode(ve, pq_train(ve, n_iter=it)).persist()
+        assert codes.count() == n * PQ_SUBS
+        assert codes.groupBy("vec_id", "s").count().filter("count > 1").count() == 0
+        assert codes.filter(~F.col("code").between(0, 10**9)).count() == 0
+        err[it] = codes.agg(F.sum("qdist")).collect()[0][0]
+        codes.unpersist()
+    assert err[1] <= err[0] + 1e-9, err
+    ve.unpersist()
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """ADC ranks by compressed 32-bit-per-vector representations; it
+    must still recover a meaningful share of the exact L2 top-10 (bar
+    set by measurement on the structureless random unit vectors)."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.functions.distance import (
+        as_double_array,
+        euclidean,
+    )
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.similarity import N_PROBES
+
+    qs = e.queries()
+    ve = table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    ).persist()
+    probes = ve.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
+    )
+    from pyspark.sql.window import Window
+
+    pairs = ve.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+    w = Window.partitionBy("probe_id").orderBy(
+        euclidean(F.col("vec"), F.col("pvec")).asc(), F.col("vec_id")
+    )
+    exact: dict[int, set[int]] = {}
+    for r in (
+        pairs.select("probe_id", "vec_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    ):
+        exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    approx: dict[int, set[int]] = {}
+    for r in qs["q_sim_pq_adc_topk"](spark, SF_SMALL).collect():
+        approx.setdefault(r["probe_id"], set()).add(r["cand_id"])
+    rec = sum(
+        len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
+    ) / len(exact)
+    assert rec >= 0.3, rec
+    ve.unpersist()
