@@ -488,14 +488,18 @@ def pq_encode(ve: DataFrame, cents: DataFrame,
     )
 
 
-def _pq_sql_ctes(n_subs: int, subdim: int, k: int, n_iter: int) -> str:
+def _pq_sql_ctes(
+    n_subs: int, subdim: int, k: int, n_iter: int, src: str = "ve"
+) -> str:
     """DuckDB twin of pq_train + pq_encode as CTEs ending in ``codes``
-    (vec_id, s, code, qdist)."""
+    (vec_id, s, code, qdist). ``src`` is the (vec_id, vec) relation the
+    codebooks are trained on — ``ve`` for plain PQ, the residual
+    relation for IVFPQ."""
     ctes = [
         f"""subs AS (
       SELECT vec_id, s,
              vec[s * {subdim} + 1 : s * {subdim} + {subdim}] AS sub
-      FROM ve CROSS JOIN (SELECT unnest(range(0, {n_subs})) AS s)
+      FROM {src} CROSS JOIN (SELECT unnest(range(0, {n_subs})) AS s)
     )""",
         f"""pcent0 AS (
       SELECT s, vec_id AS cid, sub AS cvec FROM subs
@@ -658,6 +662,178 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("probe_id").orderBy("adc", "cand_id")
     return (
         adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "cand_id", dround("adc").alias("adc"), "rn")
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """Combined IVF + residual-PQ oracle: coarse training (unrolled
+    Lloyd), residual computation, PQ codebooks trained ON THE RESIDUALS,
+    and per-list ADC ranking — every stage decimal-exact or bit-matched,
+    so the full IVFPQ pipeline hash-verifies."""
+    return f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    {_ivf_train_ctes(IVF_NLIST, IVF_TRAIN_ITERS)},
+    ivlists AS (
+      SELECT v.vec_id, v.vec, c.cid AS list_id, c.cvec AS lvec
+      FROM ve v CROSS JOIN coarse c
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY list_distance(v.vec, c.cvec), c.cid) = 1
+    ),
+    rex AS (SELECT vec_id, unnest(vec) AS v,
+                   generate_subscripts(vec, 1) AS pos, lvec FROM ivlists),
+    resid AS (
+      SELECT vec_id, list(v - lvec[pos] ORDER BY pos) AS vec
+      FROM rex GROUP BY vec_id
+    ),
+    {_pq_sql_ctes(PQ_SUBS, PQ_SUBDIM, PQ_K, PQ_ITERS, src="resid")},
+    probe_lists AS (
+      SELECT p.probe_id, p.pvec, c.cid AS list_id, c.cvec
+      FROM (SELECT vec_id AS probe_id, vec AS pvec FROM ve
+            WHERE vec_id < {N_PROBES}) p
+      CROSS JOIN coarse c
+      QUALIFY row_number() OVER (PARTITION BY p.probe_id
+        ORDER BY list_distance(p.pvec, c.cvec), c.cid) <= {IVF_NPROBE}
+    ),
+    prx AS (SELECT probe_id, list_id, unnest(pvec) AS v,
+                   generate_subscripts(pvec, 1) AS pos, cvec
+            FROM probe_lists),
+    presid AS (
+      SELECT probe_id, list_id, list(v - cvec[pos] ORDER BY pos) AS rvec
+      FROM prx GROUP BY probe_id, list_id
+    ),
+    psubs AS (
+      SELECT probe_id, list_id, s,
+             rvec[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS psub
+      FROM presid CROSS JOIN (SELECT unnest(range(0, {PQ_SUBS})) AS s)
+    ),
+    pqe AS (SELECT probe_id, list_id, s, unnest(psub) AS pv,
+                   generate_subscripts(psub, 1) AS pos FROM psubs),
+    pqc AS (SELECT s, cid, unnest(cvec) AS cv,
+                   generate_subscripts(cvec, 1) AS pos FROM pcent{PQ_ITERS}),
+    d2 AS (
+      SELECT pqe.probe_id, pqe.list_id, pqe.s, pqc.cid,
+             cast(sum(cast((pqe.pv - pqc.cv) * (pqe.pv - pqc.cv)
+                  AS DECIMAL(38,8))) AS DOUBLE) AS d2
+      FROM pqe JOIN pqc ON pqc.s = pqe.s AND pqc.pos = pqe.pos
+      GROUP BY 1, 2, 3, 4
+    ),
+    adc AS (
+      SELECT pl.probe_id, l.vec_id AS cand_id,
+             cast(sum(cast(d.d2 AS DECIMAL(38,8))) AS DOUBLE) AS adc
+      FROM probe_lists pl
+      JOIN ivlists l ON l.list_id = pl.list_id
+      JOIN codes k ON k.vec_id = l.vec_id
+      JOIN d2 d ON d.probe_id = pl.probe_id AND d.list_id = pl.list_id
+               AND d.s = k.s AND d.cid = k.code
+      WHERE l.vec_id <> pl.probe_id
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, cand_id,
+           cast(round(cast(cast((adc) AS VARCHAR) AS DECIMAL(38,12)), 4)
+                AS DOUBLE) AS adc,
+           rn::INT AS rn
+    FROM (
+      SELECT probe_id, cand_id, adc,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY adc, cand_id) AS rn
+      FROM adc) t
+    WHERE rn <= {TOP_K}
+    """
+
+
+@query("q_sim_ivfpq_topk", oracle=_ivfpq_oracle())
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the canonical billion-scale ANN architecture (FAISS
+    IVFPQ), composed from this repo's trained pieces: the IVF coarse
+    quantizer routes each probe to its IVF_NPROBE lists AND bounds the
+    candidate set; vectors are stored only as {PQ_SUBS} 4-bit PQ codes
+    of their RESIDUAL (vec − coarse centroid), which quantizes far
+    tighter than raw-vector PQ; ranking is per-list ADC — the probe's
+    residual against each probed list builds one tiny distance table,
+    candidates cost {PQ_SUBS} lookups each, and the original float
+    vectors are never read at query time. Every stage (coarse Lloyd,
+    residuals, residual-PQ Lloyd, ADC sums) is decimal-exact or
+    bit-matched, so the whole pipeline hash-verifies against the DuckDB
+    replay. At 100 TB: codebooks broadcast, codes are 4 bytes/vector,
+    the per-step training shuffles are constant-size partials."""
+    from spark_clustering_spark.functions.distance import euclidean
+    from spark_clustering_spark.io import table
+
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    coarse = ivf_train(ve)
+    pairs = ve.crossJoin(F.broadcast(coarse)).withColumn(
+        "cdist", euclidean(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("cdist", "cid")
+    lists = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", F.col("cid").alias("list_id"),
+                F.col("cvec").alias("lvec"))
+    )
+    resid = lists.select(
+        "vec_id",
+        F.zip_with("vec", "lvec", lambda x, y: x - y).alias("vec"),
+        "list_id",
+    ).localCheckpoint(eager=True)
+    cents = pq_train(resid.select("vec_id", "vec"))
+    codes = pq_encode(resid.select("vec_id", "vec"), cents).select(
+        F.col("vec_id").alias("cand_id"), "s", "code"
+    )
+    probes = ve.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
+    )
+    ppairs = probes.crossJoin(F.broadcast(coarse)).withColumn(
+        "cdist", euclidean(F.col("pvec"), F.col("cvec"))
+    )
+    wp = Window.partitionBy("probe_id").orderBy("cdist", "cid")
+    probe_lists = (
+        ppairs.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("probe_id", F.col("cid").alias("list_id"), "cvec", "pvec")
+    )
+    presid = probe_lists.select(
+        "probe_id", "list_id",
+        F.zip_with("pvec", "cvec", lambda x, y: x - y).alias("rvec"),
+    )
+    psubs = presid.select(
+        "probe_id", "list_id",
+        F.posexplode(
+            F.array(*[F.slice("rvec", s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                      for s in range(PQ_SUBS)])
+        ).alias("s", "psub"),
+    )
+    sq = psubs.join(F.broadcast(cents), "s").select(
+        "probe_id", "list_id", "s", "cid",
+        F.explode(
+            F.zip_with("psub", "cvec", lambda x, y: (x - y) * (x - y))
+        ).alias("sqd"),
+    )
+    d2 = sq.groupBy("probe_id", "list_id", "s", "cid").agg(
+        F.sum(F.col("sqd").cast(DEC)).cast("double").alias("d2")
+    )
+    cand = (
+        probe_lists.select("probe_id", "list_id")
+        .join(lists.select(F.col("vec_id").alias("cand_id"), "list_id"),
+              "list_id")
+        .filter(F.col("cand_id") != F.col("probe_id"))
+    )
+    adc = (
+        cand.join(codes, "cand_id")
+        .join(F.broadcast(d2.withColumnRenamed("cid", "code")),
+              ["probe_id", "list_id", "s", "code"])
+        .groupBy("probe_id", "cand_id")
+        .agg(F.sum(F.col("d2").cast(DEC)).cast("double").alias("adc"))
+    )
+    wt = Window.partitionBy("probe_id").orderBy("adc", "cand_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(wt))
         .filter(F.col("rn") <= TOP_K)
         .select("probe_id", "cand_id", dround("adc").alias("adc"), "rn")
     )

@@ -551,3 +551,73 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_logprob"),
         )
     )
+
+
+BOILER_SEG = 20     # tokens per segment
+BOILER_MIN_DOCS = 2  # segment must appear in >= this many distinct docs
+
+
+@query(
+    "q_text_boilerplate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             md5(array_to_string(
+               ws[i * {BOILER_SEG} + 1 : i * {BOILER_SEG} + {BOILER_SEG}],
+               ' ')) AS seg_md5
+      FROM toks CROSS JOIN (SELECT unnest(range(0, 1000)) AS i)
+      WHERE len(ws[i * {BOILER_SEG} + 1 : i * {BOILER_SEG} + {BOILER_SEG}])
+            = {BOILER_SEG}
+    ),
+    freq AS (
+      SELECT seg_md5, count(DISTINCT doc_id) AS n_docs
+      FROM segs GROUP BY seg_md5
+      HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    )
+    SELECT s.doc_id, s.seg_idx::INT AS seg_idx, s.seg_md5, f.n_docs
+    FROM segs s JOIN freq f ON f.seg_md5 = s.seg_md5
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection — the segment-level dedup pass web corpora
+    run after URL/document dedup: headers, footers, and license blocks
+    recur across documents that are NOT near-dups overall. Documents
+    split into fixed {BOILER_SEG}-token segments; a segment whose md5
+    appears in ≥ {BOILER_MIN_DOCS} distinct documents is flagged at
+    every site (doc_id, seg_idx) a cleaner would strip.
+
+    Scale: the shuffle carries (seg_md5, doc_id) — 16-byte digests,
+    never text; the flagged-segment list is corpus-boilerplate-sized
+    (tiny) and broadcasts back, so the instance join is map-side."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), r"\s+")
+    toks = d.select("doc_id", ws.alias("ws"))
+    n_segs = F.floor((F.size("ws") - 1) / BOILER_SEG) + 1
+    segs = (
+        toks.select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx"),
+        )
+        .withColumn(
+            "seg", F.slice("ws", F.col("seg_idx") * BOILER_SEG + 1, BOILER_SEG)
+        )
+        .filter(F.size("seg") == BOILER_SEG)
+        .select(
+            "doc_id",
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            F.md5(F.array_join("seg", " ")).alias("seg_md5"),
+        )
+    )
+    freq = (
+        segs.groupBy("seg_md5")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+    )
+    return segs.join(F.broadcast(freq), "seg_md5").select(
+        "doc_id", "seg_idx", "seg_md5", "n_docs"
+    )

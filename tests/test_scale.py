@@ -399,3 +399,51 @@ def test_pq_adc_recall_vs_bruteforce(spark):
     ) / len(exact)
     assert rec >= 0.3, rec
     ve.unpersist()
+
+
+def test_ivfpq_recall_and_candidate_bounding(spark):
+    """IVFPQ must (a) only return candidates from the probe's nprobe
+    lists (candidate bounding is the point), and (b) recover a
+    meaningful share of the exact top-10 despite 4-byte codes."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.functions.distance import (
+        as_double_array,
+        euclidean,
+    )
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.similarity import N_PROBES
+
+    qs = e.queries()
+    ve = table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    ).persist()
+    probes = ve.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
+    )
+    from pyspark.sql.window import Window
+
+    pairs = ve.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+    w = Window.partitionBy("probe_id").orderBy(
+        euclidean(F.col("vec"), F.col("pvec")).asc(), F.col("vec_id")
+    )
+    exact: dict[int, set[int]] = {}
+    for r in (
+        pairs.select("probe_id", "vec_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    ):
+        exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    rows = qs["q_sim_ivfpq_topk"](spark, SF_SMALL).collect()
+    approx: dict[int, set[int]] = {}
+    for r in rows:
+        approx.setdefault(r["probe_id"], set()).add(r["cand_id"])
+        assert r["adc"] >= 0
+    assert set(approx) == set(range(N_PROBES))
+    assert all(len(v) == 10 for v in approx.values())
+    rec = sum(
+        len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
+    ) / len(exact)
+    assert rec >= 0.2, rec  # list-bounded + 4-byte codes on random data
+    ve.unpersist()
