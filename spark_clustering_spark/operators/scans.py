@@ -406,3 +406,77 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v1.o_orderstatus").alias("old_status"),
         F.col("v2.o_orderstatus").alias("new_status"),
     )
+
+
+ZORDER_BITS = 8        # 8 bits per key -> 16-bit z-value
+ZORDER_BUCKET_SHIFT = 10  # keep the top 6 z bits -> 64 layout buckets
+
+
+def zorder_value(x, y, bits: int = ZORDER_BITS):
+    """Interleave the low ``bits`` of two integer keys into a Morton
+    (Z-order) value — pure integer expression math, identical in any
+    engine. Bit i of x lands at 2i, bit i of y at 2i+1."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _sql_zorder(x: str, y: str, bits: int = ZORDER_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({y}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q_layout_zorder",
+    # the z-value / bucket math is integer-exact in both engines; the
+    # per-bucket extents PROVE the locality claim: every 64th of the
+    # z-range covers a bounded rectangle of (x, y) space
+    oracle=f"""
+    WITH keyed AS (
+      SELECT l_orderkey, (l_partkey % 256) AS x, (l_suppkey % 256) AS y
+      FROM lineitem
+    ),
+    z AS (
+      SELECT l_orderkey, x, y,
+             {_sql_zorder('x', 'y')} // {1 << ZORDER_BUCKET_SHIFT} AS zbucket
+      FROM keyed
+    )
+    SELECT zbucket::BIGINT AS zbucket, count(*) AS n,
+           min(x)::BIGINT AS x_min, max(x)::BIGINT AS x_max,
+           min(y)::BIGINT AS y_min, max(y)::BIGINT AS y_max
+    FROM z GROUP BY zbucket
+    """,
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout bucketing — the data-layout optimization
+    that makes TWO-dimensional predicates prunable from ONE partition /
+    sort dimension: interleaving the bits of (x, y) gives a 1-D key
+    whose contiguous ranges cover bounded (x, y) rectangles, so a
+    box predicate touches only the buckets its box intersects instead
+    of every partition. Emits each bucket's row count and (x, y)
+    extents — the per-bucket spans ARE the locality proof (≤ 32×64 of
+    the 256×256 key space per bucket vs the full space under id-order).
+    At 100 TB this bucket id is the `partitionBy`/`sortWithinPartitions`
+    key at write time; the pruning behavior itself is asserted in
+    tests/test_plans.py on a written lake."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.pmod("l_partkey", F.lit(256))
+    y = F.pmod("l_suppkey", F.lit(256))
+    z = zorder_value(x, y)
+    keyed = li.select(
+        x.alias("x"), y.alias("y"),
+        F.shiftright(z, ZORDER_BUCKET_SHIFT).alias("zbucket"),
+    )
+    return keyed.groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+    )

@@ -341,3 +341,52 @@ def test_anomaly_preaggregates_before_window(spark, qs):
     assert win != -1 and scan != -1 and win < scan, tree
     agg_below_window = tree.find("HashAggregate", win)
     assert win < agg_below_window < scan, tree
+
+
+def test_zorder_layout_prunes_box_queries(spark, qs):
+    """A 2-D box predicate on a z-bucket-partitioned lake must prune to
+    only the buckets whose z-range intersects the box (PartitionFilters
+    in the plan, subset of buckets listed) while returning exactly the
+    direct box-filter answer — the 2-D-pruning-from-1-D-layout property
+    that motivates Z-ordering."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.scans import (
+        ZORDER_BUCKET_SHIFT,
+        zorder_value,
+    )
+
+    li = table(spark, SF_SMALL, "lineitem")
+    x = F.pmod("l_partkey", F.lit(256))
+    y = F.pmod("l_suppkey", F.lit(256))
+    keyed = li.select(
+        "l_orderkey", "l_linenumber", x.alias("x"), y.alias("y"),
+        F.shiftright(zorder_value(x, y), ZORDER_BUCKET_SHIFT).alias("zbucket"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="zorder_lake_"), "lineitem")
+    keyed.write.mode("overwrite").partitionBy("zbucket").parquet(out)
+    lake = spark.read.parquet(out)
+    n_buckets = lake.select("zbucket").distinct().count()
+
+    x_lo, x_hi, y_lo, y_hi = 8, 23, 0, 7
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    hit = sorted({
+        morton(a, b) >> ZORDER_BUCKET_SHIFT
+        for a in range(x_lo, x_hi + 1) for b in range(y_lo, y_hi + 1)
+    })
+    box = (F.col("x").between(x_lo, x_hi)) & (F.col("y").between(y_lo, y_hi))
+    pruned = lake.filter(F.col("zbucket").isin(hit) & box)
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan
+    assert len(hit) < n_buckets, (len(hit), n_buckets)  # real pruning
+    assert pruned.count() == keyed.filter(box).count()  # no rows lost
