@@ -435,3 +435,63 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_qty_price"),
     )
+
+
+MV_CUTOVER = "1999-01-01"  # base snapshot boundary for the incremental MV
+
+
+@query(
+    "q_mv_incremental",
+    # the oracle is the FULL recompute -- the whole claim of incremental
+    # view maintenance is that merging the base state with the delta
+    # state is indistinguishable from recomputing over all the data
+    oracle="""
+    SELECT o_orderpriority,
+           date_trunc('month', o_orderdate) AS mon,
+           count(*) AS n_orders,
+           cast(round(sum(cast(o_totalprice AS DECIMAL(38,8))), 4)
+                AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a monthly revenue
+    rollup kept as a mergeable aggregate STATE (count + exact
+    DECIMAL(38,8) sum per group). The base state is computed once from
+    the snapshot before MV_CUTOVER; each refresh aggregates ONLY the
+    delta batch and merges states with a second groupBy — never
+    touching base facts again. Because the per-group state is exact
+    decimal (commutative monoid), merge order cannot change a bit, so
+    the merged view hash-matches the full recompute (the oracle).
+
+    Scale: this is THE pattern that makes a 100 TB fact table
+    maintainable — the refresh cost is O(delta) + O(|groups|), not
+    O(base). On a date-partitioned lake the delta read is partition-
+    pruned (q_sink_partitioned proves the pruning); the state table is
+    |groups|-sized and the merge shuffles only state rows. AVG/STDDEV
+    ride the same algebra as (sum, count, sum-of-squares) partials —
+    q_agg_stats already holds the power-sum form."""
+    o = table(spark, sf_dir, "orders")
+    mon = F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+    cut = F.col("o_orderdate") < F.lit(MV_CUTOVER).cast("timestamp")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority"), mon).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,8)")).alias("s"),
+        )
+
+    base = state(o.filter(cut))        # computed once, persisted as the MV
+    delta = state(o.filter(~cut))      # the only thing a refresh aggregates
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority", "mon")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "mon",
+        "n_orders",
+        F.round(F.col("s"), 4).cast("double").alias("total_price"),
+    )

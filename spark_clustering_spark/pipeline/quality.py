@@ -213,3 +213,105 @@ def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("scale", 6).alias("scale"),
         dround("raw_l2").alias("l2_err"),
     )
+
+
+# Gopher quality-rule bounds (Rae et al. 2021, arXiv:2112.11446 §A1.1),
+# integer-exact so the threshold compares cannot float-flip:
+#   word count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]
+#   mean word length in [3, 10]        -> 3n <= sum_chars <= 10n
+#   alphabetic-word fraction >= 0.8    -> 5*n_alpha >= 4*n_words
+#   distinct stopwords >= 2
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+_GOPHER_STOP = ("the", "a", "of", "and", "to")  # textstats.STOPWORDS
+
+
+@query(
+    "q_text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             cast(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+                  AS BIGINT) AS sum_chars,
+             len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+             len(list_distinct(list_filter(ws, x -> x IN {_GOPHER_STOP})))
+               AS n_stop_distinct
+      FROM t
+    )
+    SELECT doc_id, n_words::BIGINT AS n_words, sum_chars,
+           n_alpha::BIGINT AS n_alpha, n_stop_distinct::BIGINT AS n_stop_distinct,
+           (CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                 THEN 1 ELSE 0 END)::INT AS gate_word_count,
+           (CASE WHEN 3 * n_words <= sum_chars AND sum_chars <= 10 * n_words
+                 THEN 1 ELSE 0 END)::INT AS gate_word_len,
+           (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END)::INT
+             AS gate_alpha,
+           (CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END)::INT AS gate_stop,
+           (CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                  AND 3 * n_words <= sum_chars AND sum_chars <= 10 * n_words
+                  AND 5 * n_alpha >= 4 * n_words
+                  AND n_stop_distinct >= 2
+                 THEN 1 ELSE 0 END)::INT AS keep
+    FROM m
+    """,
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
+    §A1.1): word-count bounds, mean-word-length bounds, minimum
+    alphabetic-word fraction, and minimum distinct-stopword presence,
+    emitted as individual gates plus the conjunctive keep flag — the
+    rule-based pre-filter that runs before any model-based quality
+    scoring (q_text_quality / q_text_score_udf are the next stages).
+
+    Every threshold is evaluated in INTEGER arithmetic (mean word
+    length 3 <= s/n <= 10 becomes 3n <= s <= 10n; fraction >= 0.8
+    becomes 5a >= 4n), so the gates are exact — no float compare can
+    flip between engines or runs.
+
+    Scale: one narrow projection per document — no shuffle, no join;
+    the split/filter/transform chain stays in whole-stage codegen and
+    pushes only (doc_id, text) out of the scan."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    m = d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(ws, lambda x: F.length(x).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ),
+            F.lit(0),
+        ).alias("sum_chars"),
+        F.size(F.filter(ws, lambda x: x.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(
+            F.array_distinct(F.filter(ws, lambda x: x.isin(*_GOPHER_STOP)))
+        )
+        .cast("bigint")
+        .alias("n_stop_distinct"),
+    )
+    n, s = F.col("n_words"), F.col("sum_chars")
+    a, st = F.col("n_alpha"), F.col("n_stop_distinct")
+    g_wc = n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    g_wl = (3 * n <= s) & (s <= 10 * n)
+    g_al = 5 * a >= 4 * n
+    g_st = st >= 2
+    as_int = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("int")  # noqa: E731
+    return m.select(
+        "doc_id", "n_words", "sum_chars", "n_alpha", "n_stop_distinct",
+        as_int(g_wc).alias("gate_word_count"),
+        as_int(g_wl).alias("gate_word_len"),
+        as_int(g_al).alias("gate_alpha"),
+        as_int(g_st).alias("gate_stop"),
+        as_int(g_wc & g_wl & g_al & g_st).alias("keep"),
+    )

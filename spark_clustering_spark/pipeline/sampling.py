@@ -264,3 +264,97 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(pw / F.col("z")).alias("weight"),
         dround(pw / F.col("z") * F.col("total")).alias("expected_docs"),
     )
+
+
+DSIR_TARGET = ("src0", "src1")  # the "target domain" slice the LM is fit on
+
+
+@query(
+    "q_sample_dsir",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    dtf AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    raw AS (SELECT tok, sum(c) AS gc FROM dtf GROUP BY tok),
+    tgt AS (
+      SELECT tok, count(*) AS gt FROM toks
+      WHERE tok <> '' AND source IN {DSIR_TARGET!r} GROUP BY tok
+    ),
+    tot AS (
+      SELECT (SELECT sum(gc) FROM raw) AS total_raw,
+             (SELECT count(*) FROM raw) AS vocab,
+             (SELECT coalesce(sum(gt), 0) FROM tgt) AS total_tgt
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.c) AS BIGINT) AS n_toks,
+           cast(round(sum(cast(d.c * (
+               ln((coalesce(g.gt, 0) + 1.0) / (t.total_tgt + t.vocab))
+             - ln((r.gc + 1.0) / (t.total_raw + t.vocab))
+           ) AS DECIMAL(38,8))), 4) AS DOUBLE) AS log_ratio
+    FROM dtf d
+    JOIN raw r USING (tok)
+    LEFT JOIN tgt g USING (tok)
+    CROSS JOIN tot t
+    GROUP BY d.doc_id
+    """,
+)
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023, arXiv:2302.03169), unigram-LM instantiation: per-document
+    importance log-weight log w(x) = Σ_tok c·(ln p_target(tok) −
+    ln p_raw(tok)) with add-1 smoothing over the raw vocabulary.
+    Documents whose token distribution looks like the target domain
+    (here sources {DSIR_TARGET}) score high; resampling ∝ exp(w) tilts
+    a raw 100 TB crawl toward the target distribution. Emitted as
+    (n_toks, log_ratio) — consumers divide or exponentiate.
+
+    Determinism: each c·Δln term is one double expression from
+    identical integer inputs, rounded into DECIMAL(38,8) BEFORE the
+    order-ambiguous sum (detagg discipline), so the aggregate is
+    accumulation-order-proof.
+
+    Scale: identical shape to q_text_unigram_logprob — one
+    (doc_id, tok) shuffle; both LMs are vocabulary-sized aggregates
+    re-joined as broadcasts; totals are a 1-row cross join. The
+    target slice is by definition small (it's the trusted corpus)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    dtf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    raw = dtf.groupBy("tok").agg(F.sum("c").alias("gc"))
+    tgt = (
+        toks.filter(F.col("source").isin(*DSIR_TARGET))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("gt"))
+    )
+    tot = raw.agg(
+        F.sum("gc").alias("total_raw"), F.count(F.lit(1)).alias("vocab")
+    ).crossJoin(tgt.agg(F.coalesce(F.sum("gt"), F.lit(0)).alias("total_tgt")))
+    term = F.col("c") * (
+        F.log(
+            (F.coalesce(F.col("gt"), F.lit(0)) + F.lit(1.0))
+            / (F.col("total_tgt") + F.col("vocab"))
+        )
+        - F.log((F.col("gc") + F.lit(1.0)) / (F.col("total_raw") + F.col("vocab")))
+    )
+    return (
+        dtf.join(F.broadcast(raw), "tok")
+        .join(F.broadcast(tgt), "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.round(F.sum(term.cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("log_ratio"),
+        )
+    )

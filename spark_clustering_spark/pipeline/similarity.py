@@ -837,3 +837,91 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("probe_id", "cand_id", dround("adc").alias("adc"), "rn")
     )
+
+
+# --- Semantic deduplication (SemDeDup) ---
+
+SEM_TAU = 0.35  # within-cluster cosine above which two docs are semantic dups
+                # (0.35 on the synthetic embeddings ~ the 0.95+ a real
+                # embedding model would use; chosen so the check is non-vacuous)
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    {_ivf_train_ctes(IVF_NLIST, IVF_TRAIN_ITERS)},
+    assign AS (
+      SELECT v.vec_id, v.vec, c.cid
+      FROM ve v CROSS JOIN coarse c
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY list_distance(v.vec, c.cvec), c.cid) = 1
+    ),
+    dup AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS drop_id
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.vec, b.vec) >= {SEM_TAU}
+    ),
+    reps AS (SELECT drop_id, min(keep_id) AS rep FROM dup GROUP BY drop_id)
+    SELECT s.vec_id, s.cid::INT AS cid,
+           (CASE WHEN r.rep IS NULL THEN 1 ELSE 0 END)::INT AS keep,
+           coalesce(r.rep, s.vec_id) AS rep_id
+    FROM assign s LEFT JOIN reps r ON r.drop_id = s.vec_id
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the trained
+    coarse quantizer (``ivf_train`` — seeded + Lloyd-refined, fully
+    oracle-replayable), then mark a document a duplicate iff a
+    LOWER-ID document in the SAME cluster has cosine >= SEM_TAU to it
+    (the paper's "keep one representative per semantic-dup group" with
+    a deterministic keep rule). Emits every vector with its cluster,
+    keep flag, and canonical representative.
+
+    Scale: this is the whole point of SemDeDup — clustering bounds the
+    pairwise expansion from n² to Σ_k n_k², and each cluster's pair
+    block is an equi-join on cid (co-partitioned shuffle, no cross
+    join). The k·d centroid table broadcasts; embeddings shuffle once
+    on cid. At 100 TB, nlist scales with corpus size to hold n_k
+    roughly constant, and the within-cluster block feeds the same
+    blocked-GEMM kernel as q_dedup_embedding if clusters are hot."""
+    from spark_clustering_spark.functions.distance import euclidean
+    from spark_clustering_spark.io import table
+
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    cents = ivf_train(ve)
+    pairs = ve.crossJoin(F.broadcast(cents)).withColumn(
+        "cdist", euclidean(F.col("vec"), F.col("cvec"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("cdist", "cid")
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cid")
+    )
+    a = assign.select(
+        F.col("cid"), F.col("vec_id").alias("keep_id"), F.col("vec").alias("va")
+    )
+    b = assign.select(
+        F.col("cid"), F.col("vec_id").alias("drop_id"), F.col("vec").alias("vb")
+    )
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(SEM_TAU))
+    )
+    reps = dup.groupBy("drop_id").agg(F.min("keep_id").alias("rep"))
+    return assign.join(
+        reps, assign["vec_id"] == reps["drop_id"], "left"
+    ).select(
+        "vec_id",
+        F.col("cid").cast("int").alias("cid"),
+        F.when(F.col("rep").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        F.coalesce("rep", "vec_id").alias("rep_id"),
+    )
