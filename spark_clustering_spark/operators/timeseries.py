@@ -431,3 +431,92 @@ def q_ts_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_dur_s"),
     )
+
+
+EWMA_ALPHA = 0.3   # smoothing factor; weight of the bucket j hours back
+EWMA_SPAN = 24     # trailing window (hours) the weights are truncated to
+
+
+@query(
+    "q_ts_ewma",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type, a.hour, a.cnt,
+             date_diff('hour', b.hour, a.hour) AS j, b.cnt AS bcnt
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type
+       AND b.hour <= a.hour
+       AND b.hour > a.hour - INTERVAL {EWMA_SPAN} HOUR
+    ),
+    agg AS (
+      SELECT event_type, hour, cnt,
+             cast(sum(cast(bcnt * pow({1 - EWMA_ALPHA}, j)
+                  AS DECIMAL(38,8))) AS DOUBLE) AS num,
+             cast(sum(cast(pow({1 - EWMA_ALPHA}, j)
+                  AS DECIMAL(38,8))) AS DOUBLE) AS den
+      FROM pairs GROUP BY 1, 2, 3
+    )
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, cnt,
+           cast(round(cast(cast((num / den) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS ewma
+    FROM agg
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event volume per
+    event type, truncated to the trailing {EWMA_SPAN}-hour span:
+    ewma_t = Σ_j (1−α)^j·x_(t−j) / Σ_j (1−α)^j over the hours that
+    actually exist in the span (missing hours contribute neither term,
+    the sparse-series convention). The trend-smoothing primitive
+    behind rate dashboards and drift alerts — complements
+    q_ts_anomaly's rolling z-score.
+
+    Determinism: each (1−α)^j weight and each weighted term is one
+    double expression from integer inputs, rounded into DECIMAL(38,8)
+    before the order-ambiguous sums (detagg discipline); the final
+    division happens once on identical doubles.
+
+    Scale: weights depend on the HOUR GAP, not the row offset, so a
+    ROWS frame would mis-weight sparse series; instead this is a
+    trailing interval self-join on the hours-cardinality pre-aggregate
+    (amplification bounded by {EWMA_SPAN}, same shape as
+    q_join_interval), co-partitioned on event_type — never on the raw
+    event stream."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = hourly.select(
+        "event_type", "hour", "cnt"
+    )
+    b = hourly.select(
+        F.col("event_type").alias("b_type"),
+        F.col("hour").alias("b_hour"),
+        F.col("cnt").alias("bcnt"),
+    )
+    j = (
+        (F.unix_timestamp("hour") - F.unix_timestamp("b_hour")) / 3600
+    ).cast("int")
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("b_type"))
+        & (F.col("b_hour") <= F.col("hour"))
+        & (F.col("b_hour") > F.col("hour") - F.expr(f"INTERVAL {EWMA_SPAN} HOURS")),
+    ).select("event_type", "hour", "cnt", j.alias("j"), "bcnt")
+    wgt = F.pow(F.lit(1 - EWMA_ALPHA), F.col("j"))
+    agg = pairs.groupBy("event_type", "hour", "cnt").agg(
+        F.sum((F.col("bcnt") * wgt).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("num"),
+        F.sum(wgt.cast("decimal(38,8)")).cast("double").alias("den"),
+    )
+    return agg.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "cnt",
+        dround(F.col("num") / F.col("den")).alias("ewma"),
+    )

@@ -201,3 +201,127 @@ def gram_matrix(e: DataFrame, vec_col: str = "vec"):
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     return n, mean, cov
+
+
+PCA_ITERS = 2  # power-iteration steps in the declared query
+
+
+def _pca_power_sql() -> str:
+    """DuckDB twin of q_vec_pca_power: exact-decimal covariance of the
+    leading COV_DIMS dims, then PCA_ITERS unrolled power steps — each
+    matrix-vector product an exact decimal sum of per-term doubles."""
+    steps = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        steps.append(f"""u{t} AS (
+      SELECT c.i, cast(sum(cast(c.c * v.v AS DECIMAL(38,8))) AS DOUBLE) AS u
+      FROM cov c JOIN {prev} v ON v.j = c.j GROUP BY c.i
+    ),
+    n{t} AS (
+      SELECT sqrt(cast(sum(cast(u * u AS DECIMAL(38,8))) AS DOUBLE)) AS nrm
+      FROM u{t}
+    ),
+    v{t} AS (SELECT i AS j, u / nrm AS v FROM u{t} CROSS JOIN n{t})""")
+        prev = f"v{t}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH dims AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ),
+    d8 AS (SELECT vec_id, pos, v FROM dims WHERE pos < {{cov_dims}}),
+    p AS (
+      SELECT a.pos AS i, b.pos AS j, count(*) AS n,
+             cast(sum(cast(a.v AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+             cast(sum(cast(b.v AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+             cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      FROM d8 a JOIN d8 b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    cov AS (SELECT i, j, sxy / n - (sx / n) * (sy / n) AS c FROM p),
+    v0 AS (SELECT DISTINCT j,
+                  CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END AS v FROM cov),
+    {steps_sql}
+    SELECT v.j::INT AS pos,
+           cast(round(cast(cast((v.v) AS VARCHAR)
+                AS DECIMAL(38,12)), 6) AS DOUBLE) AS loading,
+           cast(round(cast(cast((n.nrm) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS eigenvalue
+    FROM v{PCA_ITERS} v CROSS JOIN n{PCA_ITERS} n
+    """
+
+
+@query("q_vec_pca_power", oracle=_pca_power_sql().format(cov_dims=COV_DIMS))
+def q_vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the leading COV_DIMS embedding
+    dimensions via PCA_ITERS power-iteration steps on the exact-decimal
+    covariance matrix (q_vec_covariance's construction), started from
+    e₀: v ← Cv / ‖Cv‖. Emits the unit loading vector and the Rayleigh
+    eigenvalue estimate ‖Cv‖ (v is unit) — the whitening / dimension-
+    reduction precursor for embedding pipelines.
+
+    Determinism: every matrix-vector product and norm is an exact
+    DECIMAL(38,8) sum of per-term doubles (detagg), so each step's
+    doubles are bit-identical in both engines and the iteration cannot
+    drift.
+
+    Scale: the covariance build is the only data-sized pass — at full
+    d it's the constant-state Gram kernel (``gram_matrix``: one
+    d·(d+1)-double partial per partition); each power step then moves
+    only d² + d state (cov ⋈ v is a broadcast-sized join), the same
+    driver-invisible constant-state shape as the fit kernels. More
+    components = deflate and repeat, or hand the d×d matrix to a
+    single-node eigensolver — it's d², not n."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode(as_double_array("embedding")).alias("pos", "v")
+    ).filter(F.col("pos") < COV_DIMS)
+    a = dims.select("vec_id", F.col("pos").alias("i"), F.col("v").alias("va"))
+    b = dims.select("vec_id", F.col("pos").alias("j"), F.col("v").alias("vb"))
+    DEC = "decimal(38,8)"
+    p = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("va").cast(DEC)).cast("double").alias("sx"),
+            F.sum(F.col("vb").cast(DEC)).cast("double").alias("sy"),
+            F.sum((F.col("va") * F.col("vb")).cast(DEC)).cast("double").alias("sxy"),
+        )
+    )
+    cov = p.select(
+        "i",
+        "j",
+        (
+            F.col("sxy") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+        ).alias("c"),
+    )
+    v = cov.select("j").distinct().select(
+        "j", F.when(F.col("j") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("v")
+    )
+    nrm = None
+    for _ in range(PCA_ITERS):
+        u = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("c") * F.col("v")).cast(DEC))
+                .cast("double")
+                .alias("u")
+            )
+        )
+        nrm = u.agg(
+            F.sqrt(
+                F.sum((F.col("u") * F.col("u")).cast(DEC)).cast("double")
+            ).alias("nrm")
+        )
+        v = u.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), (F.col("u") / F.col("nrm")).alias("v")
+        )
+    return v.crossJoin(F.broadcast(nrm)).select(
+        F.col("j").cast("int").alias("pos"),
+        dround("v", 6).alias("loading"),
+        dround("nrm").alias("eigenvalue"),
+    )

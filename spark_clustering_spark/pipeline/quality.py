@@ -315,3 +315,97 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_int(g_st).alias("gate_stop"),
         as_int(g_wc & g_wl & g_al & g_st).alias("keep"),
     )
+
+
+@query(
+    "q_text_ccnet_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    dtf AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    g AS (SELECT tok, sum(c) AS gc FROM dtf GROUP BY tok),
+    t AS (SELECT sum(c) AS total FROM dtf),
+    lp AS (
+      SELECT d.doc_id,
+             CAST(sum(d.c) AS BIGINT) AS n_toks,
+             cast(round(sum(cast(d.c * ln(cast(g.gc AS DOUBLE) / t.total)
+                  AS DECIMAL(38,8))), 4) AS DOUBLE) AS sum_lp
+      FROM dtf d JOIN g USING (tok) CROSS JOIN t
+      GROUP BY d.doc_id
+    ),
+    ranked AS (
+      SELECT s.source, l.doc_id, l.n_toks, l.sum_lp,
+             row_number() OVER (PARTITION BY s.source
+               ORDER BY l.sum_lp / l.n_toks DESC, l.doc_id) AS rn,
+             count(*) OVER (PARTITION BY s.source) AS n_src
+      FROM lp l JOIN documents s USING (doc_id)
+    )
+    SELECT source, doc_id,
+           cast(round(cast(cast((sum_lp / n_toks) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS mean_lp,
+           CASE WHEN 3 * rn <= n_src THEN 'head'
+                WHEN 3 * rn <= 2 * n_src THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document by its mean per-token
+    log-probability under the corpus unigram LM (the perplexity proxy
+    q_text_unigram_logprob emits), then split EACH SOURCE into
+    head / middle / tail thirds by rank — the standard "keep head,
+    maybe middle, drop tail" curation knob, computed per source so a
+    fluent-but-small source isn't crowded out by a large noisy one.
+
+    Bucket cuts are integer (3·rank vs n), and the ordering key is the
+    same IEEE division of identical decimal-rounded inputs in both
+    engines with a doc_id tie-break — fully deterministic.
+
+    Scale: LM scoring is the one (doc_id, tok) shuffle of
+    q_text_unigram_logprob; ranking is a window PARTITIONED BY source
+    (each source streams independently — no global sort). At 100 TB
+    replace the exact per-source rank with the q_window_ntile_scalable
+    range-partition plan; cuts and semantics are unchanged."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dtf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    g = dtf.groupBy("tok").agg(F.sum("c").alias("gc"))
+    t = dtf.agg(F.sum("c").alias("total"))
+    term = F.col("c") * F.log(F.col("gc").cast("double") / F.col("total"))
+    lp = (
+        dtf.join(F.broadcast(g), "tok")
+        .crossJoin(F.broadcast(t))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.round(F.sum(term.cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("sum_lp"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    mean = F.col("sum_lp") / F.col("n_toks")
+    w = Window.partitionBy("source").orderBy(mean.desc(), F.col("doc_id"))
+    ranked = (
+        lp.join(d.select("doc_id", "source"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(Window.partitionBy("source")))
+    )
+    return ranked.select(
+        "source",
+        "doc_id",
+        dround(mean).alias("mean_lp"),
+        F.when(3 * F.col("rn") <= F.col("n_src"), F.lit("head"))
+        .when(3 * F.col("rn") <= 2 * F.col("n_src"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
