@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_clustering_spark.functions.detagg import davg, dsum, sql_davg, sql_dsum
+from spark_clustering_spark.functions.detagg import (
+    davg,
+    dround,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
 from spark_clustering_spark.io import register_temp_views, table
 from spark_clustering_spark.registry import query
 
@@ -494,4 +500,92 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mon",
         "n_orders",
         F.round(F.col("s"), 4).cast("double").alias("total_price"),
+    )
+
+
+KMV_K = 64  # sketch size: k minimum hash values retained per group
+
+
+def _kmv_oracle() -> str:
+    from spark_clustering_spark.functions.porthash import sql_hex_int
+
+    h_int = sql_hex_int("hx", 1, 8)
+    return f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hs AS (
+      SELECT event_type, user_id,
+             md5('kmv' || user_id::VARCHAR) AS hx
+      FROM du
+    ),
+    hv AS (SELECT event_type, user_id, {h_int} AS h FROM hs),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY h, user_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM hv
+    ),
+    kth AS (
+      SELECT event_type, n_exact, h AS hk FROM ranked WHERE rn = {KMV_K}
+    ),
+    base AS (SELECT DISTINCT event_type, n_exact FROM ranked)
+    SELECT b.event_type, b.n_exact,
+           cast(round(cast(cast((
+             CASE WHEN k.hk IS NOT NULL
+                  THEN ({KMV_K} - 1) * 4294967296.0 / k.hk
+                  ELSE cast(b.n_exact AS DOUBLE) END) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS kmv_estimate
+    FROM base b LEFT JOIN kth k ON k.event_type = b.event_type
+    """
+
+
+@query("q_agg_kmv_distinct", oracle=_kmv_oracle())
+def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via a K-Minimum-Values
+    sketch (Bar-Yossef et al. 2002): keep the KMV_K smallest portable
+    md5 hashes of the member keys; estimate D ≈ (k−1)/h_(k) with h
+    normalized to (0,1). Unlike HLL (q_agg_approx_distinct, whose
+    engine-internal sketches force a rows-only check), the KMV sketch
+    is defined purely by the portable hash — so the ESTIMATE ITSELF
+    hash-matches the DuckDB oracle bit-for-bit. Groups with fewer than
+    k members fall back to their exact count (the standard KMV rule).
+
+    Scale: KMV is a bounded mergeable sketch — per partition keep the
+    k smallest hashes (a k-sized heap, constant state), merge partials
+    by union + re-take-k; the declared window formulation expresses
+    the same k-th order statistic declaratively. Exact count emitted
+    alongside to make the error measurable."""
+    from spark_clustering_spark.functions.porthash import md5_int32
+
+    e = table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    hv = du.select(
+        "event_type",
+        "user_id",
+        md5_int32(
+            F.concat(F.lit("kmv"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
+    from pyspark.sql.window import Window
+
+    wr = Window.partitionBy("event_type").orderBy("h", "user_id")
+    wc = Window.partitionBy("event_type")
+    ranked = hv.select(
+        "event_type",
+        "h",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_exact"),
+    )
+    kth = ranked.filter(F.col("rn") == KMV_K).select(
+        "event_type", F.col("h").alias("hk")
+    )
+    base = ranked.select("event_type", "n_exact").distinct()
+    est = F.when(
+        F.col("hk").isNotNull(),
+        (KMV_K - 1) * F.lit(4294967296.0) / F.col("hk"),
+    ).otherwise(F.col("n_exact").cast("double"))
+    return base.join(F.broadcast(kth), "event_type", "left").select(
+        "event_type", "n_exact", dround(est).alias("kmv_estimate")
     )

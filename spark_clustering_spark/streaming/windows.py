@@ -313,3 +313,51 @@ def q_stream_cluster_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vectors",
         )
     )
+
+
+@query(
+    "q_stream_topk",
+    oracle="""
+    WITH agg AS (
+      SELECT epoch(date_trunc('hour', ts))::BIGINT AS win_start,
+             event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, n_events, rn::INT AS rn
+    FROM (
+      SELECT win_start, event_type, n_events,
+             row_number() OVER (PARTITION BY win_start
+               ORDER BY n_events DESC, event_type) AS rn
+      FROM agg) t
+    WHERE rn <= 3
+    """,
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 1-hour tumbling window — the streaming
+    leaderboard pattern: a windowed aggregate (incremental, watermark-
+    able) followed by a rank over the per-window result. In live
+    Structured Streaming the rank runs downstream of the window agg
+    (complete/update-mode sink or a foreachBatch rank over the
+    micro-batch's closed windows); the aggregate is the only stateful
+    stage, so state stays (window × type)-sized.
+
+    Scale: rank partitions by window over the already-aggregated
+    (window, type) table — windows-count × |type| rows, never raw
+    events."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("w").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            _epoch(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n_events",
+            "rn",
+        )
+    )

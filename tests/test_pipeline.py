@@ -664,3 +664,36 @@ class TestRound4bOps:
         lam = float(np.max(np.linalg.eigvalsh(C)))
         eig = rows[0]["eigenvalue"]
         assert abs(eig - lam) / lam < 0.25  # 2 steps: close, not converged
+
+
+class TestSketchAndStreamTopk:
+    def test_kmv_estimate_accuracy(self, spark):
+        """KMV estimate within 35% of exact for sketched groups, and
+        EXACT for groups smaller than k (the fallback rule)."""
+        import __spark_entry__ as e
+        from spark_clustering_spark.operators.aggregates import KMV_K
+
+        for r in e.queries()["q_agg_kmv_distinct"](spark, SF_SMALL).collect():
+            if r["n_exact"] < KMV_K:
+                assert r["kmv_estimate"] == float(r["n_exact"])
+            else:
+                assert abs(r["kmv_estimate"] - r["n_exact"]) / r["n_exact"] < 0.35
+
+    def test_stream_topk_matches_full_rank(self, spark):
+        """Top-3 rows agree with the full per-window ordering of the
+        tumbling aggregate."""
+        import __spark_entry__ as e
+
+        qs = e.queries()
+        full = {
+            (r["win_start"], r["event_type"]): r["n_events"]
+            for r in qs["q_stream_tumbling"](spark, SF_SMALL).collect()
+        }
+        from collections import defaultdict
+
+        byw = defaultdict(list)
+        for (w, t), n in full.items():
+            byw[w].append((-n, t))
+        for r in qs["q_stream_topk"](spark, SF_SMALL).collect():
+            expect = sorted(byw[r["win_start"]])[r["rn"] - 1]
+            assert (-expect[0], expect[1]) == (r["n_events"], r["event_type"])
