@@ -589,3 +589,97 @@ def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(F.broadcast(kth), "event_type", "left").select(
         "event_type", "n_exact", dround(est).alias("kmv_estimate")
     )
+
+
+CM_WIDTH = 64   # buckets per row
+CM_DEPTH = 4    # independent hash rows
+CM_PROBES = 20  # user ids the declared query reports estimates for
+
+
+def _countmin_oracle() -> str:
+    from spark_clustering_spark.functions.porthash import sql_hex_int
+
+    h = sql_hex_int("hx", 1, 8)
+    rows = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS d, md5('cm{i}:' || user_id::VARCHAR) AS hx"
+        " FROM ev" for i in range(CM_DEPTH)
+    )
+    return f"""
+    WITH ev AS (SELECT user_id FROM events),
+    hpos AS (
+      SELECT user_id, d, ({h}) % {CM_WIDTH} AS bucket FROM ({rows}) t
+    ),
+    counters AS (
+      SELECT d, bucket, count(*) AS cnt FROM hpos GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT DISTINCT user_id, d, bucket FROM hpos
+      WHERE user_id < {CM_PROBES}
+    ),
+    exact AS (
+      SELECT user_id, count(*) AS n_exact FROM ev
+      WHERE user_id < {CM_PROBES} GROUP BY user_id
+    )
+    SELECT e.user_id, e.n_exact,
+           CAST(min(c.cnt) AS BIGINT) AS cm_estimate
+    FROM exact e
+    JOIN probes p ON p.user_id = e.user_id
+    JOIN counters c ON c.d = p.d AND c.bucket = p.bucket
+    GROUP BY e.user_id, e.n_exact
+    """
+
+
+@query("q_agg_countmin", oracle=_countmin_oracle())
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates: a {CM_DEPTH}×{CM_WIDTH} counter table over portable md5
+    hash rows; each key's estimate is the MIN of its {CM_DEPTH}
+    counters (overestimates only, by construction — asserted in
+    tests). Like q_agg_kmv_distinct, the portable hash makes the
+    ESTIMATE ITSELF hash-verifiable — the sketch-family counterpart
+    for per-key frequency rather than set cardinality. Exact counts
+    emitted alongside for the probe keys so the error is measurable.
+
+    Scale: the counter table is a fixed {CM_DEPTH * CM_WIDTH}-cell
+    aggregate (constant state, trivially mergeable by cell-wise sum —
+    the same partial/final split Catalyst already applies); the
+    explode is ×{CM_DEPTH} on row-count but carries only (d, bucket)
+    ints. Point queries join the constant-size counter table."""
+    from spark_clustering_spark.functions.porthash import md5_int32
+
+    e = table(spark, sf_dir, "events")
+    hpos = e.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        (
+                            md5_int32(
+                                F.concat(
+                                    F.lit(f"cm{i}:"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            )
+                            % CM_WIDTH
+                        ).alias("bucket"),
+                    )
+                    for i in range(CM_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+    counters = hpos.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = hpos.filter(F.col("user_id") < CM_PROBES).distinct()
+    exact = (
+        e.filter(F.col("user_id") < CM_PROBES)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        exact.join(probes, "user_id")
+        .join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").cast("bigint").alias("cm_estimate"))
+    )

@@ -485,3 +485,64 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(weighted), 4).cast("double").alias("sum_unit"),
         )
     )
+
+
+@query(
+    "q_join_bloom_prune",
+    # the bloom is a prefilter whose false positives the real join
+    # removes -- the declared output is identical to the plain join
+    oracle="""
+    SELECT l.l_returnflag,
+           count(*) AS n_lines,
+           cast(round(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(38,8))), 4) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned (semi-join-reduced) fact join: revenue of urgent
+    orders' lines. The filtered dimension's KEYS are folded into a
+    fixed 128 KB bloom bitset (pipeline/chunking.bloom_build — the
+    same build/probe hash family, so no false negatives); the fact
+    side drops non-matching rows at scan speed inside codegen BEFORE
+    the join shuffle, and the real equi-join removes the bloom's
+    false positives, so the result is exactly the plain join's.
+
+    Scale: this is runtime row-group filtering made explicit. At
+    100 TB the filtered dim can exceed every broadcast-join limit
+    while its bloom stays 128 KB; shuffle volume for the fact side
+    drops to selectivity + false-positive rate. Spark's AQE runtime
+    bloom (spark.sql.optimizer.runtime.bloomFilter.enabled) plans the
+    same shape automatically when statistics allow; declaring it keeps
+    the reduction verifiable and engine-portable."""
+    from spark_clustering_spark.pipeline.chunking import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    keys = o.select(F.col("o_orderkey").alias("bkey"))
+    bf = bloom_build(keys, col="bkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    pruned = (
+        li.crossJoin(F.broadcast(bf))
+        .filter(bloom_might_contain("bloom", "l_orderkey"))
+        .drop("bloom")
+    )
+    joined = pruned.join(
+        o.select("o_orderkey"),
+        pruned["l_orderkey"] == F.col("o_orderkey"),
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(rev.cast("decimal(38,8)")), 4)
+        .cast("double")
+        .alias("revenue"),
+    )

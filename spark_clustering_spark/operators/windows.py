@@ -351,3 +351,68 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("event_type", 2).over(w).alias("second_evt"),
         F.count(F.lit(1)).over(w).alias("n_events"),
     ).distinct()
+
+
+@query(
+    "q_window_cum_distinct",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    firsts AS (
+      SELECT event_type, min(date_trunc('day', ts)) AS fday, user_id
+      FROM events GROUP BY event_type, user_id
+    ),
+    news AS (
+      SELECT event_type, fday AS day, count(*) AS n_new
+      FROM firsts GROUP BY 1, 2
+    )
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (
+             PARTITION BY d.event_type ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_distinct_users
+    FROM daily d LEFT JOIN news n
+      ON n.event_type = d.event_type AND n.day = d.day
+    """,
+)
+def q_window_cum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — the
+    "audience-to-date" growth curve. COUNT(DISTINCT) OVER a running
+    frame is unsupported (and would be quadratic anyway); the
+    first-occurrence decomposition makes it linear: each user counts
+    once, on the day of their first event of that type, and the
+    running total of those first-occurrence counts IS the cumulative
+    distinct count. Pure integer arithmetic — exact everywhere.
+
+    Scale: two aggregates (daily volume; per-(type, user) min-day —
+    the only user-cardinality shuffle) and a window over the tiny
+    (type × day) frame. The raw stream is never windowed."""
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    daily = e.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    firsts = e.groupBy("event_type", "user_id").agg(F.min(day).alias("fday"))
+    news = firsts.groupBy("event_type", F.col("fday").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.join(news, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_distinct_users"),
+        )
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+    )

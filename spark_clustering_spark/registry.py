@@ -39,6 +39,7 @@ def load_all_queries() -> None:
         aggregates,
         clustering,
         filters,
+        graph,
         joins,
         olap,
         scalars,

@@ -697,3 +697,67 @@ class TestSketchAndStreamTopk:
         for r in qs["q_stream_topk"](spark, SF_SMALL).collect():
             expect = sorted(byw[r["win_start"]])[r["rn"] - 1]
             assert (-expect[0], expect[1]) == (r["n_events"], r["event_type"])
+
+
+class TestGraphSketchJoinOps:
+    def test_bloom_prune_equals_plain_join(self, spark):
+        """The bloom-pruned join result is exactly the plain join's."""
+        from spark_clustering_spark.io import table
+        import __spark_entry__ as e
+
+        got = e.queries()["q_join_bloom_prune"](spark, SF_SMALL)
+        li = table(spark, SF_SMALL, "lineitem")
+        o = table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        plain = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(F.sum(rev.cast("decimal(38,8)")), 4)
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        assert got.exceptAll(plain).count() == 0
+        assert plain.exceptAll(got).count() == 0
+
+    def test_cum_distinct_final_equals_exact(self, spark):
+        """The last cumulative value per type == exact distinct users."""
+        from spark_clustering_spark.io import table
+        import __spark_entry__ as e
+
+        rows = e.queries()["q_window_cum_distinct"](spark, SF_SMALL).collect()
+        last = {}
+        for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+            last[r["event_type"]] = r["cum_distinct_users"]
+        exact = {
+            r["event_type"]: r["n"]
+            for r in table(spark, SF_SMALL, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert last == exact
+
+    def test_pagerank_is_distribution(self, spark):
+        """Ranks are positive and sum to ~1 (no dangling mass lost on
+        this graph: every nation has suppliers)."""
+        import __spark_entry__ as e
+
+        rows = e.queries()["q_graph_pagerank"](spark, SF_SMALL).collect()
+        assert len(rows) == 25
+        total = sum(r["rank"] for r in rows)
+        assert all(r["rank"] > 0 for r in rows)
+        assert abs(total - 1.0) < 0.01
+
+    def test_countmin_never_underestimates(self, spark):
+        """CM estimates are >= exact counts (one-sided error), and not
+        absurdly loose at this scale."""
+        import __spark_entry__ as e
+
+        for r in e.queries()["q_agg_countmin"](spark, SF_SMALL).collect():
+            assert r["cm_estimate"] >= r["n_exact"], r
+            assert r["cm_estimate"] <= r["n_exact"] + 200, r
