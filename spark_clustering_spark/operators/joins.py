@@ -518,22 +518,24 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape automatically when statistics allow; declaring it keeps
     the reduction verifiable and engine-portable."""
     from spark_clustering_spark.pipeline.chunking import (
-        bloom_build,
-        bloom_might_contain,
+        bloom_dense,
+        bloom_might_contain_dense,
     )
 
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
     keys = o.select(F.col("o_orderkey").alias("bkey"))
-    bf = bloom_build(keys, col="bkey")
+    # dense word array, not the sparse map: element_at(map) is a linear
+    # key scan in codegen; element_at(array, idx) is O(1) per probe
+    bf = bloom_dense(keys, col="bkey")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
     )
     pruned = (
         li.crossJoin(F.broadcast(bf))
-        .filter(bloom_might_contain("bloom", "l_orderkey"))
-        .drop("bloom")
+        .filter(bloom_might_contain_dense("bloom_arr", "l_orderkey"))
+        .drop("bloom_arr")
     )
     joined = pruned.join(
         o.select("o_orderkey"),

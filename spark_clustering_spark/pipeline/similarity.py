@@ -925,3 +925,291 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("rep").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
         F.coalesce("rep", "vec_id").alias("rep_id"),
     )
+
+
+# --- Coreset selection (greedy k-center) and MMR re-ranking ---
+
+KC_K = 4        # exemplars chosen by greedy farthest-point
+KC_SEED_ID = 0  # deterministic start: the lowest-id vector
+
+
+def _kcenter_sql() -> str:
+    sel = ["SELECT 1 AS sel, vec_id, 0.0 AS dist FROM s1"]
+    ctes = [
+        f"s1 AS (SELECT vec_id, vec FROM ve WHERE vec_id = {KC_SEED_ID})",
+        f"""d1 AS (
+      SELECT v.vec_id, v.vec, list_distance(v.vec, s.vec) AS md
+      FROM ve v CROSS JOIN s1 s WHERE v.vec_id <> {KC_SEED_ID}
+    )""",
+    ]
+    for t in range(2, KC_K + 1):
+        ctes.append(
+            f"""s{t} AS (
+      SELECT vec_id, vec, md FROM d{t - 1}
+      QUALIFY row_number() OVER (ORDER BY md DESC, vec_id) = 1
+    )"""
+        )
+        sel.append(
+            f"SELECT {t} AS sel, vec_id, "
+            "cast(round(cast(cast((md) AS VARCHAR) AS DECIMAL(38,12)), 4) "
+            f"AS DOUBLE) AS dist FROM s{t}"
+        )
+        if t < KC_K:
+            ctes.append(
+                f"""d{t} AS (
+      SELECT d.vec_id, d.vec,
+             least(d.md, list_distance(d.vec, s.vec)) AS md
+      FROM d{t - 1} d CROSS JOIN s{t} s WHERE d.vec_id <> s.vec_id
+    )"""
+            )
+    return (
+        "WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS vec "
+        "FROM embeddings),\n    " + ",\n    ".join(ctes) + "\n    "
+        + " UNION ALL ".join(sel)
+    )
+
+
+@query("q_sample_kcenter", oracle=_kcenter_sql())
+def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection: start from
+    the lowest-id vector, repeatedly add the point FARTHEST from the
+    current exemplar set (2-approximation of the k-center optimum —
+    Gonzalez 1985). The diversity-first selection used for coreset /
+    prototype picking in data-pruning pipelines (cf. Sorscher et al.
+    2022, arXiv:2206.14486): each pick's distance is the current
+    coverage radius, so the emitted (sel, vec_id, dist) rows double as
+    a coverage-decay curve.
+
+    Determinism: the min-distance column updates by least(), every
+    distance is the bit-matched euclidean pair, and each argmax breaks
+    ties by vec_id — identical in both engines.
+
+    Scale: the classic distributed pattern — the candidate set keeps
+    ONE running min-distance column (updated by a broadcast of the
+    single newest exemplar, a narrow map), and each pick is a
+    TakeOrdered global argmax (per-partition heaps + driver merge of
+    partition winners), never a global sort. K picks = K narrow
+    passes; state is one double per row."""
+    from spark_clustering_spark.functions.distance import euclidean
+    from spark_clustering_spark.io import table
+
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    seed = ve.filter(F.col("vec_id") == KC_SEED_ID).select(
+        F.col("vec").alias("svec")
+    )
+    out = [(1, KC_SEED_ID, 0.0)]
+    d = (
+        ve.filter(F.col("vec_id") != KC_SEED_ID)
+        .crossJoin(F.broadcast(seed))
+        .select("vec_id", "vec", euclidean(F.col("vec"), F.col("svec")).alias("md"))
+    )
+    for t in range(2, KC_K + 1):
+        pick = d.orderBy(F.desc("md"), F.asc("vec_id")).limit(1)
+        prow = pick.collect()[0]  # 1 row by construction: the argmax
+        out.append((t, prow["vec_id"], prow["md"]))
+        if t < KC_K:
+            pv = pick.select(F.col("vec").alias("svec"))
+            d = (
+                d.filter(F.col("vec_id") != prow["vec_id"])
+                .crossJoin(F.broadcast(pv))
+                .select(
+                    "vec_id",
+                    "vec",
+                    F.least(
+                        F.col("md"), euclidean(F.col("vec"), F.col("svec"))
+                    ).alias("md"),
+                )
+            )
+    res = spark.createDataFrame(
+        [(s, v, float(m)) for s, v, m in out],
+        "sel INT, vec_id BIGINT, dist DOUBLE",
+    )
+    return res.select("sel", "vec_id", dround("dist").alias("dist"))
+
+
+MMR_LAMBDA = 0.7   # relevance weight (penalty weight hardcoded 0.3 —
+                   # NOT computed as 1-lambda, which differs in float)
+MMR_K = 3          # results re-ranked out of the pool
+MMR_POOL = 10      # relevance top-k pool per probe
+MMR_PROBES = 3     # probe vectors
+
+
+def _mmr_sql() -> str:
+    parts = [
+        "SELECT probe_id, 1 AS sel, cand_id, "
+        "cast(round(cast(cast((qc) AS VARCHAR) AS DECIMAL(38,12)), 4) "
+        "AS DOUBLE) AS score FROM s1"
+    ]
+    ctes = [
+        f"""probes AS (
+      SELECT vec_id AS probe_id, vec AS pvec FROM ve
+      WHERE vec_id < {MMR_PROBES}
+    ),
+    scored AS (
+      SELECT p.probe_id, v.vec_id AS cand_id, v.vec,
+             list_cosine_similarity(p.pvec, v.vec) AS qc
+      FROM probes p JOIN ve v ON v.vec_id <> p.probe_id
+    ),
+    pool AS (
+      SELECT probe_id, cand_id, vec, qc FROM scored
+      QUALIFY row_number() OVER (PARTITION BY probe_id
+        ORDER BY qc DESC, cand_id) <= {MMR_POOL}
+    ),
+    cc AS (
+      SELECT a.probe_id, a.cand_id AS ca, b.cand_id AS cb,
+             list_cosine_similarity(a.vec, b.vec) AS s
+      FROM pool a JOIN pool b
+        ON a.probe_id = b.probe_id AND a.cand_id <> b.cand_id
+    ),
+    s1 AS (
+      SELECT probe_id, cand_id, qc FROM pool
+      QUALIFY row_number() OVER (PARTITION BY probe_id
+        ORDER BY qc DESC, cand_id) = 1
+    ),
+    rem1 AS (
+      SELECT p.probe_id, p.cand_id, p.qc, cc.s AS pen
+      FROM pool p
+      JOIN s1 ON s1.probe_id = p.probe_id
+      JOIN cc ON cc.probe_id = p.probe_id AND cc.ca = p.cand_id
+             AND cc.cb = s1.cand_id
+      WHERE p.cand_id <> s1.cand_id
+    )"""
+    ]
+    for t in range(2, MMR_K + 1):
+        ctes.append(
+            f"""s{t} AS (
+      SELECT probe_id, cand_id,
+             {MMR_LAMBDA} * qc - 0.3 * pen AS score, pen
+      FROM rem{t - 1}
+      QUALIFY row_number() OVER (PARTITION BY probe_id
+        ORDER BY {MMR_LAMBDA} * qc - 0.3 * pen DESC, cand_id) = 1
+    )"""
+        )
+        parts.append(
+            f"SELECT probe_id, {t} AS sel, cand_id, "
+            "cast(round(cast(cast((score) AS VARCHAR) AS DECIMAL(38,12)), 4) "
+            f"AS DOUBLE) AS score FROM s{t}"
+        )
+        if t < MMR_K:
+            ctes.append(
+                f"""rem{t} AS (
+      SELECT r.probe_id, r.cand_id, r.qc, greatest(r.pen, cc.s) AS pen
+      FROM rem{t - 1} r
+      JOIN s{t} ON s{t}.probe_id = r.probe_id
+      JOIN cc ON cc.probe_id = r.probe_id AND cc.ca = r.cand_id
+             AND cc.cb = s{t}.cand_id
+      WHERE r.cand_id <> s{t}.cand_id
+    )"""
+            )
+    return (
+        "WITH ve AS (SELECT vec_id, embedding::DOUBLE[] AS vec "
+        "FROM embeddings),\n    " + ",\n    ".join(ctes) + "\n    "
+        + " UNION ALL ".join(parts)
+    )
+
+
+@query("q_sim_mmr", oracle=_mmr_sql())
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each probe's relevance top-{MMR_POOL} pool, greedily
+    pick {MMR_K} results maximizing λ·cos(q,c) − (1−λ)·max_{{s∈S}}
+    cos(c,s) — the diversity-aware retrieval post-processor that stops
+    near-duplicate passages crowding a RAG context window. The first
+    pick scores pure relevance; each later pick's redundancy penalty
+    is maintained incrementally as a running max.
+
+    Determinism: both weights are literal decimal constants (0.7 /
+    0.3 — never 1−λ, which is not 0.3 in binary); scores are single
+    double expressions over the bit-matched cosine pair; every argmax
+    tie-breaks by cand_id.
+
+    Scale: re-ranking is pool-local — the expensive stage is the ANN
+    top-{MMR_POOL} (IVF/PQ paths above); MMR then touches only
+    pool²·probes rows. The incremental penalty keeps each greedy step
+    one join + one windowed argmax instead of re-scanning S."""
+    from spark_clustering_spark.functions.distance import cosine
+    from spark_clustering_spark.io import table
+
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    probes = ve.filter(F.col("vec_id") < MMR_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
+    )
+    scored = (
+        ve.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            "vec",
+            cosine(F.col("pvec"), F.col("vec")).alias("qc"),
+        )
+    )
+    w_rel = Window.partitionBy("probe_id").orderBy(
+        F.col("qc").desc(), F.col("cand_id")
+    )
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+    )
+    # pool is consumed by cc (both sides), s1, and rem1 -- pin the
+    # 30-row result instead of re-running the scoring pipeline 4x
+    pool = pool.localCheckpoint(eager=True)
+    a = pool.select("probe_id", F.col("cand_id").alias("ca"), F.col("vec").alias("va"))
+    b = pool.select("probe_id", F.col("cand_id").alias("cb"), F.col("vec").alias("vb"))
+    cc = (
+        a.join(b, "probe_id")
+        .filter(F.col("ca") != F.col("cb"))
+        .select("probe_id", "ca", "cb", cosine(F.col("va"), F.col("vb")).alias("s"))
+    )
+    s1 = (
+        pool.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "cand_id", F.col("qc").alias("score"))
+    )
+    out = s1.select("probe_id", F.lit(1).alias("sel"), "cand_id", "score")
+    rem = (
+        pool.select("probe_id", "cand_id", "qc")
+        .join(s1.select("probe_id", F.col("cand_id").alias("sc")), "probe_id")
+        .filter(F.col("cand_id") != F.col("sc"))
+        .join(
+            cc,
+            (F.col("ca") == F.col("cand_id")) & (F.col("cb") == F.col("sc")),
+        )
+        .select("probe_id", "cand_id", "qc", F.col("s").alias("pen"))
+    )
+    for t in range(2, MMR_K + 1):
+        score = F.lit(MMR_LAMBDA) * F.col("qc") - F.lit(0.3) * F.col("pen")
+        w_m = Window.partitionBy("probe_id").orderBy(score.desc(), F.col("cand_id"))
+        st = (
+            rem.withColumn("rn", F.row_number().over(w_m))
+            .filter(F.col("rn") == 1)
+            .select("probe_id", "cand_id", score.alias("score"))
+        )
+        out = out.unionByName(
+            st.select("probe_id", F.lit(t).alias("sel"), "cand_id", "score")
+        )
+        if t < MMR_K:
+            rem = (
+                rem.join(
+                    st.select("probe_id", F.col("cand_id").alias("sc")),
+                    "probe_id",
+                )
+                .filter(F.col("cand_id") != F.col("sc"))
+                .join(
+                    cc,
+                    (F.col("ca") == F.col("cand_id"))
+                    & (F.col("cb") == F.col("sc")),
+                )
+                .select(
+                    "probe_id",
+                    "cand_id",
+                    "qc",
+                    F.greatest(F.col("pen"), F.col("s")).alias("pen"),
+                )
+            )
+    return out.select("probe_id", "sel", "cand_id", dround("score").alias("score"))
