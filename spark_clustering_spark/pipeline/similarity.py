@@ -1164,7 +1164,12 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = (
         a.join(b, "probe_id")
         .filter(F.col("ca") != F.col("cb"))
-        .select("probe_id", "ca", "cb", cosine(F.col("va"), F.col("vb")).alias("s"))
+        .select(
+            F.col("probe_id").alias("cprobe"),
+            "ca",
+            "cb",
+            cosine(F.col("va"), F.col("vb")).alias("s"),
+        )
     )
     s1 = (
         pool.withColumn("rn", F.row_number().over(w_rel))
@@ -1178,7 +1183,9 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cand_id") != F.col("sc"))
         .join(
             cc,
-            (F.col("ca") == F.col("cand_id")) & (F.col("cb") == F.col("sc")),
+            (F.col("cprobe") == F.col("probe_id"))
+            & (F.col("ca") == F.col("cand_id"))
+            & (F.col("cb") == F.col("sc")),
         )
         .select("probe_id", "cand_id", "qc", F.col("s").alias("pen"))
     )
@@ -1202,7 +1209,8 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("cand_id") != F.col("sc"))
                 .join(
                     cc,
-                    (F.col("ca") == F.col("cand_id"))
+                    (F.col("cprobe") == F.col("probe_id"))
+                    & (F.col("ca") == F.col("cand_id"))
                     & (F.col("cb") == F.col("sc")),
                 )
                 .select(

@@ -761,3 +761,62 @@ class TestGraphSketchJoinOps:
         for r in e.queries()["q_agg_countmin"](spark, SF_SMALL).collect():
             assert r["cm_estimate"] >= r["n_exact"], r
             assert r["cm_estimate"] <= r["n_exact"] + 200, r
+
+
+class TestCoresetAndMMR:
+    def test_kcenter_is_greedy_farthest(self, spark):
+        """Cross-check against a numpy greedy farthest-point run, and
+        the pick distances must be non-increasing (coverage decay)."""
+        import numpy as np
+        import __spark_entry__ as e
+        from spark_clustering_spark.pipeline.similarity import KC_K, KC_SEED_ID
+
+        rows = sorted(
+            e.queries()["q_sample_kcenter"](spark, SF_SMALL).collect(),
+            key=lambda r: r["sel"],
+        )
+        emb = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+        }
+        sel = [KC_SEED_ID]
+        ids = sorted(emb)
+        md = {i: float(np.linalg.norm(emb[i] - emb[KC_SEED_ID])) for i in ids}
+        expect = [(1, KC_SEED_ID, 0.0)]
+        for t in range(2, KC_K + 1):
+            pick = min(
+                (i for i in ids if i not in sel),
+                key=lambda i: (-md[i], i),
+            )
+            expect.append((t, pick, md[pick]))
+            sel.append(pick)
+            for i in ids:
+                md[i] = min(md[i], float(np.linalg.norm(emb[i] - emb[pick])))
+        for got, (s, vid, d) in zip(rows, expect):
+            assert (got["sel"], got["vec_id"]) == (s, vid)
+            assert abs(got["dist"] - d) < 1e-3
+        dists = [r["dist"] for r in rows[1:]]
+        assert dists == sorted(dists, reverse=True)
+
+    def test_mmr_first_is_top1_and_diverse(self, spark):
+        """Per probe: sel=1 equals the relevance top-1, selections are
+        distinct, and scores never exceed the pure-relevance top-1."""
+        import __spark_entry__ as e
+
+        qs = e.queries()
+        top1 = {
+            r["probe_id"]: r["cand_id"]
+            for r in qs["q_sim_topk_cosine"](spark, SF_SMALL)
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+        from collections import defaultdict
+
+        per = defaultdict(dict)
+        for r in qs["q_sim_mmr"](spark, SF_SMALL).collect():
+            per[r["probe_id"]][r["sel"]] = r
+        for pid, sels in per.items():
+            assert sels[1]["cand_id"] == top1[pid]
+            cands = [sels[s]["cand_id"] for s in sorted(sels)]
+            assert len(set(cands)) == len(cands)
+            assert all(sels[s]["score"] <= sels[1]["score"] + 1e-9 for s in sels)
