@@ -480,3 +480,61 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("x_min"), F.max("x").alias("x_max"),
         F.min("y").alias("y_min"), F.max("y").alias("y_max"),
     )
+
+
+@query(
+    "q_cdc_apply_changelog",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_type,
+             json_extract_string(props, '$.k')::BIGINT AS k,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_type AS last_type, k AS last_k
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog materialization (the lakehouse CDC-apply complement
+    of q_cdc_snapshot_diff and q_sink_upsert): collapse an event
+    changelog to current per-key state by LAST-WRITER-WINS — the max
+    (ts, event_id) event per user defines the row; keys whose latest
+    entry is a tombstone ('error' here) disappear from the
+    materialized table. This is exactly how a Debezium/Hudi-style
+    merge-on-read compaction resolves a key's row group.
+
+    Determinism: ordering is (ts, event_id) — a total order, so rn=1
+    is unique; the payload extraction is the same JSON path in both
+    engines.
+
+    Scale: one shuffle on the key; the per-key window streams each
+    key group once (equivalently max_by). On a partitioned lake only
+    changelog partitions newer than the last checkpoint are read —
+    the same delta-pruning argument as q_mv_incremental; compaction
+    state per key is ONE row."""
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("k").alias("last_k"),
+        )
+    )

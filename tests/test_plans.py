@@ -390,3 +390,49 @@ def test_zorder_layout_prunes_box_queries(spark, qs):
     assert "PartitionFilters" in plan
     assert len(hit) < n_buckets, (len(hit), n_buckets)  # real pruning
     assert pruned.count() == keyed.filter(box).count()  # no rows lost
+
+
+def test_bloom_prune_filters_before_join(spark, qs):
+    """The bloom probe must sit on the fact side BEFORE the equi-join
+    (that's the whole reduction), as an O(1) dense-array probe."""
+    plan = formatted_plan(qs["q_join_bloom_prune"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "element_at(bloom_arr" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree, tree
+    # probe is a filter over the streamed fact scan, not a nested loop
+    # against per-row bloom reconstruction
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+
+
+def test_mv_incremental_unions_aggregated_states(spark, qs):
+    """Both MV branches aggregate BEFORE the union-merge: the plan
+    must show the partial/final HashAggregate pairs per branch plus
+    the merge — never a union of raw fact rows."""
+    plan = formatted_plan(qs["q_mv_incremental"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "Union" in tree, tree
+    assert tree.count("HashAggregate") >= 6, tree  # 2 per state + 2 merge
+
+
+def test_ewma_join_is_equi_not_nested_loop(spark, qs):
+    """The trailing-window self-join carries the event_type equality,
+    so it must plan as a hash/merge join with the range as residual —
+    never a nested-loop scan."""
+    plan = formatted_plan(qs["q_ts_ewma"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree and "CartesianProduct" not in tree, tree
+
+
+def test_cum_distinct_no_expand(spark, qs):
+    """First-occurrence decomposition means NO count-distinct Expand
+    node anywhere — that's what makes it linear."""
+    plan = formatted_plan(qs["q_window_cum_distinct"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "Expand" not in tree, tree
+
+
+def test_countmin_counters_broadcast(spark, qs):
+    """The fixed 4x64 counter table must broadcast to the probe join."""
+    plan = formatted_plan(qs["q_agg_countmin"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
