@@ -453,7 +453,7 @@ MV_CUTOVER = "1999-01-01"  # base snapshot boundary for the incremental MV
     # state is indistinguishable from recomputing over all the data
     oracle="""
     SELECT o_orderpriority,
-           date_trunc('month', o_orderdate) AS mon,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
            count(*) AS n_orders,
            cast(round(sum(cast(o_totalprice AS DECIMAL(38,8))), 4)
                 AS DOUBLE) AS total_price
@@ -479,7 +479,9 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride the same algebra as (sum, count, sum-of-squares) partials —
     q_agg_stats already holds the power-sum form."""
     o = table(spark, sf_dir, "orders")
-    mon = F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+    mon = F.date_format(
+        F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"
+    ).alias("mon")
     cut = F.col("o_orderdate") < F.lit(MV_CUTOVER).cast("timestamp")
 
     def state(df: DataFrame) -> DataFrame:
