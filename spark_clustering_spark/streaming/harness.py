@@ -244,3 +244,34 @@ def stream_cluster_volume(
         "cluster_id",
         "n_vectors",
     )
+
+
+def stream_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Real streaming leaderboard: the tumbling aggregate runs as a
+    Structured Streaming query (complete mode — the stateful stage),
+    and the per-window rank is applied downstream of the sink, exactly
+    as q_stream_topk's docstring prescribes (rank is not stateful, so
+    it never enters the streaming plan). Returns
+    (win_start, event_type, n_events, rn<=k) after the availableNow
+    replay drains."""
+    from pyspark.sql.window import Window
+
+    replay = replay_dir(spark, sf_dir)
+    src = _read_stream(spark, replay)
+    agg = src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    res = _run_to_completion(agg, "complete", f"topk_{id(src)}")
+    wr = Window.partitionBy("w").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        res.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
+            "event_type",
+            "n_events",
+            "rn",
+        )
+    )

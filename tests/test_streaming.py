@@ -161,3 +161,20 @@ def test_stream_cluster_volume_matches_batch(spark):
     for key, n in batch.items():
         if key[0] + 3600 <= max_start - 2 * 7200:
             assert key in streamed, f"finalized window {key} never emitted"
+
+
+def test_stream_topk_matches_batch(spark):
+    """The complete-mode streaming aggregate + downstream rank emits
+    exactly the batch q_stream_topk rows once the replay drains."""
+    import __spark_entry__ as e
+    from spark_clustering_spark.streaming.harness import stream_topk
+
+    streamed = {
+        (r["win_start"], r["rn"]): (r["event_type"], r["n_events"])
+        for r in stream_topk(spark, SF_SMALL).collect()
+    }
+    batch = {
+        (r["win_start"], r["rn"]): (r["event_type"], r["n_events"])
+        for r in e.queries()["q_stream_topk"](spark, SF_SMALL).collect()
+    }
+    assert streamed == batch
