@@ -1221,3 +1221,52 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
     return out.select("probe_id", "sel", "cand_id", dround("score").alias("score"))
+
+
+def semdedup_pairs_gemm(
+    assign: DataFrame, threshold: float = SEM_TAU
+) -> DataFrame:
+    """Scale path for SemDeDup's within-cluster pair scan: one numpy
+    GEMM per cluster via applyInPandas (Arrow batches, BLAS sgemm —
+    the same kernel as the blocked embedding near-dup), instead of the
+    declared expression path's per-pair zip_with fold.
+
+    Why it exists (measured, tools/scale_growth.py): at 16x corpus the
+    expression path grows 35x wall (every pair pays a 64-term codegen
+    fold) while GEMM-backed scoring grows ~2x — BLAS turns the
+    in-cluster n_k² dot products into a single matrix multiply.
+    Clusters are bounded by design (nlist scales with corpus size), so
+    each cluster's matrix fits one task; a cluster too hot for one
+    task would route through the n_blocks cogroup of
+    dedup.embedding_near_dup_pairs keyed by (cid, block).
+
+    ``assign``: (vec_id, vec array<double>, cid). Returns
+    (keep_id, drop_id) candidate pairs with keep_id < drop_id —
+    row-identical to the expression path (asserted in
+    tests/test_scale.py)."""
+    import pandas as pd
+
+    def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        empty = pd.DataFrame({"keep_id": [], "drop_id": []}).astype("int64")
+        if len(pdf) < 2:
+            return empty
+        X = np.array(list(pdf["vec"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        Xn = X / nrm[:, None]
+        S = Xn @ Xn.T
+        iu, ju = np.where(S >= threshold)
+        m = iu < ju
+        iu, ju = iu[m], ju[m]
+        if not len(iu):
+            return empty
+        a, b = ids[iu], ids[ju]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"keep_id": lo, "drop_id": hi})
+
+    return assign.groupBy("cid").applyInPandas(
+        per_cluster, "keep_id BIGINT, drop_id BIGINT"
+    )

@@ -447,3 +447,53 @@ def test_ivfpq_recall_and_candidate_bounding(spark):
     ) / len(exact)
     assert rec >= 0.2, rec  # list-bounded + 4-byte codes on random data
     ve.unpersist()
+
+
+def test_semdedup_gemm_path_matches_expression_path(spark):
+    """The BLAS per-cluster scale path emits exactly the expression
+    path's candidate pairs on the same trained assignment."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from spark_clustering_spark.functions.distance import (
+        as_double_array,
+        cosine,
+        euclidean,
+    )
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.similarity import (
+        ivf_train,
+        semdedup_pairs_gemm,
+    )
+
+    ve = table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    cents = ivf_train(ve)
+    pairs = ve.crossJoin(F.broadcast(cents)).withColumn(
+        "cdist", euclidean(F.col("vec"), F.col("cvec"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy("cdist", "cid")
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cid")
+        .persist()
+    )
+    tau = 0.3
+    a = assign.select("cid", F.col("vec_id").alias("keep_id"), F.col("vec").alias("va"))
+    b = assign.select("cid", F.col("vec_id").alias("drop_id"), F.col("vec").alias("vb"))
+    expr_pairs = {
+        (r["keep_id"], r["drop_id"])
+        for r in a.join(b, "cid")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= tau)
+        .select("keep_id", "drop_id")
+        .collect()
+    }
+    gemm_pairs = {
+        (r["keep_id"], r["drop_id"])
+        for r in semdedup_pairs_gemm(assign, threshold=tau).collect()
+    }
+    assign.unpersist()
+    assert gemm_pairs == expr_pairs
+    assert len(expr_pairs) > 0  # non-vacuous at this tau

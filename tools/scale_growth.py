@@ -99,6 +99,67 @@ def main() -> None:
         results["ivf"][mult] = {"wall": round(w2, 3), "rows": rows2}
         print(f"| ivf nprobe=4 | {mult}x ({mult * n}) | {rows2} | {w2:.2f} "
               f"| {w2 / base2:.2f}x |")
+
+        # SemDeDup scale path: assign to the (pretrained, persisted)
+        # quantizer + within-cluster pair scan. Identical replicas all
+        # land in one cluster AND pair at cosine 1.0 -- worst case for
+        # the in-cluster expansion, same spirit as the gemm row.
+        from pyspark.sql.window import Window
+        from spark_clustering_spark.functions.distance import cosine, euclidean
+
+        def semdedup_pairs():
+            pairs = rep.crossJoin(F.broadcast(coarse)).withColumn(
+                "cdist", euclidean(F.col("vec"), F.col("cvec"))
+            )
+            wa = Window.partitionBy("vec_id").orderBy("cdist", "cid")
+            assign = (
+                pairs.withColumn("rn", F.row_number().over(wa))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "vec", "cid")
+            )
+            a = assign.select(
+                "cid", F.col("vec_id").alias("ka"), F.col("vec").alias("va")
+            )
+            b = assign.select(
+                "cid", F.col("vec_id").alias("kb"), F.col("vec").alias("vb")
+            )
+            return (
+                a.join(b, "cid")
+                .filter(F.col("ka") < F.col("kb"))
+                .filter(cosine(F.col("va"), F.col("vb")) >= 0.99)
+                .select("ka", "kb")
+            )
+
+        results.setdefault("semdedup", {})
+        w3, rows3 = wall(semdedup_pairs)
+        base3 = results["semdedup"].get(multiples[0], {}).get("wall", w3)
+        results["semdedup"][mult] = {"wall": round(w3, 3), "rows": rows3}
+        print(f"| semdedup pairs | {mult}x ({mult * n}) | {rows3} | {w3:.2f} "
+              f"| {w3 / base3:.2f}x |")
+
+        # ... and the BLAS per-cluster scale path of the same scan
+        from spark_clustering_spark.pipeline.similarity import (
+            semdedup_pairs_gemm,
+        )
+
+        def semdedup_gemm():
+            pairs = rep.crossJoin(F.broadcast(coarse)).withColumn(
+                "cdist", euclidean(F.col("vec"), F.col("cvec"))
+            )
+            wa = Window.partitionBy("vec_id").orderBy("cdist", "cid")
+            assign = (
+                pairs.withColumn("rn", F.row_number().over(wa))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "vec", "cid")
+            )
+            return semdedup_pairs_gemm(assign, threshold=0.99)
+
+        results.setdefault("semdedup_gemm", {})
+        w4, rows4 = wall(semdedup_gemm)
+        base4 = results["semdedup_gemm"].get(multiples[0], {}).get("wall", w4)
+        results["semdedup_gemm"][mult] = {"wall": round(w4, 3), "rows": rows4}
+        print(f"| semdedup gemm | {mult}x ({mult * n}) | {rows4} | {w4:.2f} "
+              f"| {w4 / base4:.2f}x |")
         coarse.unpersist()
         rep.unpersist()
     print()
