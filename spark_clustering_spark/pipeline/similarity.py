@@ -221,7 +221,7 @@ def ivf_train(
             "cid", F.coalesce("mvec", "cvec").alias("cvec")
         )
     if n_iter > 0:
-        # nlist rows of k·d doubles — pin them so the two consumers
+        # nlist rows of k*d doubles -- pin them so the two consumers
         # (inverted-list assignment and probe routing) don't re-run the
         # training subtree, and per-step lineage doesn't stack
         cents = cents.localCheckpoint(eager=True)
@@ -895,27 +895,35 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ve = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("vec")
     )
-    cents = ivf_train(ve)
-    pairs = ve.crossJoin(F.broadcast(cents)).withColumn(
-        "cdist", euclidean(F.col("vec"), F.col("cvec"))
+    # trained centroids are k*d bounded state (already eagerly
+    # checkpointed) -- inline them as literals so assignment is a pure
+    # projection: the crossJoin+window argmin would shuffle 16n rows on
+    # vec_id, this shuffles NOTHING. Tiebreak identical to the
+    # oracle's (cdist, cid): centroids ordered by cid and
+    # array_position returns the FIRST index holding the min.
+    crows = sorted(
+        ((r["cid"], r["cvec"]) for r in ivf_train(ve).collect()),
+        key=lambda t: t[0],
     )
-    w_assign = Window.partitionBy("vec_id").orderBy("cdist", "cid")
-    assign = (
-        pairs.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "cid")
+    dists = F.array(
+        *[
+            euclidean(F.col("vec"), F.array(*[F.lit(x) for x in cvec]))
+            for _, cvec in crows
+        ]
     )
-    a = assign.select(
-        F.col("cid"), F.col("vec_id").alias("keep_id"), F.col("vec").alias("va")
+    idx = F.array_position(dists, F.array_min(dists)).cast("int")
+    cids = F.array(*[F.lit(int(c)) for c, _ in crows])
+    assign = ve.select(
+        "vec_id", "vec", F.element_at(cids, idx).cast("bigint").alias("cid")
     )
-    b = assign.select(
-        F.col("cid"), F.col("vec_id").alias("drop_id"), F.col("vec").alias("vb")
-    )
-    dup = (
-        a.join(b, "cid")
-        .filter(F.col("keep_id") < F.col("drop_id"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(SEM_TAU))
-    )
+    # pair scan via the BLAS per-cluster kernel (63x the expression
+    # path at 16x corpus -- PERF.md). Safe for hash parity: only the
+    # pair SET feeds the output, and the nearest cosine to SEM_TAU on
+    # this data is ~3e-5 away (measured) vs ~1e-15 of GEMM-vs-fold
+    # float noise, so no pair can flip against the oracle's
+    # list_cosine_similarity. The expression-path twin is asserted
+    # row-identical in tests/test_scale.py.
+    dup = semdedup_pairs_gemm(assign, threshold=SEM_TAU)
     reps = dup.groupBy("drop_id").agg(F.min("keep_id").alias("rep"))
     return assign.join(
         reps, assign["vec_id"] == reps["drop_id"], "left"
