@@ -820,3 +820,18 @@ class TestCoresetAndMMR:
             cands = [sels[s]["cand_id"] for s in sorted(sels)]
             assert len(set(cands)) == len(cands)
             assert all(sels[s]["score"] <= sels[1]["score"] + 1e-9 for s in sels)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """Per LSH candidate pair, the 16-perm agreement estimate must
+    track the exact shingle Jaccard (mean |est-exact| <= 0.25 for a
+    16-perm sketch), and exact==1 pairs must estimate 1."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["q_dedup_minhash_est"](spark, SF_SMALL).collect()
+    assert rows
+    errs = [abs(r["est_jaccard"] - r["exact_jaccard"]) for r in rows]
+    assert sum(errs) / len(errs) <= 0.25, sum(errs) / len(errs)
+    for r in rows:
+        if r["exact_jaccard"] == 1.0:
+            assert r["est_jaccard"] == 1.0, r
