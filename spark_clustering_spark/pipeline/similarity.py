@@ -1014,21 +1014,18 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "vec", euclidean(F.col("vec"), F.col("svec")).alias("md"))
     )
     for t in range(2, KC_K + 1):
-        pick = d.orderBy(F.desc("md"), F.asc("vec_id")).limit(1)
-        prow = pick.collect()[0]  # 1 row by construction: the argmax
+        # the argmax is a TakeOrdered (per-partition heaps + driver
+        # merge); its single row is then inlined as a literal so the
+        # min-distance update is a pure projection — re-deriving the
+        # exemplar from the DataFrame would recompute the whole chain
+        prow = d.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[0]
         out.append((t, prow["vec_id"], prow["md"]))
         if t < KC_K:
-            pv = pick.select(F.col("vec").alias("svec"))
-            d = (
-                d.filter(F.col("vec_id") != prow["vec_id"])
-                .crossJoin(F.broadcast(pv))
-                .select(
-                    "vec_id",
-                    "vec",
-                    F.least(
-                        F.col("md"), euclidean(F.col("vec"), F.col("svec"))
-                    ).alias("md"),
-                )
+            pv = F.array(*[F.lit(x) for x in prow["vec"]])
+            d = d.filter(F.col("vec_id") != prow["vec_id"]).select(
+                "vec_id",
+                "vec",
+                F.least(F.col("md"), euclidean(F.col("vec"), pv)).alias("md"),
             )
     res = spark.createDataFrame(
         [(s, v, float(m)) for s, v, m in out],
