@@ -1275,3 +1275,80 @@ def semdedup_pairs_gemm(
     return assign.groupBy("cid").applyInPandas(
         per_cluster, "keep_id BIGINT, drop_id BIGINT"
     )
+
+
+CB_PER_CLUSTER = 8  # exemplars drawn per embedding cluster
+
+
+def _cluster_balanced_oracle() -> str:
+    from spark_clustering_spark.functions.porthash import sql_hex_int
+
+    return f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    {_ivf_train_ctes(IVF_NLIST, IVF_TRAIN_ITERS)},
+    assign AS (
+      SELECT v.vec_id, c.cid
+      FROM ve v CROSS JOIN coarse c
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY list_distance(v.vec, c.cvec), c.cid) = 1
+    ),
+    hashed AS (
+      SELECT vec_id, cid, md5('cb' || vec_id::VARCHAR) AS hx FROM assign
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid
+               ORDER BY {sql_hex_int('hx')}, vec_id) AS pick
+      FROM hashed
+    )
+    SELECT vec_id, cid::INT AS cid, pick::INT AS pick
+    FROM ranked WHERE pick <= {CB_PER_CLUSTER}
+    """
+
+
+@query("q_sample_cluster_balanced", oracle=_cluster_balanced_oracle())
+def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling: assign embeddings to the trained
+    coarse clusters, then draw the SAME number of exemplars from each
+    cluster by seeded portable-hash order — the diversity draw that
+    counters density skew (a dominant mode can't crowd the sample the
+    way a uniform draw lets it; cf. prototypicality-based pruning,
+    Sorscher et al. 2022). Deterministic: membership is a pure
+    function of (vec_id, trained centroids).
+
+    Scale: assignment is the literal-centroid projection (no shuffle);
+    the per-cluster pick is one hash-ordered window over
+    (vec_id, cid, hash) rows — vectors never shuffle. Same per-group
+    mechanics as q_sample_per_group, keyed by learned structure
+    instead of metadata."""
+    from spark_clustering_spark.functions.distance import euclidean
+    from spark_clustering_spark.functions.porthash import md5_int32
+    from spark_clustering_spark.io import table
+
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    crows = sorted(
+        ((r["cid"], r["cvec"]) for r in ivf_train(ve).collect()),
+        key=lambda t: t[0],
+    )
+    dists = F.array(
+        *[
+            euclidean(F.col("vec"), F.array(*[F.lit(x) for x in cvec]))
+            for _, cvec in crows
+        ]
+    )
+    idx = F.array_position(dists, F.array_min(dists)).cast("int")
+    cids = F.array(*[F.lit(int(c)) for c, _ in crows])
+    assign = ve.select(
+        "vec_id", F.element_at(cids, idx).cast("bigint").alias("cid")
+    )
+    h = md5_int32(F.concat(F.lit("cb"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("cid").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        assign.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= CB_PER_CLUSTER)
+        .select("vec_id", F.col("cid").cast("int").alias("cid"), "pick")
+    )

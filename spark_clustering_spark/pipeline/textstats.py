@@ -621,3 +621,102 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segs.join(F.broadcast(freq), "seg_md5").select(
         "doc_id", "seg_idx", "seg_md5", "n_docs"
     )
+
+
+@query(
+    "q_text_bigram_logprob",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    uni AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(ws) AS tok FROM docs) GROUP BY tok
+    ),
+    tot AS (SELECT sum(c) AS n FROM uni),
+    bg AS (
+      SELECT doc_id,
+             unnest([{'u': ws[i], 'v': ws[i+1]}
+                     for i in range(1, greatest(len(ws), 1))]) AS b
+      FROM docs WHERE len(ws) >= 2
+    ),
+    bc AS (SELECT b.u AS u, b.v AS v, count(*) AS cb FROM bg GROUP BY 1, 2)
+    SELECT g.doc_id,
+           count(*) AS n_bigrams,
+           cast(round(sum(cast(
+             ln(0.7 * bc.cb / cu.c + 0.3 * cw.c / t.n)
+           AS DECIMAL(38,8))), 4) AS DOUBLE) AS sum_logprob
+    FROM bg g
+    JOIN bc ON bc.u = g.b.u AND bc.v = g.b.v
+    JOIN uni cu ON cu.tok = g.b.u
+    JOIN uni cw ON cw.tok = g.b.v
+    CROSS JOIN tot t
+    GROUP BY g.doc_id
+    """,
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document log-probability under an INTERPOLATED bigram LM:
+    p(v|u) = 0.7·c(uv)/c(u) + 0.3·c(v)/N (Jelinek-Mercer smoothing
+    with literal weights) summed over every bigram occurrence — the
+    next step up from q_text_unigram_logprob as a fluency/perplexity
+    gate: token-salad that passes unigram frequency checks fails here
+    because its TRANSITIONS are improbable.
+
+    Determinism: counts are integers; each occurrence's ln(·) is one
+    double expression rounded into DECIMAL(38,8) before the sum
+    (detagg); interpolation weights are literal 0.7/0.3 in both
+    engines (never 1−λ).
+
+    Scale: one (doc, bigram-occurrence) explode (spread-gated like all
+    amplifying text maps); the bigram and unigram tables are
+    vocabulary-sized aggregates re-joined as broadcasts — on a corpus
+    whose bigram vocabulary outgrows broadcast, the same joins
+    co-partition on the bigram key instead (identical semantics)."""
+    from spark_clustering_spark.io import spread
+
+    d = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    docs = spread(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", ws.alias("ws")
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("ws") - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.element_at("ws", i).alias("u"),
+            F.element_at("ws", i + 1).alias("v"),
+        ),
+    )
+    bg = (
+        docs.filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(pairs).alias("b"))
+        .select("doc_id", F.col("b.u").alias("u"), F.col("b.v").alias("v"))
+    )
+    uni = (
+        docs.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n"))
+    bc = bg.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cb"))
+    cu = uni.select(F.col("tok").alias("u"), F.col("c").alias("c_u"))
+    cw = uni.select(F.col("tok").alias("v"), F.col("c").alias("c_v"))
+    term = F.log(
+        F.lit(0.7) * F.col("cb") / F.col("c_u")
+        + F.lit(0.3) * F.col("c_v") / F.col("n")
+    )
+    return (
+        bg.join(F.broadcast(bc), ["u", "v"])
+        .join(F.broadcast(cu), "u")
+        .join(F.broadcast(cw), "v")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(term.cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("sum_logprob"),
+        )
+    )

@@ -835,3 +835,17 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     for r in rows:
         if r["exact_jaccard"] == 1.0:
             assert r["est_jaccard"] == 1.0, r
+
+
+def test_cluster_balanced_sample_sizes(spark):
+    """Every non-tiny cluster contributes exactly CB_PER_CLUSTER
+    exemplars; smaller clusters contribute all members."""
+    import __spark_entry__ as e
+    from collections import Counter
+    from spark_clustering_spark.pipeline.similarity import CB_PER_CLUSTER
+
+    rows = e.queries()["q_sample_cluster_balanced"](spark, SF_SMALL).collect()
+    per = Counter(r["cid"] for r in rows)
+    assert per and all(n <= CB_PER_CLUSTER for n in per.values())
+    assert max(per.values()) == CB_PER_CLUSTER  # at least one full draw
+    assert len({r["vec_id"] for r in rows}) == len(rows)  # no dup picks
