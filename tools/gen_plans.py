@@ -118,6 +118,32 @@ NOTES = {
         "double the exploded rows pre-shuffle); top-50 is "
         "TakeOrderedAndProject, not a global sort."
     ),
+    "q_join_bloom_prune": (
+        "the O(1) dense-array bloom probe filters the fact side BEFORE "
+        "the equi-join — shuffle volume drops to selectivity + "
+        "false-positive rate; the 128 KB bitset broadcasts."
+    ),
+    "q_mv_incremental": (
+        "both branches aggregate to mergeable decimal states before the "
+        "Union; the merge groupBy touches state rows only — refresh "
+        "cost is O(delta) + O(groups), never O(base facts)."
+    ),
+    "q_window_cum_distinct": (
+        "first-occurrence decomposition: two plain aggregates + a "
+        "window over the (type, day) frame — no count-distinct Expand, "
+        "no user-cardinality window."
+    ),
+    "q_graph_pagerank": (
+        "the Q7-shaped edge build runs once (eager checkpoint); each "
+        "unrolled Pregel step shuffles only edge-cardinality "
+        "contributions against broadcast rank/out-weight tables."
+    ),
+    "q_dedup_semantic": (
+        "assignment is a literal-centroid projection (no crossJoin, no "
+        "16n-row window shuffle); the pair scan is one BLAS GEMM per "
+        "cluster via applyInPandas — 63x the expression path at 16x "
+        "corpus (PERF.md)."
+    ),
 }
 
 
