@@ -849,3 +849,35 @@ def test_cluster_balanced_sample_sizes(spark):
     assert per and all(n <= CB_PER_CLUSTER for n in per.values())
     assert max(per.values()) == CB_PER_CLUSTER  # at least one full draw
     assert len({r["vec_id"] for r in rows}) == len(rows)  # no dup picks
+
+
+def test_simhash_pairs_pigeonhole_recall(spark):
+    """Identical docs (dup with shifted ids) must appear as pairs with
+    hamming 0; emitted pairs respect the radius."""
+    from pyspark.sql import functions as F
+    from spark_clustering_spark.pipeline.dedup import SIMHASH_HAM_MAX
+    import __spark_entry__ as e
+
+    rows = e.queries()["q_dedup_simhash_pairs"](spark, SF_SMALL).collect()
+    assert rows
+    assert all(0 <= r["hamming"] <= SIMHASH_HAM_MAX for r in rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+    # exact dups (same text) at this sf: every exact-dup pair from
+    # q_dedup_exact must be found with hamming 0
+    ex = e.queries()["q_dedup_exact"](spark, SF_SMALL).filter(
+        F.col("n_copies") > 1
+    )
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    dup_groups = (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("h"), "doc_id")
+        .join(ex.select("h"), "h")
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .collect()
+    )
+    for g in dup_groups:
+        ids = g["ids"]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert got.get((ids[i], ids[j])) == 0, (ids[i], ids[j])
