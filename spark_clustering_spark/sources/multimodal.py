@@ -541,3 +541,112 @@ def q_multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "item_id", "frame_no", "n_samples", dround("rms_raw").alias("rms")
     )
+
+
+PHASH_GRID = 8  # aHash grid: 8x8 block means -> 64-bit fingerprint
+
+
+def _phash_oracle() -> str:
+    """DuckDB twin: rebuild the tiled 64x64 raster exactly as the
+    resize stub does, then the 8x8 average-hash with INTEGER-exact
+    mean compares (64*block_sum > total_sum avoids division), bit 63
+    in two's complement like the SimHash oracle."""
+    n = RESIZE_W * RESIZE_H
+    fp_terms = " + ".join(
+        f"(CASE WHEN 64 * s{b} > total THEN {1 << b} ELSE 0 END)"
+        for b in range(63)
+    )
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN blk = {b} THEN v ELSE 0 END) AS s{b}"
+        for b in range(64)
+    )
+    return f"""
+    WITH raster AS (
+      SELECT doc_id,
+             substring(repeat(text, ({n - 1} // length(text) + 1)::INT),
+                       1, {n}) AS r
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id,
+             ((i - 1) // {RESIZE_W} // {PHASH_GRID}) * {PHASH_GRID}
+               + ((i - 1) % {RESIZE_W}) // {PHASH_GRID} AS blk,
+             ascii(substring(r, i, 1)) AS v
+      FROM raster, range(1, {n + 1}) t(i)
+    ),
+    agg AS (
+      SELECT doc_id,
+             {sums},
+             sum(v) AS total
+      FROM px GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST({fp_terms}
+               + (CASE WHEN 64 * s63 > total
+                       THEN -9223372036854775807 - 1 ELSE 0 END)
+               AS BIGINT) AS phash
+      FROM agg
+    )
+    SELECT phash, count(*) AS n_items, min(doc_id) AS keep_id
+    FROM fp GROUP BY phash
+    """
+
+
+@query("q_multimodal_phash_dedup", oracle=_phash_oracle())
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup of the decoded image rasters: average-
+    hash (aHash) over the 64x64 raster — 8x8 block means, bit b set
+    iff block b is brighter than the global mean — grouped to
+    (phash, n_items, keep_id) exactly like q_dedup_exact but on VISUAL
+    content, so re-encoded/re-tiled copies of the same image collapse
+    even when their bytes differ. The raster comes from the same
+    deterministic tile/truncate stub as q_multimodal_resize (the PIL
+    seam swaps in real pixels on a real cluster; decode_payload's BMP
+    path already proves it).
+
+    Determinism: block and global means compare as integers
+    (64·block_sum > total — no division); bit 63 uses the same two's-
+    complement fold as SimHash.
+
+    Scale: one mapInPandas pass (numpy reshape-sum per Arrow batch,
+    64 ints + 1 bigint out per item); the groupBy shuffles 8-byte
+    fingerprints — pixels never leave the task that decoded them."""
+    import hashlib  # noqa: F401  (kept parallel with the resize kernel)
+
+    media = synthetic_media(spark, sf_dir).filter(F.lit(True))
+    n = RESIZE_W * RESIZE_H
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hashes = []
+            for b in pdf["payload"]:
+                raw = (bytes(b) * (n // max(len(b), 1) + 1))[:n]
+                X = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                X = X.reshape(RESIZE_H, RESIZE_W)
+                bs = X.reshape(
+                    PHASH_GRID, RESIZE_H // PHASH_GRID,
+                    PHASH_GRID, RESIZE_W // PHASH_GRID,
+                ).sum(axis=(1, 3)).ravel()
+                total = int(X.sum())
+                ph = 0
+                for bit in range(63):
+                    if 64 * int(bs[bit]) > total:
+                        ph += 1 << bit
+                if 64 * int(bs[63]) > total:
+                    ph += -9223372036854775808
+                hashes.append(ph)
+            yield pd.DataFrame(
+                {"item_id": pdf["item_id"], "phash": hashes}
+            )
+
+    fp = media.mapInPandas(kernel, "item_id BIGINT, phash BIGINT")
+    return fp.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("item_id").alias("keep_id"),
+    )

@@ -881,3 +881,19 @@ def test_simhash_pairs_pigeonhole_recall(spark):
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 assert got.get((ids[i], ids[j])) == 0, (ids[i], ids[j])
+
+
+def test_phash_collapses_exact_payload_dups(spark):
+    """Items with identical payload bytes must share a phash group;
+    group count is bounded by distinct payloads."""
+    from pyspark.sql import functions as F
+    import __spark_entry__ as e
+
+    groups = e.queries()["q_multimodal_phash_dedup"](spark, SF_SMALL).collect()
+    n_groups = len(groups)
+    assert sum(g["n_items"] for g in groups) == 500
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n_distinct_payloads = docs.select("text").distinct().count()
+    assert n_groups <= n_distinct_payloads
+    for g in groups:
+        assert g["keep_id"] >= 0 and g["n_items"] >= 1
