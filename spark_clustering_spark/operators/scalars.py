@@ -190,3 +190,45 @@ def q_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex md5)."""
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+
+
+@query(
+    "q_scalar_variant",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT)
+             AS sum_k,
+           CAST(min(json_extract_string(props, '$.k')::BIGINT) AS BIGINT)
+             AS min_k,
+           CAST(max(json_extract_string(props, '$.k')::BIGINT) AS BIGINT)
+             AS max_k
+    FROM events
+    WHERE json_valid(props)
+    GROUP BY event_type
+    """,
+)
+def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via Spark 4's VARIANT type:
+    try_parse_json once into the binary variant encoding, then typed
+    variant_get path extraction — the engine-native replacement for
+    repeated get_json_object string re-parses (each get_json_object
+    call re-tokenizes the JSON text; a variant parses once and serves
+    every later path from the binary form). try_parse_json yields NULL
+    for malformed rows, mirroring the oracle's json_valid guard.
+
+    Scale: parse cost is paid once per row in the scan projection;
+    aggregation is integer-exact. At 100 TB the variant column is what
+    you'd persist (shredded parquet), making every downstream path
+    extraction scan-speed."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.try_parse_json("props").alias("v")
+    ).filter(F.col("v").isNotNull())
+    k = F.variant_get("v", "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
