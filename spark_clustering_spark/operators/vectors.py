@@ -325,3 +325,137 @@ def q_vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("v", 6).alias("loading"),
         dround("nrm").alias("eigenvalue"),
     )
+
+
+def _pca_deflate_sql() -> str:
+    """DuckDB twin of q_vec_pca_deflate: the q_vec_pca_power chain,
+    then rank-one deflation C₂ = C − λ₁·v₁v₁ᵀ and the same unrolled
+    power steps on C₂."""
+    base = _pca_power_sql().format(cov_dims=COV_DIMS)
+    # strip the base query's final SELECT; keep its CTE chain (and
+    # restore the comma the SELECT boundary swallowed)
+    ctes = base[: base.rindex("SELECT")].rstrip() + ","
+    steps = []
+    prev = "w0"
+    for t in range(1, PCA_ITERS + 1):
+        steps.append(f"""x{t} AS (
+      SELECT c.i, cast(sum(cast(c.c2 * v.v AS DECIMAL(38,8))) AS DOUBLE) AS u
+      FROM cov2 c JOIN {prev} v ON v.j = c.j GROUP BY c.i
+    ),
+    m{t} AS (
+      SELECT sqrt(cast(sum(cast(u * u AS DECIMAL(38,8))) AS DOUBLE)) AS nrm
+      FROM x{t}
+    ),
+    w{t} AS (SELECT i AS j, u / nrm AS v FROM x{t} CROSS JOIN m{t})""")
+        prev = f"w{t}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""{ctes}
+    cov2 AS (
+      SELECT c.i, c.j, c.c - n.nrm * a.v * b.v AS c2
+      FROM cov c
+      JOIN v{PCA_ITERS} a ON a.j = c.i
+      JOIN v{PCA_ITERS} b ON b.j = c.j
+      CROSS JOIN n{PCA_ITERS} n
+    ),
+    w0 AS (SELECT DISTINCT j,
+                  CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END AS v FROM cov),
+    {steps_sql}
+    SELECT w.j::INT AS pos,
+           cast(round(cast(cast((w.v) AS VARCHAR)
+                AS DECIMAL(38,12)), 6) AS DOUBLE) AS loading2,
+           cast(round(cast(cast((m.nrm) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS eigenvalue2
+    FROM w{PCA_ITERS} w CROSS JOIN m{PCA_ITERS} m
+    """
+
+
+@query("q_vec_pca_deflate", oracle=_pca_deflate_sql())
+def q_vec_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal direction via rank-one DEFLATION: run the
+    q_vec_pca_power iteration for (v₁, λ₁), subtract λ₁·v₁v₁ᵀ from the
+    covariance, and power-iterate the deflated matrix from e₀ again.
+    With λ₁'s component removed, the iteration now converges toward
+    the second eigenvector — the standard route to top-k components
+    one at a time (deflate-and-repeat), each step cheap because
+    everything after the covariance build is d²-sized state.
+
+    Determinism: identical to q_vec_pca_power — exact-decimal
+    matrix-vector sums, IEEE doubles from identical inputs at every
+    step, both engines unroll the same chain (cross-checked against a
+    numpy replay of the same procedure in tests).
+
+    Scale: the data-sized covariance pass is SHARED with the first
+    component (compute C once via the Gram kernel, then extract as
+    many components as needed driver-side or in d²-sized DataFrame
+    steps — deflation never touches the data again)."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode(as_double_array("embedding")).alias("pos", "v")
+    ).filter(F.col("pos") < COV_DIMS)
+    a = dims.select("vec_id", F.col("pos").alias("i"), F.col("v").alias("va"))
+    b = dims.select("vec_id", F.col("pos").alias("j"), F.col("v").alias("vb"))
+    DEC = "decimal(38,8)"
+    p = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("va").cast(DEC)).cast("double").alias("sx"),
+            F.sum(F.col("vb").cast(DEC)).cast("double").alias("sy"),
+            F.sum((F.col("va") * F.col("vb")).cast(DEC)).cast("double").alias("sxy"),
+        )
+    )
+    cov = p.select(
+        "i",
+        "j",
+        (
+            F.col("sxy") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+        ).alias("c"),
+    ).localCheckpoint(eager=True)  # d^2 rows; consumed by both phases
+
+    def power(mat: DataFrame, val_col: str):
+        v = mat.select("j").distinct().select(
+            "j",
+            F.when(F.col("j") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("v"),
+        )
+        nrm = None
+        for _ in range(PCA_ITERS):
+            u = (
+                mat.join(F.broadcast(v), "j")
+                .groupBy("i")
+                .agg(
+                    F.sum((F.col(val_col) * F.col("v")).cast(DEC))
+                    .cast("double")
+                    .alias("u")
+                )
+            )
+            nrm = u.agg(
+                F.sqrt(
+                    F.sum((F.col("u") * F.col("u")).cast(DEC)).cast("double")
+                ).alias("nrm")
+            )
+            v = u.crossJoin(F.broadcast(nrm)).select(
+                F.col("i").alias("j"), (F.col("u") / F.col("nrm")).alias("v")
+            )
+        return v, nrm
+
+    v1, n1 = power(cov, "c")
+    va = v1.select(F.col("j").alias("i"), F.col("v").alias("via"))
+    vb = v1.select("j", F.col("v").alias("vjb"))
+    cov2 = (
+        cov.join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "i",
+            "j",
+            (F.col("c") - F.col("nrm") * F.col("via") * F.col("vjb")).alias("c2"),
+        )
+    )
+    v2, n2 = power(cov2, "c2")
+    return v2.crossJoin(F.broadcast(n2)).select(
+        F.col("j").cast("int").alias("pos"),
+        dround("v", 6).alias("loading2"),
+        dround("nrm").alias("eigenvalue2"),
+    )

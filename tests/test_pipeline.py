@@ -897,3 +897,43 @@ def test_phash_collapses_exact_payload_dups(spark):
     assert n_groups <= n_distinct_payloads
     for g in groups:
         assert g["keep_id"] >= 0 and g["n_items"] >= 1
+
+
+def test_pca_deflate_matches_numpy_replay(spark):
+    """The deflated second direction must equal a numpy replay of the
+    SAME procedure (2 power steps, rank-one deflation with the
+    Rayleigh ||Cv|| estimate, 2 more steps), and be near-orthogonal to
+    the first direction."""
+    import numpy as np
+    import __spark_entry__ as e
+    from spark_clustering_spark.operators.vectors import COV_DIMS, PCA_ITERS
+
+    rows = e.queries()["q_vec_pca_deflate"](spark, SF_SMALL).collect()
+    got = np.zeros(COV_DIMS)
+    for r in rows:
+        got[r["pos"]] = r["loading2"]
+    X = np.array(
+        [
+            r["embedding"][:COV_DIMS]
+            for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+        ],
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+
+    def steps(M):
+        v = np.zeros(COV_DIMS)
+        v[0] = 1.0
+        nrm = 0.0
+        for _ in range(PCA_ITERS):
+            u = M @ v
+            nrm = float(np.linalg.norm(u))
+            v = u / nrm
+        return v, nrm
+
+    v1, lam1 = steps(C)
+    v2, lam2 = steps(C - lam1 * np.outer(v1, v1))
+    assert abs(float(np.dot(got, v2))) > 0.999
+    # emitted eigenvalue is dround(4)-granular
+    assert abs(rows[0]["eigenvalue2"] - round(lam2, 4)) <= 1e-4
+    assert abs(float(np.dot(got, v1))) < 0.3  # approximate orthogonality
