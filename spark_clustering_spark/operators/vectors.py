@@ -441,6 +441,11 @@ def q_vec_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return v, nrm
 
     v1, n1 = power(cov, "c")
+    # v1/n1 are d-row / 1-row results consumed by three joins, and the
+    # deflated matrix feeds another full power phase — pin them so the
+    # first phase's chained-join lineage isn't re-executed per consumer
+    v1 = v1.localCheckpoint(eager=True)
+    n1 = n1.localCheckpoint(eager=True)
     va = v1.select(F.col("j").alias("i"), F.col("v").alias("via"))
     vb = v1.select("j", F.col("v").alias("vjb"))
     cov2 = (
@@ -452,6 +457,7 @@ def q_vec_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "j",
             (F.col("c") - F.col("nrm") * F.col("via") * F.col("vjb")).alias("c2"),
         )
+        .localCheckpoint(eager=True)
     )
     v2, n2 = power(cov2, "c2")
     return v2.crossJoin(F.broadcast(n2)).select(
