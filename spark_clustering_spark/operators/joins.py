@@ -548,3 +548,63 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH d AS (
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+             -- floor(), not ::BIGINT (which rounds): events carry
+             -- fractional (nano) seconds and Spark unix_timestamp floors
+             abs(floor(epoch(e.ts))::BIGINT - floor(epoch(o.o_orderdate))::BIGINT)
+               AS abs_seconds
+      FROM events e JOIN orders o ON o.o_custkey = e.user_id
+    )
+    SELECT event_id,
+           strftime(o_orderdate, '%Y-%m-%d') AS near_date,
+           o_orderkey AS near_orderkey,
+           abs_seconds
+    FROM d
+    QUALIFY row_number() OVER (PARTITION BY event_id
+      ORDER BY abs_seconds, o_orderdate, o_orderkey DESC) = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-in-time as-of join: per event, the same user's order
+    closest in time on EITHER side (backward q_join_asof answers
+    "state at the time"; nearest answers "best matching observation" —
+    the feature-store / sensor-alignment variant). Ties at equal
+    distance prefer the earlier order, then the max orderkey —
+    deterministic in both engines.
+
+    Scale: the declared range join is bounded by per-user order
+    history (the oracle-parity surface). The linear production path
+    composes asof_join_sorted twice — once forward, once on negated
+    time — and takes the closer carry per row: one union + two window
+    passes on the user key, never a per-event candidate expansion."""
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    d = e.join(o, o["o_custkey"] == e["user_id"]).select(
+        "event_id",
+        "o_orderkey",
+        "o_orderdate",
+        F.abs(
+            F.unix_timestamp("ts") - F.unix_timestamp("o_orderdate")
+        ).alias("abs_seconds"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_id").orderBy(
+        "abs_seconds", F.col("o_orderdate").asc(), F.col("o_orderkey").desc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("near_date"),
+            F.col("o_orderkey").alias("near_orderkey"),
+            "abs_seconds",
+        )
+    )
