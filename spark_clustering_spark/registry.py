@@ -50,6 +50,7 @@ def load_all_queries() -> None:
         windows,
     )
     from spark_clustering_spark.ml import fits  # noqa: F401
+    from spark_clustering_spark.sources import bucketed  # noqa: F401
     from spark_clustering_spark.sources import multimodal  # noqa: F401
     from spark_clustering_spark.pipeline import (  # noqa: F401
         chunking,

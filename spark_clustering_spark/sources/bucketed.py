@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from spark_clustering_spark.io import table
+from spark_clustering_spark.registry import query
 
 N_BUCKETS = 8
 
@@ -27,21 +28,30 @@ def _clear_stale_location(spark: SparkSession, name: str) -> None:
 
 
 def create_bucketed_tables(
-    spark: SparkSession, sf_dir: str, n_buckets: int = N_BUCKETS
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = N_BUCKETS,
+    location_base: str | None = None,
 ) -> None:
     """Write orders + lineitem bucketed (and sorted) by the order key.
-    Idempotent: skips tables that already exist in the session catalog."""
+    Idempotent: skips tables that already exist in the session catalog.
+    ``location_base`` makes them EXTERNAL tables at that path — the
+    declared query uses a tempdir so the write never depends on the
+    session's warehouse directory (vanilla driver sessions point it at
+    their own cwd)."""
     existing = {t.name for t in spark.catalog.listTables()}
+
+    def write(df, name: str, key: str) -> None:
+        _clear_stale_location(spark, name)
+        w = df.write.bucketBy(n_buckets, key).sortBy(key).mode("overwrite")
+        if location_base is not None:
+            w = w.option("path", f"{location_base}/{name}")
+        w.saveAsTable(name)
+
     if "orders_b" not in existing:
-        _clear_stale_location(spark, "orders_b")
-        table(spark, sf_dir, "orders").write.bucketBy(
-            n_buckets, "o_orderkey"
-        ).sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_b")
+        write(table(spark, sf_dir, "orders"), "orders_b", "o_orderkey")
     if "lineitem_b" not in existing:
-        _clear_stale_location(spark, "lineitem_b")
-        table(spark, sf_dir, "lineitem").write.bucketBy(
-            n_buckets, "l_orderkey"
-        ).sortBy("l_orderkey").mode("overwrite").saveAsTable("lineitem_b")
+        write(table(spark, sf_dir, "lineitem"), "lineitem_b", "l_orderkey")
 
 
 class no_broadcast:
@@ -79,3 +89,36 @@ def colocated_order_join(spark: SparkSession) -> DataFrame:
             .alias("order_total"),
         )
     )
+
+
+@query(
+    "q_sink_bucketed_join",
+    # the layout changes the PLAN (zero exchanges), never the answer:
+    # the oracle is the plain join aggregate over the source tables
+    oracle="""
+    SELECT o.o_orderkey, count(*) AS n_lines,
+           cast(round(sum(cast(l.l_extendedprice AS DECIMAL(38,8))), 4)
+                AS DOUBLE) AS order_total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout sink + shuffle-free join read-back: both fact
+    tables are written bucketBy(8) + sortBy on the order key (external
+    tables in a tempdir), then joined bucket-to-bucket — a local
+    sort-merge with ZERO Exchange nodes on either side (asserted in
+    tests/test_scale.py with broadcast disabled). This is THE layout
+    decision for the dominant 100 TB join: the shuffle is paid once at
+    write time and amortized over every subsequent join; the answer is
+    bit-identical to the unbucketed plan (this oracle).
+
+    Completes the physical-layout family: partitioned sink (partition
+    pruning), Z-order (2-D box pruning), compaction, and now bucketing
+    (co-located joins)."""
+    import tempfile
+
+    create_bucketed_tables(
+        spark, sf_dir, location_base=tempfile.mkdtemp(prefix="bucketed_")
+    )
+    return colocated_order_join(spark)
