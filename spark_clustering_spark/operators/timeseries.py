@@ -520,3 +520,102 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         dround(F.col("num") / F.col("den")).alias("ewma"),
     )
+
+
+@query(
+    "q_ts_concurrency",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > {{gap}}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::INT
+               AS session_idx,
+             ts_us
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, session_idx,
+             min(ts_us) AS start_us, max(ts_us) AS end_us
+      FROM sess GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT start_us AS t_us, 1 AS delta, user_id, session_idx FROM spans
+      UNION ALL
+      SELECT end_us + {{gap}} AS t_us, -1 AS delta, user_id, session_idx
+      FROM spans
+    )
+    SELECT t_us, CAST(delta AS INT) AS delta,
+           CAST(sum(delta) OVER (ORDER BY t_us, delta, user_id, session_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS concurrent
+    FROM deltas
+    """.format(gap=SESSION_GAP_US),
+)
+def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: sessionize per user (30-min gap), emit
+    +1 at each session start and −1 at its expiry (end + gap — a
+    session holds its slot until it would have timed out), and the
+    running sum over the globally ordered change points IS the number
+    of concurrently active sessions — the "peak concurrent users" /
+    capacity-planning analytic. Ends sort before starts at the same
+    instant via delta ordering (−1 < +1), with (user, session)
+    tiebreaks making every prefix deterministic. Pure integers.
+
+    Scale: sessionization and span extraction shuffle on user_id; only
+    the change-point stream (2 rows per session) meets the global
+    ordered window. At 100 TB, range-partition the sweep by time and
+    add per-partition boundary offsets — the q_window_ntile_scalable
+    two-pass pattern, identical results."""
+    e = table(spark, sf_dir, "events")
+    gap = SESSION_GAP_US
+    ts_us = (F.unix_micros(F.col("ts"))).alias("ts_us")
+    base = e.select("user_id", "event_id", ts_us)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = base.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > gap),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    spans = sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us")
+    )
+    starts = spans.select(
+        F.col("start_us").alias("t_us"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_idx",
+    )
+    ends = spans.select(
+        (F.col("end_us") + gap).alias("t_us"),
+        F.lit(-1).alias("delta"),
+        "user_id",
+        "session_idx",
+    )
+    deltas = starts.unionByName(ends)
+    ws = Window.orderBy("t_us", "delta", "user_id", "session_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return deltas.select(
+        "t_us",
+        F.col("delta").cast("int").alias("delta"),
+        F.sum("delta").over(ws).cast("bigint").alias("concurrent"),
+    )

@@ -67,3 +67,32 @@ class TestCdcDiff:
                 assert r["change_type"] == "update"
                 assert r["old_status"] != r["new_status"]
                 assert r["new_status"] == "X"
+
+
+def test_concurrency_sweep_invariants(spark):
+    """Concurrency is non-negative everywhere, returns to zero at the
+    end, and its peak equals a brute-force interval-overlap count."""
+    from tests.conftest import SF_SMALL
+    import __spark_entry__ as e
+
+    rows = sorted(
+        e.queries()["q_ts_concurrency"](spark, SF_SMALL).collect(),
+        key=lambda r: (r["t_us"], r["delta"]),
+    )
+    assert all(r["concurrent"] >= 0 for r in rows)
+    assert rows[-1]["concurrent"] == 0
+    assert sum(r["delta"] for r in rows) == 0
+    peak = max(r["concurrent"] for r in rows)
+    # brute force: reconstruct intervals from the +1 rows and their
+    # matching -1 rows, then count overlaps at each start point
+    starts = [r["t_us"] for r in rows if r["delta"] == 1]
+    ends = sorted(r["t_us"] for r in rows if r["delta"] == -1)
+    import bisect
+
+    brute = 0
+    sorted_starts = sorted(starts)
+    for s in sorted_starts:
+        opened = bisect.bisect_right(sorted_starts, s)
+        closed = bisect.bisect_right(ends, s)  # end==start closes first
+        brute = max(brute, opened - closed)
+    assert peak == brute
