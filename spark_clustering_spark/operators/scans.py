@@ -538,3 +538,54 @@ def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").alias("last_k"),
         )
     )
+
+
+@query(
+    "q_scan_dpp",
+    # runtime pruning changes which FILES are read, never the answer:
+    # the oracle is the plain join aggregate
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders,
+           cast(round(sum(cast(o.o_totalprice AS DECIMAL(38,8))), 4)
+                AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN (SELECT DISTINCT o_orderpriority AS pri FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) d
+      ON d.pri = o.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is written
+    Hive-partitioned by priority, then joined to a FILTERED dimension
+    on the partition column — Catalyst injects a runtime
+    dynamicpruning subquery into the fact scan so only the dimension's
+    surviving partitions are ever read (asserted on the plan in
+    tests/test_plans.py). Static pruning (q_sink_partitioned) covers
+    literal predicates; DPP covers predicates only known at RUNTIME
+    through a join — the star-schema case where the date/priority dim
+    carries the selective filter.
+
+    Scale: at 100 TB this is the difference between scanning 2/5 of
+    the lake and all of it, decided per query with zero user hints."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="dpp_orders_")
+    o = table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        o.select(F.col("o_orderpriority").alias("pri"))
+        .distinct()
+        .filter(F.col("pri").isin("1-URGENT", "2-HIGH"))
+    )
+    return (
+        fact.join(dim, fact["o_orderpriority"] == dim["pri"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -436,3 +436,11 @@ def test_countmin_counters_broadcast(spark, qs):
     plan = formatted_plan(qs["q_agg_countmin"](spark, SF_SMALL))
     tree = plan.split("\n\n")[0]
     assert "BroadcastHashJoin" in tree, tree
+
+
+def test_dpp_injects_runtime_pruning(spark, qs):
+    """The partitioned fact scan must carry a dynamicpruning
+    expression fed by the dimension join — runtime partition pruning,
+    not a full-lake scan."""
+    plan = formatted_plan(qs["q_scan_dpp"](spark, SF_SMALL))
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
