@@ -401,3 +401,100 @@ def q_mutation_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("w").alias("w"),
         dround(F.col("cum") / F.last("cum").over(w_full)).alias("cdf"),
     )
+
+
+SIL_SAMPLE = 200  # points scored in the declared silhouette query
+
+
+@query(
+    "q_ml_silhouette",
+    oracle=f"""
+    WITH {sql_points()},
+    {sql_centroids(K_DEFAULT)},
+    {sql_assign(K_DEFAULT)},
+    s AS (SELECT vec_id, vec, cluster_id FROM assign
+          WHERE vec_id < {SIL_SAMPLE}),
+    pd AS (
+      SELECT a.vec_id AS i, a.cluster_id AS ci,
+             b.cluster_id AS cj,
+             list_distance(a.vec, b.vec) AS d
+      FROM s a JOIN s b ON a.vec_id <> b.vec_id
+    ),
+    md AS (  -- mean distance from i to each cluster cj (exact decimal)
+      SELECT i, ci, cj,
+             cast(sum(cast(d AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS m
+      FROM pd GROUP BY 1, 2, 3
+    ),
+    ab AS (
+      SELECT i, ci,
+             max(CASE WHEN cj = ci THEN m END) AS a,
+             min(CASE WHEN cj <> ci THEN m END) AS b
+      FROM md GROUP BY 1, 2
+    )
+    SELECT i AS vec_id, ci::INT AS cid,
+           cast(round(cast(cast((coalesce(a, 0.0)) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS a_intra,
+           cast(round(cast(cast((b) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS b_inter,
+           cast(round(cast(cast((
+             CASE WHEN a IS NULL THEN 0.0
+                  ELSE (b - a) / greatest(a, b) END) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS silhouette
+    FROM ab
+    """,
+)
+def q_ml_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette scores (Rousseeuw 1987) for the deterministic
+    nearest-centroid assignment, on the SIL_SAMPLE lowest-id points:
+    a(i) = mean distance to own-cluster peers, b(i) = min over other
+    clusters of the mean distance, s = (b−a)/max(a,b); singletons
+    score 0 by the standard convention. The model-quality metric the
+    reference's SSE objective (R6) cannot provide — SSE always
+    improves with k, silhouette penalizes over-splitting.
+
+    Determinism: per-cluster mean distances are exact DECIMAL(38,8)
+    sums over the bit-matched distance pair; the min/ratio are single
+    double expressions from identical inputs.
+
+    Scale: exact silhouette is O(n²) by definition, so the declared
+    query scores a bounded sample (the standard practice — sklearn's
+    silhouette_score(sample_size=...) does the same); the pair block
+    partitions by sample point. For full-corpus monitoring, the
+    simplified silhouette (distance-to-centroid instead of mean
+    pairwise) rides q_assign_nearest at O(n·k)."""
+    pts = points_df(spark, sf_dir)
+    a = assign(pts, centroids_df(spark, sf_dir)).filter(
+        F.col("vec_id") < SIL_SAMPLE
+    )
+    sa = a.select("vec_id", "vec", "cluster_id")
+    sb = a.select(
+        F.col("vec_id").alias("j"),
+        F.col("vec").alias("vb"),
+        F.col("cluster_id").alias("cj"),
+    )
+    pd_ = (
+        sa.join(sb, F.col("vec_id") != F.col("j"))
+        .select(
+            "vec_id",
+            F.col("cluster_id").alias("ci"),
+            "cj",
+            euclidean(F.col("vec"), F.col("vb")).alias("d"),
+        )
+    )
+    md = pd_.groupBy("vec_id", "ci", "cj").agg(
+        (F.sum(F.col("d").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    ab = md.groupBy("vec_id", "ci").agg(
+        F.max(F.when(F.col("cj") == F.col("ci"), F.col("m"))).alias("a"),
+        F.min(F.when(F.col("cj") != F.col("ci"), F.col("m"))).alias("b"),
+    )
+    sil = F.when(F.col("a").isNull(), F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    )
+    return ab.select(
+        "vec_id",
+        F.col("ci").cast("int").alias("cid"),
+        dround(F.coalesce("a", F.lit(0.0))).alias("a_intra"),
+        dround("b").alias("b_inter"),
+        dround(sil).alias("silhouette"),
+    )

@@ -169,3 +169,34 @@ class TestPSO:
         a = fit_pso(spark, points, k=3, num_particles=3, num_iter=2, seed=4)
         b = fit_pso(spark, points, k=3, num_particles=3, num_iter=2, seed=4)
         assert a.history == b.history
+
+
+def test_silhouette_matches_sklearn_style_numpy(spark):
+    """Silhouette values cross-checked against a direct numpy
+    recomputation on the same sample/assignment; all in [-1, 1]."""
+    import numpy as np
+    from tests.conftest import SF_SMALL
+    import __spark_entry__ as e
+
+    rows = e.queries()["q_ml_silhouette"](spark, SF_SMALL).collect()
+    assert rows and all(-1.0 <= r["silhouette"] <= 1.0 for r in rows)
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    }
+    cid = {r["vec_id"]: r["cid"] for r in rows}
+    ids = sorted(cid)
+    for r in rows[:25]:
+        i = r["vec_id"]
+        dists = {
+            c: [np.linalg.norm(emb[i] - emb[j]) for j in ids if j != i and cid[j] == c]
+            for c in set(cid.values())
+        }
+        own = dists[cid[i]]
+        if not own:
+            assert r["silhouette"] == 0.0
+            continue
+        a = float(np.mean(own))
+        b = min(float(np.mean(v)) for c, v in dists.items() if c != cid[i] and v)
+        s = (b - a) / max(a, b)
+        assert abs(r["silhouette"] - s) < 1e-3, (i, r["silhouette"], s)
