@@ -498,3 +498,49 @@ def q_ml_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("b").alias("b_inter"),
         dround(sil).alias("silhouette"),
     )
+
+
+ELBOW_KS = (2, 3, 4, 6, 8)  # k values swept by the elbow curve
+
+
+def _elbow_oracle() -> str:
+    parts = []
+    ctes = [sql_points()]
+    for k in ELBOW_KS:
+        ctes.append(sql_centroids(k, name=f"ctr{k}"))
+        ctes.append(sql_assign(k, name=f"as{k}", ctr=f"ctr{k}"))
+        parts.append(
+            f"SELECT {k} AS k, cast(round(sum(cast(dist AS DECIMAL(38,8))), 4)"
+            f" AS DOUBLE) AS sse FROM as{k}"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    " + " UNION ALL ".join(parts)
+    )
+
+
+@query("q_ml_elbow", oracle=_elbow_oracle())
+def q_ml_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elbow curve: the clustering objective (Σ min-distance, the
+    reference's unsquared SSE — SURVEY.md Q4) for each k in ELBOW_KS
+    under the deterministic k-lowest-id init — the "choose k"
+    diagnostic that pairs with q_ml_silhouette (the objective always
+    falls with k; the elbow and the silhouette peak locate the knee).
+
+    Determinism: per-k objectives are exact DECIMAL(38,8) sums of the
+    bit-matched distance argmin.
+
+    Scale: each k is one broadcast-assign pass (narrow map + map-side
+    combine); the k sweep shares the scan via a single union job and
+    shuffles only k scalar partials. The monotone-decrease invariant
+    is asserted in tests."""
+    pts = points_df(spark, sf_dir)
+    out = None
+    for k in ELBOW_KS:
+        a = assign(pts, centroids_df(spark, sf_dir, k=k))
+        sse = a.agg(
+            F.round(F.sum(F.col("dist").cast(DEC)), 4)
+            .cast("double")
+            .alias("sse")
+        ).select(F.lit(k).alias("k"), "sse")
+        out = sse if out is None else out.unionByName(sse)
+    return out

@@ -200,3 +200,18 @@ def test_silhouette_matches_sklearn_style_numpy(spark):
         b = min(float(np.mean(v)) for c, v in dists.items() if c != cid[i] and v)
         s = (b - a) / max(a, b)
         assert abs(r["silhouette"] - s) < 1e-3, (i, r["silhouette"], s)
+
+
+def test_elbow_objective_monotone_in_k(spark):
+    """More centroids can only lower the min-distance objective (the
+    deterministic prefix init makes centroid sets nested)."""
+    from tests.conftest import SF_SMALL
+    import __spark_entry__ as e
+
+    rows = sorted(
+        e.queries()["q_ml_elbow"](spark, SF_SMALL).collect(),
+        key=lambda r: r["k"],
+    )
+    sses = [r["sse"] for r in rows]
+    assert all(x > 0 for x in sses)
+    assert all(a >= b for a, b in zip(sses, sses[1:])), sses
