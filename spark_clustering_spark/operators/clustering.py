@@ -544,3 +544,102 @@ def q_ml_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(k).alias("k"), "sse")
         out = sse if out is None else out.unionByName(sse)
     return out
+
+
+KPP_K = 4       # centroids seeded by the k-means++ draw
+KPP_SEED = 77   # LCG substream for the selection uniforms
+
+
+def _kmeanspp_oracle() -> str:
+    from spark_clustering_spark.functions.rng import py_lcg_uniform
+
+    sel = ["SELECT 1 AS sel, 0 AS vec_id"]
+    ctes = [
+        sql_points(),
+        "s1 AS (SELECT vec_id, vec FROM pts WHERE vec_id = 0)",
+        """d1 AS (
+      SELECT p.vec_id, p.vec,
+             pow(list_distance(p.vec, s.vec), 2) AS md
+      FROM pts p CROSS JOIN s1 s WHERE p.vec_id <> 0
+    )""",
+    ]
+    for t in range(2, KPP_K + 1):
+        u = py_lcg_uniform(t, seed=KPP_SEED)
+        ctes.append(
+            f"""c{t} AS (
+      SELECT vec_id, vec, md,
+             sum(md) OVER (ORDER BY vec_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d{t - 1}
+    ),
+    s{t} AS (
+      SELECT vec_id, vec FROM c{t}
+      WHERE cum >= {u!r} * (SELECT max(cum) FROM c{t})
+      ORDER BY vec_id LIMIT 1
+    )"""
+        )
+        sel.append(f"SELECT {t} AS sel, vec_id FROM s{t}")
+        if t < KPP_K:
+            ctes.append(
+                f"""d{t} AS (
+      SELECT d.vec_id, d.vec,
+             least(d.md, pow(list_distance(d.vec, s.vec), 2)) AS md
+      FROM d{t - 1} d CROSS JOIN s{t} s WHERE d.vec_id <> s.vec_id
+    )"""
+            )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + " UNION ALL ".join(sel)
+
+
+@query("q_ml_kmeanspp_init", oracle=_kmeanspp_oracle())
+def q_ml_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means++ seeding (Arthur & Vassilvitskii 2007) made fully
+    deterministic: each next centroid is drawn with probability ∝ D²
+    (squared distance to the nearest already-chosen centroid) using
+    the portable integer-LCG uniform (functions/rng.py) against the
+    vec_id-ordered D² CDF — the same wheel mechanics as the GKA
+    roulette (R10), so BOTH engines replay the identical draw and the
+    result hash-verifies. Complements the engine's deterministic
+    k-lowest-id init (Q5) with the init that actually bounds expected
+    SSE to O(log k)·optimal.
+
+    Determinism: D² is sqrt-then-square of the bit-matched distance
+    pair; the CDF accumulates doubles in the identical ORDER BY
+    (roulette precedent); the threshold u·total multiplies identical
+    IEEE doubles.
+
+    Scale: each of the K−1 draws is one narrow min-update pass (the
+    newest pick inlined as a literal, like q_sample_kcenter) + one
+    ordered cumsum; at 100 TB the cumsum range-partitions with
+    per-slice offsets (q_window_ntile_scalable's two-pass pattern) and
+    the driver moves only k·d floats."""
+    from spark_clustering_spark.functions.rng import py_lcg_uniform
+
+    pts = points_df(spark, sf_dir)
+    seed_vec = pts.filter(F.col("vec_id") == 0).collect()[0]["vec"]
+    out = [(1, 0)]
+    sq = lambda vec_lit: F.pow(  # noqa: E731
+        euclidean(F.col("vec"), vec_lit), F.lit(2)
+    )
+    d = pts.filter(F.col("vec_id") != 0).select(
+        "vec_id", "vec", sq(F.array(*[F.lit(x) for x in seed_vec])).alias("md")
+    )
+    for t in range(2, KPP_K + 1):
+        w = Window.orderBy("vec_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cums = d.withColumn("cum", F.sum("md").over(w))
+        total = cums.agg(F.max("cum")).collect()[0][0]
+        u = py_lcg_uniform(t, seed=KPP_SEED) * total
+        pick = (
+            cums.filter(F.col("cum") >= u)
+            .orderBy("vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((t, pick["vec_id"]))
+        if t < KPP_K:
+            pv = F.array(*[F.lit(x) for x in pick["vec"]])
+            d = d.filter(F.col("vec_id") != pick["vec_id"]).select(
+                "vec_id", "vec", F.least(F.col("md"), sq(pv)).alias("md")
+            )
+    return spark.createDataFrame(out, "sel INT, vec_id BIGINT")

@@ -215,3 +215,40 @@ def test_elbow_objective_monotone_in_k(spark):
     sses = [r["sse"] for r in rows]
     assert all(x > 0 for x in sses)
     assert all(a >= b for a, b in zip(sses, sses[1:])), sses
+
+
+def test_kmeanspp_picks_match_numpy_replay(spark):
+    """The deterministic k-means++ draw must equal a numpy replay of
+    the same procedure (D^2 CDF + LCG uniforms), and picks are
+    distinct."""
+    import numpy as np
+    from tests.conftest import SF_SMALL
+    from spark_clustering_spark.functions.rng import py_lcg_uniform
+    from spark_clustering_spark.operators.clustering import KPP_K, KPP_SEED
+    import __spark_entry__ as e
+
+    rows = sorted(
+        e.queries()["q_ml_kmeanspp_init"](spark, SF_SMALL).collect(),
+        key=lambda r: r["sel"],
+    )
+    got = [r["vec_id"] for r in rows]
+    assert len(set(got)) == KPP_K and got[0] == 0
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    }
+    ids = sorted(i for i in emb if i != 0)
+    md = {i: float(np.linalg.norm(emb[i] - emb[0])) ** 2 for i in ids}
+    picks = [0]
+    for t in range(2, KPP_K + 1):
+        cum, acc = {}, 0.0
+        for i in ids:
+            acc += md[i]
+            cum[i] = acc
+        u = py_lcg_uniform(t, seed=KPP_SEED) * acc
+        pick = next(i for i in ids if cum[i] >= u)
+        picks.append(pick)
+        ids = [i for i in ids if i != pick]
+        for i in ids:
+            md[i] = min(md[i], float(np.linalg.norm(emb[i] - emb[pick])) ** 2)
+    assert got == picks
