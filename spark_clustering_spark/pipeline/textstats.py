@@ -720,3 +720,61 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_logprob"),
         )
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    dtf AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_toks,
+             count(*) AS n_types,
+             cast(sum(cast(c * ln(cast(c AS DOUBLE)) AS DECIMAL(38,8)))
+                  AS DOUBLE) AS sum_clnc
+      FROM dtf GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks, CAST(n_types AS BIGINT) AS n_types,
+           cast(round(cast(cast((
+             ln(cast(n_toks AS DOUBLE)) - sum_clnc / n_toks
+           ) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS entropy
+    FROM agg
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy, H = ln(n) − (1/n)·Σ c·ln c
+    (nats) — the repetitiveness signal orthogonal to the duplicate-
+    n-gram gate (q_text_repetition): spam that loops a small
+    vocabulary scores near 0, diverse prose near ln(n_types). Emitted
+    with token and type counts so consumers can normalize (H/ln(types)
+    is the evenness ratio).
+
+    Determinism: each c·ln(c) is one double from an integer, rounded
+    into DECIMAL(38,8) before the order-ambiguous sum (detagg); the
+    closing expression is a single double form on identical inputs.
+
+    Scale: the one (doc_id, tok) shuffle every token statistic here
+    shares; the entropy fold is map-side arithmetic on the counts."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dtf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = dtf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_toks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(
+            (F.col("c") * F.log(F.col("c").cast("double"))).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("sum_clnc"),
+    )
+    h = F.log(F.col("n_toks").cast("double")) - F.col("sum_clnc") / F.col("n_toks")
+    return agg.select("doc_id", "n_toks", "n_types", dround(h).alias("entropy"))
