@@ -643,3 +643,78 @@ def q_ml_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id", "vec", F.least(F.col("md"), sq(pv)).alias("md")
             )
     return spark.createDataFrame(out, "sel INT, vec_id BIGINT")
+
+
+@query(
+    "q_ml_davies_bouldin",
+    oracle=f"""
+    WITH {sql_points()},
+    {sql_centroids(K_DEFAULT)},
+    {sql_assign(K_DEFAULT)},
+    scat AS (
+      SELECT a.cluster_id AS cid,
+             cast(sum(cast(a.dist AS DECIMAL(38,8))) AS DOUBLE)
+               / count(*) AS s
+      FROM assign a GROUP BY 1
+    ),
+    ratios AS (
+      SELECT i.cid, j.cid AS cj,
+             (i.s + j.s) / list_distance(ci.cvec, cj2.cvec) AS r
+      FROM scat i
+      JOIN scat j ON j.cid <> i.cid
+      JOIN ctr ci ON ci.cid = i.cid
+      JOIN ctr cj2 ON cj2.cid = j.cid
+    )
+    SELECT cid,
+           cast(round(cast(cast((s.s) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS scatter,
+           cast(round(cast(cast((r.rmax) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS r_max
+    FROM scat s
+    JOIN (SELECT cid, max(r) AS rmax FROM ratios GROUP BY cid) r
+      USING (cid)
+    """,
+)
+def q_ml_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin components (Davies & Bouldin 1979) for the
+    deterministic assignment: per-cluster scatter S_i (mean member
+    distance to centroid) and R_i = max_j (S_i+S_j)/M_ij over
+    centroid separations M — the index is mean(R_i), computable from
+    these k rows. The O(n) quality metric (one assignment pass +
+    k²-sized driver-free arithmetic), where exact silhouette is O(n²)
+    — so THIS is the one a 100 TB monitoring job runs every refresh.
+
+    Determinism: scatters are exact-decimal means over the bit-matched
+    distance; separations and ratios are single double expressions.
+
+    Scale: the only data-sized pass is the broadcast assignment
+    (narrow + map-side combine to k partials); everything after is
+    k²-row arithmetic."""
+    pts = points_df(spark, sf_dir)
+    ctr = centroids_df(spark, sf_dir)
+    a = assign(pts, ctr)
+    scat = a.groupBy(F.col("cluster_id").alias("cid")).agg(
+        (
+            F.sum(F.col("dist").cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("s")
+    )
+    si = scat.select(F.col("cid"), F.col("s"))
+    sj = scat.select(F.col("cid").alias("cj"), F.col("s").alias("sjv"))
+    ci = ctr.select(F.col("cid"), F.col("cvec").alias("cvi"))
+    cj = ctr.select(F.col("cid").alias("cj"), F.col("cvec").alias("cvj"))
+    ratios = (
+        si.join(sj, F.col("cid") != F.col("cj"))
+        .join(F.broadcast(ci), "cid")
+        .join(F.broadcast(cj), "cj")
+        .select(
+            "cid",
+            (
+                (F.col("s") + F.col("sjv"))
+                / euclidean(F.col("cvi"), F.col("cvj"))
+            ).alias("r"),
+        )
+    )
+    rmax = ratios.groupBy("cid").agg(F.max("r").alias("rmax"))
+    return si.join(rmax, "cid").select(
+        "cid", dround("s").alias("scatter"), dround("rmax").alias("r_max")
+    )

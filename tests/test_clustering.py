@@ -252,3 +252,34 @@ def test_kmeanspp_picks_match_numpy_replay(spark):
         for i in ids:
             md[i] = min(md[i], float(np.linalg.norm(emb[i] - emb[pick])) ** 2)
     assert got == picks
+
+
+def test_davies_bouldin_cross_check(spark):
+    """Per-cluster scatter and R_max recomputed in numpy on the same
+    deterministic assignment."""
+    import numpy as np
+    from tests.conftest import SF_SMALL
+    import __spark_entry__ as e
+
+    rows = {r["cid"]: r for r in e.queries()["q_ml_davies_bouldin"](spark, SF_SMALL).collect()}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    }
+    k = 8
+    cents = {i: emb[i] for i in sorted(emb)[:k]}
+    members = {c: [] for c in cents}
+    for i, v in emb.items():
+        best = min(cents, key=lambda c: (float(np.linalg.norm(v - cents[c])), c))
+        members[best].append(i)
+    S = {
+        c: float(np.mean([np.linalg.norm(emb[i] - cents[c]) for i in m]))
+        for c, m in members.items() if m
+    }
+    for c in S:
+        R = max(
+            (S[c] + S[o]) / float(np.linalg.norm(cents[c] - cents[o]))
+            for o in S if o != c
+        )
+        assert abs(rows[c]["scatter"] - S[c]) < 1e-3
+        assert abs(rows[c]["r_max"] - R) < 1e-3
