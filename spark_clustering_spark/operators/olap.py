@@ -958,3 +958,78 @@ def q_olap_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+BASKET_TOP = 50  # co-occurrence pairs emitted
+
+
+@query(
+    "q_olap_basket_affinity",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    supp AS (
+      SELECT l_partkey, count(*) AS s FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS together
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.together,
+           cast(round(cast(cast((
+             (cast(p.together AS DOUBLE) * t.n)
+               / (cast(sa.s AS DOUBLE) * sb.s)
+           ) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.l_partkey = p.part_a
+    JOIN supp sb ON sb.l_partkey = p.part_b
+    CROSS JOIN n_orders t
+    ORDER BY p.together DESC, p.part_a, p.part_b
+    LIMIT {BASKET_TOP}
+    """,
+)
+def q_olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top-{BASKET_TOP} part pairs
+    co-occurring in the same order, with lift = P(a,b)/(P(a)·P(b)) —
+    the association-rule analytic behind "frequently bought together"
+    (Agrawal & Srikant 1994's support/lift core, pair-order only).
+
+    Determinism: co-occurrence and support counts are integers; lift
+    is one double expression; top-{BASKET_TOP} orders by
+    (together DESC, part_a, part_b) — fully tie-broken.
+
+    Scale: pair expansion is per-basket C(b,2), bounded by basket
+    size (TPC-H ≤ 7 lines) — the same density-bounded in-bucket
+    expansion as the LSH pair stage; supports and the order count are
+    vocabulary-sized broadcasts; the top-k is a TakeOrdered, not a
+    global sort. Skewed mega-baskets cap via per-basket item limits
+    in a real pipeline (documented, not needed on this schema)."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.select("l_orderkey").distinct().count()
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("sb"))
+    lift = (F.col("together").cast("double") * F.lit(n)) / (
+        F.col("sa").cast("double") * F.col("sb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select("part_a", "part_b", "together", dround(lift).alias("lift"))
+        .orderBy(F.desc("together"), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )
