@@ -778,3 +778,71 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.log(F.col("n_toks").cast("double")) - F.col("sum_clnc") / F.col("n_toks")
     return agg.select("doc_id", "n_toks", "n_types", dround(h).alias("entropy"))
+
+
+FH_BUCKETS = 16  # hashed feature dimension
+
+
+def _hashing_features_oracle() -> str:
+    from spark_clustering_spark.functions.porthash import sql_hex_int
+
+    h_lo = sql_hex_int("hx", 1, 8)
+    h_hi = sql_hex_int("hx", 9, 8)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    hx AS (
+      SELECT doc_id, md5('fh' || tok) AS hx
+      FROM toks WHERE tok <> ''
+    ),
+    hb AS (
+      SELECT doc_id,
+             ({h_lo}) % {FH_BUCKETS} AS bucket,
+             CASE WHEN ({h_hi}) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM hx
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CAST(sum(sgn) AS BIGINT) AS val
+    FROM hb GROUP BY doc_id, bucket
+    HAVING sum(sgn) <> 0
+    """
+
+
+@query("q_text_hashing_features", oracle=_hashing_features_oracle())
+def q_text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009):
+    each token maps to one of {FH_BUCKETS} buckets by portable hash,
+    with a second hash bit supplying the ±1 sign that keeps collision
+    noise zero-mean — the vocabulary-free bag-of-words featurizer
+    (sklearn's HashingVectorizer) that needs NO fitted dictionary, so
+    a 100 TB corpus featurizes in one stateless pass. Emitted in
+    sparse (doc, bucket, signed count ≠ 0) form.
+
+    Determinism: bucket and sign come from the md5-derived integer
+    hash both engines compute bit-identically; values are integer
+    sums.
+
+    Scale: one narrow map per token + the (doc, bucket) aggregate —
+    no vocabulary table, no broadcast, no second pass; exactly why
+    the trick exists."""
+    from spark_clustering_spark.functions.porthash import md5_int32
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    key = F.concat(F.lit("fh"), F.col("tok"))
+    hb = toks.select(
+        "doc_id",
+        (md5_int32(key) % FH_BUCKETS).cast("int").alias("bucket"),
+        F.when(md5_int32(key, hi=True) % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return (
+        hb.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("val"))
+        .filter(F.col("val") != 0)
+    )
