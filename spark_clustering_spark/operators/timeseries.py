@@ -619,3 +619,93 @@ def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("delta").cast("int").alias("delta"),
         F.sum("delta").over(ws).cast("bigint").alias("concurrent"),
     )
+
+
+ATTR_WINDOW_US = 60 * 60 * 1_000_000  # 1-hour attribution lookback
+
+
+@query(
+    "q_ts_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    touched AS (
+      SELECT p.event_id, p.value, t.event_type AS touch_type
+      FROM p JOIN t
+        ON t.user_id = p.user_id
+       AND t.ts_us <= p.ts_us
+       AND t.ts_us > p.ts_us - {ATTR_WINDOW_US}
+      QUALIFY row_number() OVER (PARTITION BY p.event_id
+        ORDER BY t.ts_us DESC, t.event_id DESC) = 1
+    ),
+    n_purch AS (SELECT count(*) AS total FROM p)
+    SELECT touch_type,
+           count(*) AS n_attributed,
+           cast(round(sum(cast(value AS DECIMAL(38,8))), 4) AS DOUBLE)
+             AS attributed_value,
+           cast(round(cast(cast((cast(count(*) AS DOUBLE) / max(np.total))
+                AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE)
+             AS share_of_purchases
+    FROM touched CROSS JOIN n_purch np
+    GROUP BY touch_type
+    """,
+)
+def q_ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    view/click of the same user within the trailing hour (ties break
+    on event_id), rolled up to attributed purchase counts and value
+    per touch type — the marketing analytic downstream of the funnel
+    (q_ts_funnel tells you users convert; attribution tells you which
+    touch gets the credit). Unattributed purchases (no touch in
+    window) drop out, so share_of_purchases exposes the attribution
+    coverage.
+
+    Determinism: the per-purchase argmax is fully tie-broken; value
+    sums are exact decimal; the share is one double division.
+
+    Scale: the purchase↔touch join carries the user equality (hash/
+    merge join, never a nested loop) with the time bounds as
+    residuals; per-purchase candidates are bounded by per-user
+    touch rate × window. The linear alternative at extreme skew is
+    asof_join_sorted on (user, ts) — same answer."""
+    e = table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us.alias("ts_us"), "value"
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        ts_us.alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = p.join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") <= F.col("ts_us"))
+        & (F.col("t_ts") > F.col("ts_us") - ATTR_WINDOW_US),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("t_ts").desc(), F.col("t_id").desc()
+    )
+    touched = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "value", "touch_type")
+    )
+    total = p.count()
+    return touched.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.round(F.sum(F.col("value").cast("decimal(38,8)")), 4)
+        .cast("double")
+        .alias("attributed_value"),
+        dround(F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias(
+            "share_of_purchases"
+        ),
+    )
