@@ -718,3 +718,69 @@ def q_ml_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return si.join(rmax, "cid").select(
         "cid", dround("s").alias("scatter"), dround("rmax").alias("r_max")
     )
+
+
+GMM_SIGMA2 = 4.0   # fixed spherical variance for the declared E-step
+GMM_SAMPLE = 100   # points scored
+
+
+@query(
+    "q_ml_gmm_estep",
+    oracle=f"""
+    WITH {sql_points()},
+    {sql_centroids(K_DEFAULT)},
+    s AS (SELECT vec_id, vec FROM pts WHERE vec_id < {GMM_SAMPLE}),
+    lik AS (
+      SELECT s.vec_id, c.cid,
+             exp(-pow(list_distance(s.vec, c.cvec), 2)
+                 / (2.0 * {GMM_SIGMA2})) AS l
+      FROM s CROSS JOIN ctr c
+    ),
+    den AS (
+      SELECT vec_id,
+             cast(sum(cast(l AS DECIMAL(38,18))) AS DOUBLE) AS z
+      FROM lik GROUP BY vec_id
+    )
+    SELECT l.vec_id, l.cid::INT AS cid,
+           cast(round(cast(cast((l.l / d.z) AS VARCHAR)
+                AS DECIMAL(38,12)), 6) AS DOUBLE) AS resp
+    FROM lik l JOIN den d USING (vec_id)
+    """,
+)
+def q_ml_gmm_estep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One E-step of a spherical, equal-weight Gaussian mixture over
+    the deterministic centroids: responsibilities r_ik =
+    exp(−d²/2σ²) / Σ_j exp(−d²/2σ²) — soft assignment, the EM
+    counterpart of q_assign_nearest's hard argmin (and the bridge from
+    k-means to GMM: as σ²→0 these converge to the one-hot argmin).
+
+    Determinism: each likelihood is exp of one double (libm exp on
+    identical inputs — bit-stable on this platform, like the logistic
+    in q_text_score_udf); the softmax denominator accumulates in
+    DECIMAL(38,18) so the k-term sum is order-proof; the final ratio
+    is one double division.
+
+    Scale: identical shape to hard assignment — broadcast k·d
+    centroids, one narrow map emitting k responsibilities per point;
+    the M-step that would follow is the same constant-state
+    (cid, pos, partial) aggregate as q_centroid_update with r-weighted
+    sums."""
+    pts = points_df(spark, sf_dir)
+    ctr = centroids_df(spark, sf_dir)
+    s = pts.filter(F.col("vec_id") < GMM_SAMPLE)
+    lik = s.crossJoin(F.broadcast(ctr)).select(
+        "vec_id",
+        "cid",
+        F.exp(
+            -F.pow(euclidean(F.col("vec"), F.col("cvec")), F.lit(2))
+            / F.lit(2.0 * GMM_SIGMA2)
+        ).alias("l"),
+    )
+    den = lik.groupBy("vec_id").agg(
+        F.sum(F.col("l").cast("decimal(38,18)")).cast("double").alias("z")
+    )
+    return lik.join(den, "vec_id").select(
+        "vec_id",
+        F.col("cid").cast("int").alias("cid"),
+        dround(F.col("l") / F.col("z"), 6).alias("resp"),
+    )

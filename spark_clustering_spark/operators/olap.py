@@ -1033,3 +1033,82 @@ def q_olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("together"), "part_a", "part_b")
         .limit(BASKET_TOP)
     )
+
+
+@query(
+    "q_olap_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(38,8))), 4) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(revenue) OVER () AS total
+      FROM rev
+    )
+    SELECT l_partkey, revenue,
+           cast(round(cast(cast((cum / total) AS VARCHAR)
+                AS DECIMAL(38,12)), 6) AS DOUBLE) AS cum_share,
+           CASE WHEN cum / total <= 0.8 THEN 'A'
+                WHEN cum / total <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def q_olap_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, running
+    revenue share, class A up to 80% of total, B to 95%, C beyond —
+    the 80/20 inventory-prioritization analytic. The per-part revenue
+    is an exact-decimal sum ROUNDED FIRST, so the ordered cumulative
+    sum runs over identical doubles in both engines (the roulette-CDF
+    precedent) and the class-boundary compares cannot flip.
+
+    Scale: the per-part aggregate reduces the fact table to part
+    cardinality before any window; the single ordered window over
+    that reduced table range-partitions with per-slice offsets at
+    scale (q_window_ntile_scalable's two-pass pattern)."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(38,8)")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w_run = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(w_run).alias("cum"),
+        F.sum("revenue").over(w_all).alias("total"),
+    )
+    share = F.col("cum") / F.col("total")
+    return ranked.select(
+        "l_partkey",
+        "revenue",
+        dround(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, F.lit("A"))
+        .when(share <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
