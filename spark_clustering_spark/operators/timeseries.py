@@ -709,3 +709,58 @@ def q_ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_purchases"
         ),
     )
+
+
+@query(
+    "q_ts_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+      FROM events GROUP BY user_id
+    ),
+    ttc AS (
+      SELECT user_id, (p - v) / 1000000 AS sec
+      FROM firsts WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+    )
+    SELECT count(*) AS n_converted,
+           cast(round(cast(cast((quantile_cont(sec, 0.5)) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS p50_sec,
+           cast(round(cast(cast((quantile_cont(sec, 0.9)) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS DOUBLE) AS p90_sec
+    FROM ttc
+    """,
+)
+def q_ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from FIRST view
+    to FIRST purchase (users whose first purchase precedes any view
+    drop out — they converted through another door), summarized as the
+    conversion count and exact interpolated p50/p90 latencies. The
+    companion metric to q_ts_funnel's conversion RATE: the funnel says
+    how many convert, this says how long conversion takes.
+
+    Determinism: first-event times are integer microsecond mins;
+    Spark percentile and DuckDB quantile_cont both sort-and-
+    interpolate, bit-identically (q_agg_percentile precedent).
+
+    Scale: one (user, partial-mins) aggregate — the conditional mins
+    combine map-side; the percentile buffers only converted-user
+    latencies (user-cardinality upper bound)."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p"),
+    )
+    ttc = firsts.filter(
+        F.col("v").isNotNull() & F.col("p").isNotNull() & (F.col("p") >= F.col("v"))
+    ).select(((F.col("p") - F.col("v")) / 1_000_000).alias("sec"))
+    pcts = F.percentile("sec", F.array(F.lit(0.5), F.lit(0.9)))
+    return ttc.agg(
+        F.count(F.lit(1)).alias("n_converted"), pcts.alias("ps")
+    ).select(
+        "n_converted",
+        dround(F.col("ps")[0]).alias("p50_sec"),
+        dround(F.col("ps")[1]).alias("p90_sec"),
+    )

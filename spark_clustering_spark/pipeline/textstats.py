@@ -846,3 +846,56 @@ def q_text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").alias("val"))
         .filter(F.col("val") != 0)
     )
+
+
+@query(
+    "q_text_langid_confusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    ftoks AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
+    freq AS (
+      SELECT lang, tok, count(*) AS freq FROM ftoks GROUP BY 1, 2
+    ),
+    profile AS (
+      SELECT lang AS p_lang, tok FROM freq
+      QUALIFY row_number() OVER (PARTITION BY lang
+        ORDER BY freq DESC, tok) <= 8
+    ),
+    doc_toks AS (SELECT DISTINCT doc_id, tok FROM ftoks),
+    scores AS (
+      SELECT d.doc_id, p.p_lang, count(*) AS overlap
+      FROM doc_toks d JOIN profile p ON p.tok = d.tok
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT doc_id, p_lang AS pred_lang FROM scores
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+        ORDER BY overlap DESC, p_lang) = 1
+    )
+    SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n_docs
+    FROM pred p JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the n-gram-profile classifier's
+    predictions (q_text_langid's exact pipeline) cross-tabulated
+    against the labeled lang column — the quality-audit table every
+    deployed classifier ships with (per-language precision/recall
+    fall out of the row/column sums). Off-diagonal mass localizes
+    WHICH languages the profile confuses, which is what tells you
+    where to grow the profile.
+
+    Scale: the classifier's own passes (one token shuffle, broadcast
+    profile) plus a |lang|²-bounded final aggregate."""
+    d = table(spark, sf_dir, "documents")
+    pred = q_text_langid(spark, sf_dir)
+    return (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("true_lang"), "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
