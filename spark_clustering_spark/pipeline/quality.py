@@ -409,3 +409,122 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+@query(
+    "q_pipeline_quality_funnel",
+    # the funnel restates each gate in integer-exact arithmetic so the
+    # stage counts cannot float-flip; stage predicates are cumulative
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text,
+             len(ws) AS n_words,
+             cast(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+                  AS BIGINT) AS sum_chars,
+             len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+             len(list_distinct(list_filter(ws, x -> x IN {_GOPHER_STOP})))
+               AS n_stop,
+             len([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+               AS n_grams,
+             len(list_distinct([ws[i] || ' ' || ws[i+1]
+                                for i in range(1, len(ws))])) AS n_dgrams
+      FROM t
+    ),
+    gated AS (
+      SELECT doc_id, text,
+             (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+              AND 3 * n_words <= sum_chars AND sum_chars <= 10 * n_words
+              AND 5 * n_alpha >= 4 * n_words
+              AND n_stop >= 2) AS g_gopher,
+             (n_grams >= 1 AND 2 * n_dgrams >= n_grams) AS g_rep
+      FROM m
+    ),
+    keepers AS (
+      SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents
+      GROUP BY md5(text)
+    )
+    SELECT count(*) AS n_total,
+           count(*) FILTER (g_gopher) AS n_gopher,
+           count(*) FILTER (g_gopher AND g_rep) AS n_low_repetition,
+           count(*) FILTER (g_gopher AND g_rep AND k.keep_id = gated.doc_id)
+             AS n_unique_kept
+    FROM gated LEFT JOIN keepers k ON k.keep_id = gated.doc_id
+    """,
+)
+def q_pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation funnel in ONE row: documents surviving each
+    cumulative stage — Gopher rule gates (integer-exact,
+    q_text_gopher_rules), then the duplicate-bigram repetition gate
+    (dup_frac <= 1/2, expressed as 2·distinct >= total so it cannot
+    float-flip), then exact-dedup survivorship (doc is its content
+    group's keeper). The one-line audit a data curator reads after
+    every pipeline run — each stage's drop is the knob to investigate
+    (q_pipeline_corpus is the row-level sibling that EMITS the
+    surviving corpus; this is its dashboard).
+
+    Scale: one narrow projection per doc for the gates, the md5 group
+    for keepers — two shuffles total; the funnel aggregate is a
+    single-row conditional count."""
+    import re as _re  # noqa: F401
+
+    d = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+        ),
+    )
+    m = d.select(
+        "doc_id",
+        "text",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(ws, lambda x: F.length(x).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ),
+            F.lit(0),
+        ).alias("sum_chars"),
+        F.size(F.filter(ws, lambda x: x.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(F.array_distinct(F.filter(ws, lambda x: x.isin(*_GOPHER_STOP))))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(grams).cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_dgrams"),
+    )
+    n, s = F.col("n_words"), F.col("sum_chars")
+    g_gopher = (
+        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & (3 * n <= s)
+        & (s <= 10 * n)
+        & (5 * F.col("n_alpha") >= 4 * n)
+        & (F.col("n_stop") >= 2)
+    )
+    g_rep = (F.col("n_grams") >= 1) & (2 * F.col("n_dgrams") >= F.col("n_grams"))
+    keepers = (
+        d.select(F.md5(F.col("text").cast("binary")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    gated = m.select("doc_id", "text", g_gopher.alias("gg"), g_rep.alias("gr"))
+    joined = gated.join(
+        keepers, gated["doc_id"] == keepers["keep_id"], "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("gg"), 1)).alias("n_gopher"),
+        F.count(F.when(F.col("gg") & F.col("gr"), 1)).alias("n_low_repetition"),
+        F.count(
+            F.when(F.col("gg") & F.col("gr") & F.col("keep_id").isNotNull(), 1)
+        ).alias("n_unique_kept"),
+    )
