@@ -468,63 +468,44 @@ def q_pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_pipeline_corpus is the row-level sibling that EMITS the
     surviving corpus; this is its dashboard).
 
-    Scale: one narrow projection per doc for the gates, the md5 group
-    for keepers — two shuffles total; the funnel aggregate is a
-    single-row conditional count."""
-    import re as _re  # noqa: F401
+    Composes the REGISTERED gate queries (q_text_gopher_rules /
+    q_text_repetition, integer columns only — no rounded-float
+    thresholds) rather than re-deriving their expression forests: the
+    first cut re-stated every gate inline and re-split each document's
+    text per output column, benching ~9 s; composition runs ~2 s.
 
-    d = table(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
-        ),
+    Scale: the component passes' own shuffles plus one doc-keyed join;
+    the funnel aggregate is a single-row conditional count."""
+    gop = q_text_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gg")
     )
-    m = d.select(
+    rep = q_text_repetition(spark, sf_dir).select(
         "doc_id",
-        "text",
-        F.size(ws).cast("bigint").alias("n_words"),
-        F.coalesce(
-            F.aggregate(
-                F.transform(ws, lambda x: F.length(x).cast("bigint")),
-                F.lit(0).cast("bigint"),
-                lambda a, v: a + v,
-            ),
-            F.lit(0),
-        ).alias("sum_chars"),
-        F.size(F.filter(ws, lambda x: x.rlike("[a-z]")))
-        .cast("bigint")
-        .alias("n_alpha"),
-        F.size(F.array_distinct(F.filter(ws, lambda x: x.isin(*_GOPHER_STOP))))
-        .cast("bigint")
-        .alias("n_stop"),
-        F.size(grams).cast("bigint").alias("n_grams"),
-        F.size(F.array_distinct(grams)).cast("bigint").alias("n_dgrams"),
+        ((F.col("n_grams") >= 1)
+         & (2 * F.col("n_distinct") >= F.col("n_grams"))).alias("gr"),
     )
-    n, s = F.col("n_words"), F.col("sum_chars")
-    g_gopher = (
-        n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & (3 * n <= s)
-        & (s <= 10 * n)
-        & (5 * F.col("n_alpha") >= 4 * n)
-        & (F.col("n_stop") >= 2)
-    )
-    g_rep = (F.col("n_grams") >= 1) & (2 * F.col("n_dgrams") >= F.col("n_grams"))
+    d = table(spark, sf_dir, "documents")
     keepers = (
         d.select(F.md5(F.col("text").cast("binary")).alias("h"), "doc_id")
         .groupBy("h")
         .agg(F.min("doc_id").alias("keep_id"))
     )
-    gated = m.select("doc_id", "text", g_gopher.alias("gg"), g_rep.alias("gr"))
+    gated = gop.join(rep, "doc_id", "left").select(
+        "doc_id", "gg", F.coalesce("gr", F.lit(False)).alias("gr")
+    )
     joined = gated.join(
         keepers, gated["doc_id"] == keepers["keep_id"], "left"
     )
     return joined.agg(
         F.count(F.lit(1)).alias("n_total"),
-        F.count(F.when(F.col("gg"), 1)).alias("n_gopher"),
-        F.count(F.when(F.col("gg") & F.col("gr"), 1)).alias("n_low_repetition"),
+        F.count(F.when(F.col("gg") == 1, 1)).alias("n_gopher"),
+        F.count(F.when((F.col("gg") == 1) & F.col("gr"), 1)).alias(
+            "n_low_repetition"
+        ),
         F.count(
-            F.when(F.col("gg") & F.col("gr") & F.col("keep_id").isNotNull(), 1)
+            F.when(
+                (F.col("gg") == 1) & F.col("gr") & F.col("keep_id").isNotNull(),
+                1,
+            )
         ).alias("n_unique_kept"),
     )
