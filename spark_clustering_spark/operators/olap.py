@@ -1046,9 +1046,12 @@ def q_olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT l_partkey, revenue,
-             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-             sum(revenue) OVER () AS total
+             cast(sum(cast(revenue AS DECIMAL(38,8))) OVER (
+               ORDER BY revenue DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cum,
+             cast(sum(cast(revenue AS DECIMAL(38,8))) OVER () AS DOUBLE)
+               AS total
       FROM rev
     )
     SELECT l_partkey, revenue,
@@ -1064,15 +1067,19 @@ def q_olap_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto classification: parts ranked by revenue, running
     revenue share, class A up to 80% of total, B to 95%, C beyond —
     the 80/20 inventory-prioritization analytic. The per-part revenue
-    is an exact-decimal sum ROUNDED FIRST, so the ordered cumulative
-    sum runs over identical doubles in both engines (the roulette-CDF
-    precedent) and the class-boundary compares cannot flip.
+    is an exact-decimal sum ROUNDED FIRST, then both the cumulative
+    sum and the grand total re-accumulate it as DECIMAL(38,8) —
+    exact in any order in both engines — before a deterministic
+    double division, so the class-boundary compares cannot flip.
 
     Scale: the per-part aggregate reduces the fact table to part
-    cardinality before any window; the single ordered window over
-    that reduced table range-partitions with per-slice offsets at
-    scale (q_window_ntile_scalable's two-pass pattern)."""
-    from pyspark.sql.window import Window
+    cardinality before any window; the global ordered cumulative sum
+    is served by ``global_running_agg`` (range repartition +
+    per-slice carry-in — no single-reducer window), and the grand
+    total is the driver-combined exact decimal of the same per-slice
+    partials, riding as a literal instead of a second data-wide
+    window."""
+    from spark_clustering_spark.operators.windows import global_running_agg
 
     li = table(spark, sf_dir, "lineitem")
     rev = (
@@ -1090,19 +1097,15 @@ def q_olap_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
-    w_run = Window.orderBy(F.col("revenue").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    ranked, totals = global_running_agg(
+        rev,
+        [F.col("revenue").desc(), F.col("l_partkey")],
+        {"cum": ("sum", F.col("revenue").cast("decimal(38,8)"))},
     )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = rev.select(
-        "l_partkey",
-        "revenue",
-        F.sum("revenue").over(w_run).alias("cum"),
-        F.sum("revenue").over(w_all).alias("total"),
-    )
-    share = F.col("cum") / F.col("total")
+    total = totals["cum"]  # exact Decimal grand total (None iff no rows)
+    share = F.col("cum").cast("double") / F.lit(total).cast(
+        "decimal(38,8)"
+    ).cast("double")
     return ranked.select(
         "l_partkey",
         "revenue",

@@ -571,11 +571,10 @@ def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     instant via delta ordering (−1 < +1), with (user, session)
     tiebreaks making every prefix deterministic. Pure integers.
 
-    Scale: sessionization and span extraction shuffle on user_id; only
-    the change-point stream (2 rows per session) meets the global
-    ordered window. At 100 TB, range-partition the sweep by time and
-    add per-partition boundary offsets — the q_window_ntile_scalable
-    two-pass pattern, identical results."""
+    Scale: sessionization and span extraction shuffle on user_id; the
+    change-point stream (2 rows per session — data-proportional) is
+    swept by ``global_running_agg``: range-partitioned by time with
+    per-slice carry-in offsets, never a single-reducer window."""
     e = table(spark, sf_dir, "events")
     gap = SESSION_GAP_US
     ts_us = (F.unix_micros(F.col("ts"))).alias("ts_us")
@@ -611,13 +610,17 @@ def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_idx",
     )
     deltas = starts.unionByName(ends)
-    ws = Window.orderBy("t_us", "delta", "user_id", "session_idx").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from spark_clustering_spark.operators.windows import global_running_agg
+
+    swept, _ = global_running_agg(
+        deltas,
+        [F.col("t_us"), F.col("delta"), F.col("user_id"), F.col("session_idx")],
+        {"concurrent": ("sum", F.col("delta").cast("bigint"))},
     )
-    return deltas.select(
+    return swept.select(
         "t_us",
         F.col("delta").cast("int").alias("delta"),
-        F.sum("delta").over(ws).cast("bigint").alias("concurrent"),
+        F.col("concurrent").cast("bigint").alias("concurrent"),
     )
 
 

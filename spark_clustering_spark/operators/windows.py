@@ -145,31 +145,43 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("c_custkey", "quartile")
 
 
-def ntile_scalable(
+def global_running_agg(
     df: DataFrame,
-    order_cols: list[str],
-    n_tiles: int,
+    order_cols: list,
+    aggs: dict,
     num_partitions: int | None = None,
-    out_col: str = "tile",
-) -> DataFrame:
-    """Exact global ntile without the single-partition sort.
+):
+    """Exact global running aggregates without a single-partition sort.
 
     ``Window.orderBy`` with no PARTITION BY forces every row through one
-    reducer — the classic scale-killer. Instead:
+    reducer — the classic 100 TB scale-killer. This is the generalized
+    two-pass range-partition pattern (the ``ntile_scalable`` machinery,
+    promoted per VERDICT r4 task 1):
 
-    1. ``repartitionByRange`` on the (total-ordering) sort key: a range
+    1. ``repartitionByRange`` on the total-ordering sort key: a range
        shuffle into ``num_partitions`` sorted slices. ``order_cols``
        must be a total order (include a unique tiebreaker) so slice
-       boundaries are unambiguous.
-    2. One small job collects per-slice row counts (``num_partitions``
-       rows — the k·partitions small-state pattern, same as centroid
-       collection) to compute each slice's global rank offset.
-    3. A per-slice window computes local row_number; global rank =
-       slice offset + local rank; the exact ntile bucket formula (first
-       ``total % n`` buckets get one extra row) maps rank → tile.
+       boundaries are unambiguous; they may be ``Column`` expressions
+       including ``.desc()`` sort orders.
+    2. One small job collects per-slice aggregate partials
+       (``num_partitions`` rows — the k·partitions small-state pattern,
+       same as centroid collection); the driver combines them into an
+       exclusive prefix ("carry-in") per slice.
+    3. A per-slice window computes the local running aggregate; the
+       global value = carry-in ⊕ local. Carry-ins ride as a dense
+       ARRAY literal indexed by partition id — O(1) per-row probe
+       (Spark map literals probe linearly).
 
-    The eager localCheckpoint pins the range shuffle so the count job
-    and the rank job see identical slice boundaries.
+    ``aggs`` maps output column name → ``(kind, expr)`` with ``kind``
+    in ``{"sum", "max", "count"}`` (``count`` ignores ``expr`` and
+    yields the 1-based global row number). Returns ``(df_with_outputs,
+    totals)`` where ``totals[out]`` is the exact grand total/max/count
+    combined driver-side from the per-slice partials (None on empty
+    input) — callers needing a "grand total" column get it as a
+    literal instead of a second data-wide window.
+
+    The eager localCheckpoint pins the range shuffle so the partials
+    job and the running job see identical slice boundaries.
     """
     if num_partitions is None:
         num_partitions = max(
@@ -180,27 +192,78 @@ def ntile_scalable(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    total = sum(counts.values())
-    if total == 0:  # empty input: keep the output schema, zero rows
-        return d.withColumn(out_col, F.lit(0).cast("int")).drop("_pid")
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    base, rem = divmod(total, n_tiles)
-    off_col = F.coalesce(
-        F.create_map(
-            *[x for p, o in offsets.items() for x in (F.lit(p), F.lit(o))]
-        )[F.col("_pid")],
-        F.lit(0),
-    )
+    slice_aggs = []
+    for out, (kind, expr) in aggs.items():
+        col = F.col(expr) if isinstance(expr, str) else expr
+        if kind == "sum":
+            slice_aggs.append(F.sum(col).alias(out))
+        elif kind == "max":
+            slice_aggs.append(F.max(col).alias(out))
+        elif kind == "count":
+            slice_aggs.append(F.count(F.lit(1)).alias(out))
+        else:
+            raise ValueError(f"unsupported running-agg kind: {kind!r}")
+    stats = d.groupBy("_pid").agg(*slice_aggs)
+    rows = {r["_pid"]: r for r in stats.collect()}
+    types = {f.name: f.dataType for f in stats.schema.fields if f.name != "_pid"}
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    rank = (off_col + F.row_number().over(w)).cast("bigint")
+    run_frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out_df = d
+    totals: dict = {}
+    for out, (kind, expr) in aggs.items():
+        col = F.col(expr) if isinstance(expr, str) else expr
+        # Exclusive prefix combine across slices — P driver-side values.
+        carries: list = []
+        acc = None
+        for pid in range(num_partitions):
+            carries.append(acc)
+            row = rows.get(pid)
+            v = row[out] if row is not None else None
+            if v is not None:
+                if acc is None:
+                    acc = v
+                elif kind == "max":
+                    acc = max(acc, v)
+                else:  # sum / count
+                    acc = acc + v
+        totals[out] = acc
+        dt = types[out]
+        carry = F.element_at(
+            F.array(*[F.lit(c).cast(dt) for c in carries]), F.col("_pid") + 1
+        )
+        if kind == "sum":
+            run = F.sum(col).over(run_frame)
+            out_col = F.when(carry.isNull(), run).otherwise(carry + run)
+        elif kind == "max":
+            run = F.max(col).over(run_frame)
+            out_col = F.greatest(carry, run)  # greatest skips nulls
+        else:  # count → 1-based global row number
+            out_col = (
+                F.coalesce(carry, F.lit(0)).cast("bigint") + F.row_number().over(w)
+            )
+        out_df = out_df.withColumn(out, out_col)
+    return out_df.drop("_pid"), totals
+
+
+def ntile_scalable(
+    df: DataFrame,
+    order_cols: list[str],
+    n_tiles: int,
+    num_partitions: int | None = None,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact global ntile via ``global_running_agg``'s two-pass rank:
+    global rank = slice carry-in + local row_number; the exact ntile
+    bucket formula (first ``total % n`` buckets get one extra row) maps
+    rank → tile."""
+    d, totals = global_running_agg(
+        df, list(order_cols), {"_grank": ("count", None)}, num_partitions
+    )
+    total = totals["_grank"] or 0
+    if total == 0:  # empty input: keep the output schema, zero rows
+        return d.withColumn(out_col, F.lit(0).cast("int")).drop("_grank")
+    base, rem = divmod(total, n_tiles)
+    rank = F.col("_grank")
     if base == 0:  # more tiles than rows: ntile degenerates to rank
         tile = rank
     else:
@@ -210,7 +273,7 @@ def ntile_scalable(
             .otherwise(rem + F.floor((rank - 1 - cut) / base))
             + 1
         )
-    return d.withColumn(out_col, tile.cast("int")).drop("_pid")
+    return d.withColumn(out_col, tile.cast("int")).drop("_grank")
 
 
 @query(

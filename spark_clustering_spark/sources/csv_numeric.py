@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def read_numeric_csv(spark: SparkSession, path: str) -> DataFrame:
@@ -45,13 +44,18 @@ def read_numeric_csv(spark: SparkSession, path: str) -> DataFrame:
     ).limit(1).count()
     if bad:
         raise ValueError(f"non-numeric token in CSV input: {path}")
-    # Deterministic 0-based id by file order. For a single file this is a
-    # narrow zipWithIndex-style window; for multi-file ingest at scale,
-    # switch to monotonically_increasing_id + an order-by-key contract.
-    w = Window.orderBy(F.col("_file"), F.col("_pos"))
-    return (
-        raw.withColumn("_file", F.input_file_name())
-        .withColumn("_pos", F.monotonically_increasing_id())
-        .withColumn("id", F.row_number().over(w).cast("bigint") - 1)
-        .select("id", feats.alias("features"))
+    # Deterministic 0-based id by (file, in-file position) order, minted
+    # by global_running_agg's two-pass rank: range repartition on the
+    # order key, per-slice counts, carry-in offsets — the R1 ingest
+    # front door never funnels the dataset through one reducer.
+    from spark_clustering_spark.operators.windows import global_running_agg
+
+    base = raw.withColumn("_file", F.input_file_name()).withColumn(
+        "_pos", F.monotonically_increasing_id()
+    )
+    ranked, _ = global_running_agg(
+        base, [F.col("_file"), F.col("_pos")], {"_rn": ("count", None)}
+    )
+    return ranked.select(
+        (F.col("_rn") - 1).cast("bigint").alias("id"), feats.alias("features")
     )

@@ -145,10 +145,17 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tumbling counts. The true streaming path (withWatermark + update
     mode) is exercised in tests/test_streaming.py — per-row emulation
     here is the *strictest* watermark (streaming advances it only per
-    micro-batch, so it drops a subset of these)."""
+    micro-batch, so it drops a subset of these).
+
+    Scale: the arrival-order running max is served by
+    ``global_running_agg`` (range repartition on event_id + per-slice
+    max carry-in) — never the full events table through one reducer."""
+    from spark_clustering_spark.operators.windows import global_running_agg
+
     ev = table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    arr = ev.withColumn("max_seen", F.max("ts").over(w))
+    arr, _ = global_running_agg(
+        ev, [F.col("event_id")], {"max_seen": ("max", F.col("ts"))}
+    )
     kept = arr.filter(
         F.col("ts") >= F.col("max_seen") - F.expr("INTERVAL 10 MINUTES")
     )

@@ -444,3 +444,31 @@ def test_dpp_injects_runtime_pruning(spark, qs):
     not a full-lake scan."""
     plan = formatted_plan(qs["q_scan_dpp"](spark, SF_SMALL))
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_running_agg_queries_have_no_single_partition_exchange(spark, qs):
+    """VERDICT r4 task 1 done-criterion: the four former single-reducer
+    queries now run through global_running_agg — no data-proportional
+    rows may pass a SinglePartition exchange (an unpartitioned ordered
+    window would show one)."""
+    for key in ("q_olap_abc_pareto", "q_ts_concurrency", "q_stream_watermark"):
+        plan = formatted_plan(qs[key](spark, SF_SMALL))
+        assert "SinglePartition" not in plan, (key, plan[:1200])
+
+
+def test_csv_ingest_id_minting_no_single_partition(spark):
+    """R1 ingest front door: 0-based id minting uses the two-pass
+    range-partitioned rank, never a global unpartitioned row_number."""
+    import os
+
+    from spark_clustering_spark.sources.csv_numeric import read_numeric_csv
+
+    fix = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark_clustering_spark",
+        "fixtures",
+        "csv_iris_like.csv",
+    )
+    df = read_numeric_csv(spark, fix)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan[:1200]
