@@ -51,3 +51,34 @@ def q_fit_pso(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     return res.metrics
+
+
+@query("fit_kmeans_mllib")  # rows-only: iterative, validated by invariants
+def q_fit_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production/scale k-means: MLlib k-means|| (JVM Lloyd's, k=8,
+    10 iters, seed 42) — the path a real 100 TB fit would run. Output
+    is one row per cluster (size + unsquared within-cluster cost per
+    Q4) so the surface is deterministic under label permutation up to
+    row order; assignment agreement vs the DF-native Lloyd loop is
+    asserted in tests/test_clustering.py."""
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.functions.distance import euclidean
+    from spark_clustering_spark.ml.kmeans import fit_kmeans_mllib
+
+    pts = points_df(spark, sf_dir)
+    model, pred = fit_kmeans_mllib(spark, pts, k=8, num_iter=10, seed=42)
+    centers = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = spark.createDataFrame(centers, "cluster_id int, center array<double>")
+    # Q4: the reference's objective is the UNSQUARED distance sum.
+    return (
+        pred.join(pts, "vec_id")
+        .join(F.broadcast(cdf), "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(euclidean(F.col("vec"), F.col("center"))).alias("cost"),
+        )
+    )

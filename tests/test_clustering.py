@@ -283,3 +283,35 @@ def test_davies_bouldin_cross_check(spark):
         )
         assert abs(rows[c]["scatter"] - S[c]) < 1e-3
         assert abs(rows[c]["r_max"] - R) < 1e-3
+
+
+class TestFitKmeansMllibSurface:
+    def test_declared_query_invariants(self, spark):
+        """The declared fit_kmeans_mllib surface: k non-empty clusters
+        partitioning the corpus, non-negative Q4 (unsquared) cost, and
+        total cost no worse than the single-centroid baseline."""
+        from pyspark.sql import functions as F
+
+        import __spark_entry__ as e
+        from spark_clustering_spark.functions.distance import euclidean
+        from spark_clustering_spark.operators.clustering import points_df
+        from tests.conftest import SF_SMALL
+
+        out = e.queries()["fit_kmeans_mllib"](spark, SF_SMALL).collect()
+        pts = points_df(spark, SF_SMALL)
+        n = pts.count()
+        assert 1 <= len(out) <= 8
+        assert sum(r["n_points"] for r in out) == n
+        assert all(r["n_points"] > 0 and r["cost"] >= 0 for r in out)
+        mean = pts.agg(
+            F.array(
+                *[
+                    F.avg(F.col("vec")[i])
+                    for i in range(len(pts.first()["vec"]))
+                ]
+            ).alias("m")
+        ).first()["m"]
+        baseline = pts.agg(
+            F.sum(euclidean(F.col("vec"), F.lit(mean).cast("array<double>")))
+        ).first()[0]
+        assert sum(r["cost"] for r in out) <= baseline + 1e-9
