@@ -889,12 +889,21 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cid. At 100 TB, nlist scales with corpus size to hold n_k
     roughly constant, and the within-cluster block feeds the same
     blocked-GEMM kernel as q_dedup_embedding if clusters are hot."""
-    from spark_clustering_spark.functions.distance import euclidean
     from spark_clustering_spark.io import table
 
     ve = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("vec")
     )
+    return semdedup(ve)
+
+
+def semdedup(ve: DataFrame, threshold: float = SEM_TAU) -> DataFrame:
+    """The declared SemDeDup path as a reusable function of the vector
+    corpus — train + assign + GEMM pair scan + representative join —
+    so tools/scale_growth.py can measure the DECLARED key end-to-end
+    on a replicated corpus, not just the pair-scan helper."""
+    from spark_clustering_spark.functions.distance import euclidean
+
     # trained centroids are k*d bounded state (already eagerly
     # checkpointed) -- inline them as literals so assignment is a pure
     # projection: the crossJoin+window argmin would shuffle 16n rows on
@@ -923,7 +932,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float noise, so no pair can flip against the oracle's
     # list_cosine_similarity. The expression-path twin is asserted
     # row-identical in tests/test_scale.py.
-    dup = semdedup_pairs_gemm(assign, threshold=SEM_TAU)
+    dup = semdedup_pairs_gemm(assign, threshold=threshold)
     reps = dup.groupBy("drop_id").agg(F.min("keep_id").alias("rep"))
     return assign.join(
         reps, assign["vec_id"] == reps["drop_id"], "left"

@@ -160,6 +160,19 @@ def main() -> None:
         results["semdedup_gemm"][mult] = {"wall": round(w4, 3), "rows": rows4}
         print(f"| semdedup gemm | {mult}x ({mult * n}) | {rows4} | {w4:.2f} "
               f"| {w4 / base4:.2f}x |")
+
+        # ... and the DECLARED q_dedup_semantic path end-to-end
+        # (in-query ivf_train + literal-centroid assignment + GEMM pair
+        # scan + representative join) — VERDICT r4 task 5's done
+        # criterion is this key, not just the helper, growing ~linearly
+        from spark_clustering_spark.pipeline.similarity import semdedup
+
+        results.setdefault("semdedup_declared", {})
+        w5, rows5 = wall(lambda: semdedup(rep, threshold=0.99))
+        base5 = results["semdedup_declared"].get(multiples[0], {}).get("wall", w5)
+        results["semdedup_declared"][mult] = {"wall": round(w5, 3), "rows": rows5}
+        print(f"| semdedup DECLARED | {mult}x ({mult * n}) | {rows5} | {w5:.2f} "
+              f"| {w5 / base5:.2f}x |")
         coarse.unpersist()
         rep.unpersist()
     print()
