@@ -767,3 +767,59 @@ def q_ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("ps")[0]).alias("p50_sec"),
         dround(F.col("ps")[1]).alias("p90_sec"),
     )
+
+
+@query(
+    "q_ts_seasonality",
+    oracle=f"""
+    WITH e AS (
+      SELECT ((epoch_us(ts) // {DAY_US} + 4) % 7)::INT AS dow,
+             ((epoch_us(ts) // {HOUR_US}) % 24)::INT AS hod,
+             value
+      FROM events
+    ),
+    cell AS (
+      SELECT dow, hod, count(*) AS n_events, {sql_dsum('value', 'sum_value')}
+      FROM e GROUP BY dow, hod
+    ),
+    tot AS (SELECT sum(n_events) AS total FROM cell)
+    SELECT dow, hod, n_events, sum_value,
+           {sql_dround('cast(n_events AS DOUBLE) / t.total', 6)} AS share
+    FROM cell CROSS JOIN tot t
+    """,
+)
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality / load profile: the (day-of-week x hour-of-day)
+    traffic matrix with each cell's share of total events — the
+    capacity-planning and anomaly-baseline analytic. Bucketing is pure
+    integer arithmetic on epoch microseconds (UTC; epoch day 0 was a
+    Thursday, hence the +4 fold to dow 0=Monday..6=Sunday), so no
+    calendar/timezone library can diverge between engines.
+
+    Scale: one partial+final hash aggregate down to <=168 cells; the
+    grand total broadcasts back as a one-row cross join — nothing
+    data-proportional passes a window or a single reducer."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    cell = (
+        e.select(
+            ((F.floor(us / DAY_US) + 4) % 7).cast("int").alias("dow"),
+            (F.floor(us / HOUR_US) % 24).cast("int").alias("hod"),
+            "value",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+    )
+    tot = cell.agg(F.sum("n_events").alias("total"))
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        "n_events",
+        "sum_value",
+        dround(F.col("n_events").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+    )

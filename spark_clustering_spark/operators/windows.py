@@ -70,6 +70,36 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_running_global",
+    oracle="""
+    SELECT o_orderkey,
+           cast(sum(cast(o_totalprice AS DECIMAL(38,8))) OVER (
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS run_total
+    FROM orders
+    """,
+)
+def q_window_running_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL running revenue total (no PARTITION BY) as a first-class
+    surface, served by ``global_running_agg`` — the scalable answer to
+    the most common single-reducer trap in analytics SQL. The sum runs
+    as DECIMAL(38,8): exact in any accumulation grouping, so the
+    per-slice + carry-in composition is bit-identical to the oracle's
+    strictly sequential fold (a double sum would drift, since the two
+    engines group additions differently)."""
+    o = table(spark, sf_dir, "orders")
+    out, _ = global_running_agg(
+        o,
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        {"run_total": ("sum", F.col("o_totalprice").cast("decimal(38,8)"))},
+    )
+    return out.select(
+        "o_orderkey", F.col("run_total").cast("double").alias("run_total")
+    )
+
+
+@query(
     "q_window_lag_lead",
     oracle="""
     SELECT o_orderkey, o_custkey,

@@ -629,11 +629,13 @@ def q_multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH_GRID = 8  # aHash grid: 8x8 block means -> 64-bit fingerprint
 
 
-def _phash_oracle() -> str:
-    """DuckDB twin: rebuild the tiled 64x64 raster exactly as the
-    resize stub does, then the 8x8 average-hash with INTEGER-exact
-    mean compares (64*block_sum > total_sum avoids division), bit 63
-    in two's complement like the SimHash oracle."""
+def _phash_cte() -> str:
+    """Shared DuckDB CTE prefix (raster→px→agg→fp): rebuild the tiled
+    64x64 raster exactly as the resize stub does, then the 8x8
+    average-hash with INTEGER-exact mean compares (64*block_sum >
+    total_sum avoids division), bit 63 in two's complement like the
+    SimHash oracle. The agg CTE keeps the per-block sums visible so
+    the pairs oracle can re-derive chunk keys from the same terms."""
     n = RESIZE_W * RESIZE_H
     fp_terms = " + ".join(
         f"(CASE WHEN 64 * s{b} > total THEN {1 << b} ELSE 0 END)"
@@ -643,8 +645,7 @@ def _phash_oracle() -> str:
         f"sum(CASE WHEN blk = {b} THEN v ELSE 0 END) AS s{b}"
         for b in range(64)
     )
-    return f"""
-    WITH raster AS (
+    return f"""raster AS (
       SELECT doc_id,
              substring(repeat(text, ({n - 1} // length(text) + 1)::INT),
                        1, {n}) AS r
@@ -670,33 +671,21 @@ def _phash_oracle() -> str:
                        THEN -9223372036854775807 - 1 ELSE 0 END)
                AS BIGINT) AS phash
       FROM agg
-    )
+    )"""
+
+
+def _phash_oracle() -> str:
+    return f"""
+    WITH {_phash_cte()}
     SELECT phash, count(*) AS n_items, min(doc_id) AS keep_id
     FROM fp GROUP BY phash
     """
 
 
-@query("q_multimodal_phash_dedup", oracle=_phash_oracle())
-def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash dedup of the decoded image rasters: average-
-    hash (aHash) over the 64x64 raster — 8x8 block means, bit b set
-    iff block b is brighter than the global mean — grouped to
-    (phash, n_items, keep_id) exactly like q_dedup_exact but on VISUAL
-    content, so re-encoded/re-tiled copies of the same image collapse
-    even when their bytes differ. The raster comes from the same
-    deterministic tile/truncate stub as q_multimodal_resize (the PIL
-    seam swaps in real pixels on a real cluster; decode_payload's BMP
-    path already proves it).
-
-    Determinism: block and global means compare as integers
-    (64·block_sum > total — no division); bit 63 uses the same two's-
-    complement fold as SimHash.
-
-    Scale: one mapInPandas pass (numpy reshape-sum per Arrow batch,
-    64 ints + 1 bigint out per item); the groupBy shuffles 8-byte
-    fingerprints — pixels never leave the task that decoded them."""
-    import hashlib  # noqa: F401  (kept parallel with the resize kernel)
-
+def phash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(item_id, phash) aHash fingerprints of the decoded rasters —
+    shared by the dedup-group and banded-pairs queries (one
+    mapInPandas pass, 8 bytes out per item)."""
     media = synthetic_media(spark, sf_dir).filter(F.lit(True))
     n = RESIZE_W * RESIZE_H
 
@@ -731,8 +720,124 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"item_id": pdf["item_id"], "phash": hashes}
             )
 
-    fp = media.mapInPandas(kernel, "item_id BIGINT, phash BIGINT")
+    return media.mapInPandas(kernel, "item_id BIGINT, phash BIGINT")
+
+
+@query("q_multimodal_phash_dedup", oracle=_phash_oracle())
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup of the decoded image rasters: average-
+    hash (aHash) over the 64x64 raster — 8x8 block means, bit b set
+    iff block b is brighter than the global mean — grouped to
+    (phash, n_items, keep_id) exactly like q_dedup_exact but on VISUAL
+    content, so re-encoded/re-tiled copies of the same image collapse
+    even when their bytes differ. The raster comes from the same
+    deterministic tile/truncate stub as q_multimodal_resize (the PIL
+    seam swaps in real pixels on a real cluster; decode_payload's BMP
+    path already proves it).
+
+    Determinism: block and global means compare as integers
+    (64·block_sum > total — no division); bit 63 uses the same two's-
+    complement fold as SimHash.
+
+    Scale: one mapInPandas pass (numpy reshape-sum per Arrow batch,
+    64 ints + 1 bigint out per item); the groupBy shuffles 8-byte
+    fingerprints — pixels never leave the task that decoded them."""
+    fp = phash_fingerprints(spark, sf_dir)
     return fp.groupBy("phash").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.min("item_id").alias("keep_id"),
+    )
+
+
+PHASH_HAM_MAX = 10  # visual near-dup acceptance: Hamming distance <= this
+
+
+def _phash_pairs_oracle() -> str:
+    chunks = ",\n             ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN 64 * s{16 * c + j} > total THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        + f" AS BIGINT) AS chunk{c}"
+        for c in range(4)
+    )
+    return f"""
+    WITH {_phash_cte()},
+    fpc AS (
+      SELECT f.doc_id, f.phash,
+             {chunks}
+      FROM fp f JOIN agg USING (doc_id)
+    ),
+    cand AS (
+      SELECT a.doc_id AS item_a, b.doc_id AS item_b,
+             a.phash AS pa, b.phash AS pb
+      FROM fpc a JOIN fpc b ON a.doc_id < b.doc_id
+       AND (a.chunk0 = b.chunk0 OR a.chunk1 = b.chunk1
+            OR a.chunk2 = b.chunk2 OR a.chunk3 = b.chunk3)
+    )
+    SELECT item_a, item_b, bit_count(xor(pa, pb))::INT AS hamming
+    FROM cand
+    WHERE bit_count(xor(pa, pb)) <= {PHASH_HAM_MAX}
+    """
+
+
+@query("q_multimodal_phash_pairs", oracle=_phash_pairs_oracle())
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup PAIRS over the perceptual hashes — the SimHash
+    banding machinery applied to the multimodal fingerprint family
+    (q_multimodal_phash_dedup collapses exact pHash groups; this also
+    catches re-encodes within Hamming {PHASH_HAM_MAX}). Candidates
+    share ANY of the 4 16-bit pHash chunks (pigeonhole: Hamming <= 3
+    guarantees an intact chunk; the wider verify radius trades
+    recall); the exact 64-bit Hamming verify is bit_count(xor).
+
+    Scale: identical posture to q_dedup_simhash_pairs — fingerprints
+    are 8 bytes/item, banding is one groupBy(band, key) with in-bucket
+    pair expansion (never a self-join), pixels stay in the task that
+    hashed them."""
+    fp = phash_fingerprints(spark, sf_dir).localCheckpoint(eager=True)
+    chunks = [
+        F.shiftrightunsigned(F.col("phash"), 16 * c)
+        .bitwiseAND(F.lit(0xFFFF).cast("bigint"))
+        .alias(f"chunk{c}")
+        for c in range(4)
+    ]
+    fpc = fp.select("item_id", "phash", *chunks)
+    bands = fpc.select(
+        "item_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("band"), F.col(f"chunk{c}").alias("key")
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("item_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("item_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    heads = buckets.select("ids", F.posexplode("ids").alias("i", "item_a"))
+    pairs = (
+        heads.select(
+            "item_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("item_b"),
+        )
+        .distinct()
+    )
+    pa = fp.select(F.col("item_id").alias("item_a"), F.col("phash").alias("pa"))
+    pb = fp.select(F.col("item_id").alias("item_b"), F.col("phash").alias("pb"))
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
+    return (
+        pairs.join(pa, "item_a")
+        .join(pb, "item_b")
+        .select("item_a", "item_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
     )
