@@ -685,3 +685,70 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "n_exact")
         .agg(F.min("cnt").cast("bigint").alias("cm_estimate"))
     )
+
+
+SKEW_TOP = 10  # heavy hitters reported by the skew profiler
+
+
+@query(
+    "q_diag_key_skew",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT o_custkey AS key, count(*) AS n_rows
+      FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT count(*) AS n_keys, sum(n_rows) AS total,
+             max(n_rows) AS max_rows
+      FROM per_key
+    )
+    SELECT row_number() OVER (ORDER BY p.n_rows DESC, p.key)::INT AS rank,
+           p.key, p.n_rows,
+           cast(round(cast(cast((cast(p.n_rows AS DOUBLE) / s.total)
+                AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS share,
+           cast(round(cast(cast((cast(p.n_rows AS DOUBLE) * s.n_keys
+                / s.total) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE)
+             AS skew_ratio
+    FROM per_key p CROSS JOIN stats s
+    ORDER BY p.n_rows DESC, p.key LIMIT {SKEW_TOP}
+    """,
+)
+def q_diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler: the top-{SKEW_TOP} heavy hitters of a
+    candidate join/agg key with each key's share of all rows and its
+    skew ratio (observed rows / perfectly-uniform rows). This is the
+    diagnostic that decides WHEN the salting / AQE-skew-join machinery
+    (q_join_salted) is needed — at 100 TB you profile the key before
+    you shuffle on it, not after the straggler appears.
+
+    Scale: one partial+final count per key, a 1-row stats aggregate
+    broadcast back, and a TakeOrderedAndProject heap for the top-k —
+    no global sort, no data-proportional window."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    top = (
+        per_key.orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(SKEW_TOP)
+        .crossJoin(F.broadcast(stats))
+    )
+    w_rank = Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    return top.select(
+        F.row_number().over(w_rank).alias("rank"),  # bounded: SKEW_TOP rows
+        "key",
+        "n_rows",
+        dround(F.col("n_rows").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        dround(
+            F.col("n_rows").cast("double") * F.col("n_keys") / F.col("total"), 4
+        ).alias("skew_ratio"),
+    )

@@ -1115,3 +1115,49 @@ def q_olap_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+@query(
+    "q_olap_mom_growth",
+    oracle=f"""
+    WITH m AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS ym,
+             year(o_orderdate)::INT AS yr,
+             month(o_orderdate)::INT AS mo,
+             {sql_dsum('o_totalprice', 'revenue')}
+      FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT c.yr, c.mo, c.revenue,
+           {sql_dround('(c.revenue - p.revenue) / p.revenue', 6)} AS mom_growth
+    FROM m c LEFT JOIN m p ON p.ym = c.ym - 1
+    """,
+)
+def q_olap_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the trend KPI every OLAP
+    deck leads with. The monthly rollup is an exact-decimal sum; the
+    previous month attaches via a broadcast self-join on a contiguous
+    year*12+month key (NULL growth for the first month / after a gap)
+    rather than an ordered window, so the month series — bounded by
+    wall-clock coverage, not data — never even needs one.
+
+    Scale: one partial+final aggregate to month cardinality; both join
+    sides are that bounded series (broadcast); nothing
+    data-proportional passes a window or a single reducer."""
+    o = table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    prev = m.select((F.col("ym") + 1).alias("ym"), F.col("revenue").alias("prev_rev"))
+    return m.join(F.broadcast(prev), "ym", "left").select(
+        "yr",
+        "mo",
+        "revenue",
+        dround(
+            (F.col("revenue") - F.col("prev_rev")) / F.col("prev_rev"), 6
+        ).alias("mom_growth"),
+    )
