@@ -752,3 +752,80 @@ def q_diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rows").cast("double") * F.col("n_keys") / F.col("total"), 4
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "q_dq_constraints",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n_rows,
+             count(o_orderkey) AS key_nonnull,
+             count(DISTINCT o_orderkey) AS key_distinct,
+             sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS price_pos,
+             sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+               AS status_valid,
+             sum(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+                       AND o_orderdate < TIMESTAMP '1999-01-01'
+                      THEN 1 ELSE 0 END) AS date_in_range
+      FROM orders
+    )
+    SELECT c.name AS constraint_name, c.metric,
+           (c.metric = m.n_rows)::INT AS passed
+    FROM m, LATERAL (VALUES
+      ('complete_o_orderkey', m.key_nonnull),
+      ('unique_o_orderkey', m.key_distinct),
+      ('positive_o_totalprice', m.price_pos),
+      ('valid_o_orderstatus', m.status_valid),
+      ('o_orderdate_in_range', m.date_in_range)
+    ) c(name, metric)
+    """,
+)
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (the Deequ/Great-Expectations
+    shape): completeness, uniqueness, positivity, domain membership,
+    and range checks over the orders table, each reported as
+    (constraint, satisfying-row metric, passed). ALL constraints are
+    measured in ONE pass — a single partial+final aggregate computes
+    every metric simultaneously, which is the only affordable way to
+    audit a 100 TB table (five separate scans would quintuple the
+    dominant cost). The one-row metric vector then unpivots to the
+    per-constraint report driver-side-free via stack().
+
+    Scale: count(DISTINCT key) is the one metric that genuinely needs
+    a second shuffle (Spark plans it as a two-phase distinct
+    aggregate); everything else rides the same scan."""
+    o = table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("key_nonnull"),
+        F.countDistinct("o_orderkey").alias("key_distinct"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)).alias(
+            "price_pos"
+        ),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("status_valid"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("date_in_range"),
+    )
+    checks = [
+        ("complete_o_orderkey", "key_nonnull"),
+        ("unique_o_orderkey", "key_distinct"),
+        ("positive_o_totalprice", "price_pos"),
+        ("valid_o_orderstatus", "status_valid"),
+        ("o_orderdate_in_range", "date_in_range"),
+    ]
+    stack_args = ", ".join(f"'{n}', {c}" for n, c in checks)
+    return m.selectExpr(
+        "n_rows",
+        f"stack({len(checks)}, {stack_args}) AS (constraint_name, metric)",
+    ).select(
+        "constraint_name",
+        "metric",
+        (F.col("metric") == F.col("n_rows")).cast("int").alias("passed"),
+    )
