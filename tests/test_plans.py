@@ -472,3 +472,49 @@ def test_csv_ingest_id_minting_no_single_partition(spark):
     df = read_numeric_csv(spark, fix)
     plan = formatted_plan(df)
     assert "SinglePartition" not in plan, plan[:1200]
+
+
+def test_triangles_all_hash_joins_no_cartesian(spark, qs):
+    """Degree-oriented triangle closure must plan as equi hash/merge
+    joins — a nested-loop or cartesian wedge join would be quadratic."""
+    plan = formatted_plan(qs["q_graph_triangles"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree.replace(
+        "BroadcastNestedLoopJoin", ""
+    ), tree
+    # the one-row summary cross-joins are broadcast; the wedge joins
+    # must be hash joins on part keys
+    assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree, tree
+
+
+def test_key_skew_uses_topk_heap(spark, qs):
+    """The skew profiler's top-k must be TakeOrderedAndProject, never a
+    global sort of the per-key counts."""
+    plan = formatted_plan(qs["q_diag_key_skew"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "SinglePartition" not in plan.split("TakeOrderedAndProject")[0], plan[:1500]
+
+
+def test_mom_growth_broadcasts_prev_month(spark, qs):
+    """The previous-month attach is a broadcast join of the bounded
+    month series — no window, no shuffle of the series."""
+    plan = formatted_plan(qs["q_olap_mom_growth"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "Window" not in tree, tree
+
+
+def test_dq_constraints_single_scan(spark, qs):
+    """All five audit metrics ride ONE scan of orders (the distinct
+    uniqueness metric re-shuffles, but never re-reads the table)."""
+    plan = formatted_plan(qs["q_dq_constraints"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_phash_pairs_no_self_join_on_bands(spark, qs):
+    """Banded candidate generation must be the bucket groupBy +
+    in-bucket expansion — never a band-table self-join."""
+    plan = formatted_plan(qs["q_multimodal_phash_pairs"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree, tree

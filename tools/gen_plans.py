@@ -30,6 +30,29 @@ NOTES = {
     "q_topk_global": (
         "TakeOrderedAndProject: per-partition top-k heaps, no global sort."
     ),
+    "q_window_running_global": (
+        "global cumulative sum with NO single-reducer window: range "
+        "repartition on the order key, per-slice running sum under a "
+        "per-slice window, exact decimal carry-in offsets as literals "
+        "(global_running_agg — also serves q_olap_abc_pareto, "
+        "q_ts_concurrency, q_stream_watermark, and CSV id minting)."
+    ),
+    "q_graph_triangles": (
+        "degree-ordered orientation then two equi hash joins close the "
+        "wedges; degree table broadcasts; no nested-loop/cartesian node "
+        "anywhere — out-degree under orientation is O(sqrt(m)), so no "
+        "task ever holds a hub's full neighborhood."
+    ),
+    "q_diag_key_skew": (
+        "per-key partial+final count, 1-row stats broadcast back, "
+        "TakeOrderedAndProject heap for the heavy-hitter top-k — the "
+        "profile costs one scan + one small shuffle."
+    ),
+    "q_dq_constraints": (
+        "ONE Scan parquet node feeds every audit metric (count/"
+        "completeness/domain/range share the aggregate; the uniqueness "
+        "distinct adds its two-phase shuffle but never a second read)."
+    ),
     "q_window_ntile_scalable": (
         "exact global ntile with NO single-partition Exchange: range "
         "repartition into sorted slices, per-slice window, slice offsets "
@@ -172,14 +195,17 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from spark_clustering_spark.sources.bucketed import (
+        bucketed_table_names,
         create_bucketed_tables,
         no_broadcast,
     )
 
     create_bucketed_tables(spark, SF)
+    names = bucketed_table_names(SF)
     with no_broadcast(spark):
-        j = spark.table("orders_b").join(
-            spark.table("lineitem_b"), F.col("o_orderkey") == F.col("l_orderkey")
+        j = spark.table(names["orders"]).join(
+            spark.table(names["lineitem"]),
+            F.col("o_orderkey") == F.col("l_orderkey"),
         )
         tree = formatted_plan(j).split("\n\n")[0]
     lines += [
