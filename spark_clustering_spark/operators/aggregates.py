@@ -769,7 +769,7 @@ def q_diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 1 ELSE 0 END) AS date_in_range
       FROM orders
     )
-    SELECT c.name AS constraint_name, c.metric,
+    SELECT c.name AS constraint_name, c.metric::BIGINT AS metric,
            (c.metric = m.n_rows)::INT AS passed
     FROM m, LATERAL (VALUES
       ('complete_o_orderkey', m.key_nonnull),
