@@ -568,13 +568,14 @@ def _kmeanspp_oracle() -> str:
         ctes.append(
             f"""c{t} AS (
       SELECT vec_id, vec, md,
-             sum(md) OVER (ORDER BY vec_id
+             sum(cast(md AS DECIMAL(38,8))) OVER (ORDER BY vec_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM d{t - 1}
     ),
     s{t} AS (
       SELECT vec_id, vec FROM c{t}
-      WHERE cum >= {u!r} * (SELECT max(cum) FROM c{t})
+      WHERE cast(cum AS DOUBLE) >= {u!r} * (SELECT cast(max(cum) AS DOUBLE)
+                                            FROM c{t})
       ORDER BY vec_id LIMIT 1
     )"""
         )
@@ -603,16 +604,20 @@ def q_ml_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     SSE to O(log k)·optimal.
 
     Determinism: D² is sqrt-then-square of the bit-matched distance
-    pair; the CDF accumulates doubles in the identical ORDER BY
-    (roulette precedent); the threshold u·total multiplies identical
-    IEEE doubles.
+    pair; the CDF accumulates EXACT DECIMAL(38,8) in both engines —
+    invariant to accumulation grouping, so the two-pass slice/carry-in
+    composition below is bit-identical to the oracle's sequential
+    window — and the threshold compare happens on the identical
+    double casts.
 
     Scale: each of the K−1 draws is one narrow min-update pass (the
     newest pick inlined as a literal, like q_sample_kcenter) + one
-    ordered cumsum; at 100 TB the cumsum range-partitions with
-    per-slice offsets (q_window_ntile_scalable's two-pass pattern) and
-    the driver moves only k·d floats."""
+    ordered cumsum served by ``global_running_agg`` (range repartition
+    + per-slice carry-in — never a single-reducer window); the exact
+    grand total comes back with the same per-slice partials, and the
+    driver moves only k·d floats."""
     from spark_clustering_spark.functions.rng import py_lcg_uniform
+    from spark_clustering_spark.operators.windows import global_running_agg
 
     pts = points_df(spark, sf_dir)
     seed_vec = pts.filter(F.col("vec_id") == 0).collect()[0]["vec"]
@@ -624,14 +629,12 @@ def q_ml_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "vec", sq(F.array(*[F.lit(x) for x in seed_vec])).alias("md")
     )
     for t in range(2, KPP_K + 1):
-        w = Window.orderBy("vec_id").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
+        cums, totals = global_running_agg(
+            d, [F.col("vec_id")], {"cum": ("sum", F.col("md").cast(DEC))}
         )
-        cums = d.withColumn("cum", F.sum("md").over(w))
-        total = cums.agg(F.max("cum")).collect()[0][0]
-        u = py_lcg_uniform(t, seed=KPP_SEED) * total
+        u = py_lcg_uniform(t, seed=KPP_SEED) * float(totals["cum"])
         pick = (
-            cums.filter(F.col("cum") >= u)
+            cums.filter(F.col("cum").cast("double") >= u)
             .orderBy("vec_id")
             .limit(1)
             .collect()[0]

@@ -518,3 +518,15 @@ def test_phash_pairs_no_self_join_on_bands(spark, qs):
     plan = formatted_plan(qs["q_multimodal_phash_pairs"](spark, SF_SMALL))
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_kmeanspp_cumsum_no_single_partition(spark, qs):
+    """The k-means++ D² CDF is data-proportional — it must run through
+    global_running_agg, never an unpartitioned window (the 5th
+    single-reducer case, closed in round 5)."""
+    import inspect
+
+    from spark_clustering_spark.operators import clustering
+
+    src = inspect.getsource(clustering.q_ml_kmeanspp_init)
+    assert "global_running_agg" in src
