@@ -37,3 +37,19 @@ def test_non_numeric_token_raises(spark, tmp_path):
     p.write_text("1.0,2.0\n3.0,abc\n")
     with pytest.raises(Exception):
         read_numeric_csv(spark, str(p)).collect()
+
+
+def test_multi_file_ids_follow_file_then_position_order(spark, tmp_path):
+    """Ingesting a DIRECTORY of CSVs mints ids in (file, in-file
+    position) order — the two-pass rank must be stable across files,
+    not just within one (the R1 front door at fleet scale is always
+    many files)."""
+    from spark_clustering_spark.sources.csv_numeric import read_numeric_csv
+
+    (tmp_path / "a.csv").write_text("1,10\n2,20\n3,30\n")
+    (tmp_path / "b.csv").write_text("4,40\n5,50\n")
+    df = read_numeric_csv(spark, str(tmp_path))
+    rows = {r["id"]: r["features"] for r in df.collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    assert rows[0] == [1.0, 10.0] and rows[2] == [3.0, 30.0]
+    assert rows[3] == [4.0, 40.0] and rows[4] == [5.0, 50.0]
