@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spark_clustering_spark.functions.porthash import sql_hex_int
 from spark_clustering_spark.io import table
 from spark_clustering_spark.pipeline.dedup import shingles
 from spark_clustering_spark.registry import query
@@ -361,3 +362,65 @@ def bloom_might_contain_dense(arr: str, key: str):
             f" & shiftleft(CAST(1 AS BIGINT), {b})) != 0"
         )
     return F.expr(" AND ".join(conds))
+
+
+N_SHARDS = 16        # output shards of the training-set shuffle
+SHARD_SEED = 2024    # seed folded into the permutation hash
+
+
+@query(
+    "q_pipeline_shard_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                 x -> x <> ''))::BIGINT AS n_tokens,
+             {sql_hex_int(f"md5('{SHARD_SEED}:' || doc_id::VARCHAR)")} AS k
+      FROM documents
+    )
+    SELECT (k % {N_SHARDS})::INT AS shard,
+           count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS sum_tokens,
+           count(DISTINCT source) AS n_sources,
+           min(k) AS min_key, max(k) AS max_key
+    FROM keyed GROUP BY 1
+    """,
+)
+def q_pipeline_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set shard shuffle — the LAST step of every data
+    pipeline: give each document a seeded portable-hash permutation
+    key, route it to ``k % N`` shards, and report the per-shard audit
+    (doc count, token mass, source diversity, key coverage) that a
+    training job reads before consuming the shards. The hash
+    permutation IS the global shuffle: within-shard order by (key,
+    doc_id) is reproducible bit-identically on any cluster and any
+    partitioning, with no global sort ever executed.
+
+    Scale: one stateless projection (md5 of '<seed>:<doc_id>') + one
+    partial+final aggregate to N rows; the real shard WRITE at 100 TB
+    is ``df.repartition(N, "shard").sortWithinPartitions("k",
+    "doc_id").write`` — same keys, zero additional machinery
+    (exercised via the audit here; the write itself is
+    q_sink_partitioned's layout family)."""
+    from spark_clustering_spark.functions.porthash import md5_int32
+
+    d = table(spark, sf_dir, "documents")
+    k = md5_int32(
+        F.concat(F.lit(f"{SHARD_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    n_tokens = F.size(
+        F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    ).cast("bigint")
+    keyed = d.select(
+        "doc_id", "source", n_tokens.alias("n_tokens"), k.alias("k")
+    )
+    return (
+        keyed.groupBy((F.col("k") % N_SHARDS).cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+    )
