@@ -73,9 +73,9 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running_global",
     oracle="""
     SELECT o_orderkey,
-           cast(sum(cast(o_totalprice AS DECIMAL(38,8))) OVER (
+           cast(round(sum(cast(o_totalprice AS DECIMAL(38,8))) OVER (
              ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
              AS run_total
     FROM orders
     """,
@@ -87,7 +87,11 @@ def q_window_running_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     as DECIMAL(38,8): exact in any accumulation grouping, so the
     per-slice + carry-in composition is bit-identical to the oracle's
     strictly sequential fold (a double sum would drift, since the two
-    engines group additions differently)."""
+    engines group additions differently). The emit rounds to 4 dp
+    FIRST (exact — prices carry 2 dp) so the decimal→double cast stays
+    below 2^53 scaled units: DuckDB converts big decimals via
+    double(hugeint)/10^scale, which mis-rounds the last ulp at scale 8
+    once the running total passes ~9e7 (caught by the sf0.1 sweep)."""
     o = table(spark, sf_dir, "orders")
     out, _ = global_running_agg(
         o,
@@ -95,7 +99,8 @@ def q_window_running_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"run_total": ("sum", F.col("o_totalprice").cast("decimal(38,8)"))},
     )
     return out.select(
-        "o_orderkey", F.col("run_total").cast("double").alias("run_total")
+        "o_orderkey",
+        F.round(F.col("run_total"), 4).cast("double").alias("run_total"),
     )
 
 
