@@ -17,6 +17,16 @@ run-to-run reproducibility):
    well-defined and identical (HALF_UP == round-half-away-from-zero
    for every sign).
 
+3. DECIMAL→DOUBLE casts of LARGE values (found by the r5 sf0.1
+   sweep). DuckDB converts a decimal by double(scaled_integer) /
+   10^scale, which stops being correctly rounded once the scaled
+   integer exceeds 2^53; the JVM's BigDecimal.doubleValue() is always
+   correctly rounded. Fix: round the decimal DOWN TO SCALE 4 before
+   any double cast (``dsum`` and ``sql_dsum`` already do), keeping
+   |value|·10^4 < 2^53 up to ~9e11 — three orders above the largest
+   sf0.1 aggregate. Never emit a scale-8 decimal cast straight to
+   double when the magnitude can pass ~9e7.
+
 Every float column the declared queries emit goes through ``dround``
 (or the ``dsum``/``davg`` aggregates); the ``sql_*`` twins generate the
 matching DuckDB fragments so the two sides cannot drift.
