@@ -829,3 +829,277 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         (F.col("metric") == F.col("n_rows")).cast("int").alias("passed"),
     )
+
+
+def _kmv_overlap_oracle() -> str:
+    from spark_clustering_spark.functions.porthash import sql_hex_int
+
+    h = sql_hex_int("md5('kmv' || user_id::VARCHAR)")
+    return f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    hv AS (SELECT event_type, user_id, {h} AS h FROM du),
+    sk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h, user_id) AS rn
+      FROM hv
+    ),
+    s AS (SELECT DISTINCT event_type, h FROM sk WHERE rn <= {KMV_K}),
+    uni AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, u.h
+      FROM (SELECT DISTINCT event_type FROM du) a
+      JOIN (SELECT DISTINCT event_type FROM du) b
+        ON a.event_type < b.event_type
+      JOIN s u ON u.event_type IN (a.event_type, b.event_type)
+      GROUP BY 1, 2, u.h
+    ),
+    uk AS (
+      SELECT ta, tb, h,
+             row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+      FROM uni
+    ),
+    topu AS (SELECT ta, tb, h, rn FROM uk WHERE rn <= {KMV_K}),
+    hk AS (SELECT ta, tb, max(h) AS hk, count(*) AS ku
+           FROM topu GROUP BY 1, 2),
+    rho AS (
+      SELECT t.ta, t.tb,
+             sum(CASE WHEN EXISTS (SELECT 1 FROM s x
+                                   WHERE x.event_type = t.ta AND x.h = t.h)
+                       AND EXISTS (SELECT 1 FROM s y
+                                   WHERE y.event_type = t.tb AND y.h = t.h)
+                      THEN 1 ELSE 0 END) AS n_both
+      FROM topu t GROUP BY 1, 2
+    ),
+    sizes AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_inter
+      FROM du a JOIN du b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT k.ta AS type_a, k.tb AS type_b,
+           sa.n AS n_a, sb.n AS n_b,
+           coalesce(i.n_inter, 0) AS n_inter_exact,
+           cast(round(cast(cast((r.n_both::DOUBLE / k.ku)
+                AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE)
+             AS jaccard_est,
+           cast(round(cast(cast((r.n_both::DOUBLE / k.ku
+                * ({KMV_K} - 1) * 4294967296.0 / k.hk)
+                AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE)
+             AS inter_est
+    FROM hk k
+    JOIN rho r ON r.ta = k.ta AND r.tb = k.tb
+    JOIN sizes sa ON sa.event_type = k.ta
+    JOIN sizes sb ON sb.event_type = k.tb
+    LEFT JOIN inter i ON i.ta = k.ta AND i.tb = k.tb
+    """
+
+
+@query("q_agg_kmv_overlap", oracle=_kmv_overlap_oracle())
+def q_agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET OPERATIONS: estimate the audience overlap of every
+    event-type pair from their KMV sketches alone — union cardinality
+    from the k-th smallest hash of the merged sketch, Jaccard from the
+    fraction of merged-sketch members present in both sides,
+    intersection = jaccard x union (Beyer et al. 2007). This is how
+    cross-source overlap is measured at 100 TB: the full id sets never
+    meet; only two k-hash sketches (bounded state, mergeable) do. The
+    portable md5 hash makes the ESTIMATES themselves bit-replayable in
+    DuckDB, and the exact intersection is emitted alongside so the
+    sketch error is measurable.
+
+    Scale: per-type sketches are bounded top-k heaps (the same
+    mergeable partial/final shape as q_agg_kmv_distinct); the pair
+    expansion touches only sketch rows (types x k), never the id
+    sets."""
+    from pyspark.sql.window import Window
+
+    from spark_clustering_spark.functions.porthash import md5_int32
+
+    e = table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct().localCheckpoint(eager=True)
+    hv = du.select(
+        "event_type",
+        "user_id",
+        md5_int32(
+            F.concat(F.lit("kmv"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("h", "user_id")
+    s = (
+        hv.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+        .distinct()
+        .localCheckpoint(eager=True)  # sketch rows: |types| * k, tiny
+    )
+    types = du.select("event_type").distinct()
+    ta = types.select(F.col("event_type").alias("ta"))
+    tb = types.select(F.col("event_type").alias("tb"))
+    pairs = ta.crossJoin(tb).filter(F.col("ta") < F.col("tb"))
+    uni = (
+        pairs.join(
+            F.broadcast(s),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .select("ta", "tb", "h")
+        .distinct()
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy("h")
+    topu = uni.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= KMV_K
+    )
+    hk = topu.groupBy("ta", "tb").agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("ku")
+    )
+    sa = s.select(F.col("event_type").alias("ta"), F.col("h").alias("h"), F.lit(1).alias("in_a"))
+    sb = s.select(F.col("event_type").alias("tb"), F.col("h").alias("h"), F.lit(1).alias("in_b"))
+    rho = (
+        topu.join(F.broadcast(sa), ["ta", "h"], "left")
+        .join(F.broadcast(sb), ["tb", "h"], "left")
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum(
+                (F.col("in_a").isNotNull() & F.col("in_b").isNotNull()).cast(
+                    "bigint"
+                )
+            ).alias("n_both")
+        )
+    )
+    sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a2 = du.select(F.col("event_type").alias("ta"), "user_id")
+    b2 = du.select(F.col("event_type").alias("tb"), "user_id")
+    inter = (
+        a2.join(b2, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_both").cast("double") / F.col("ku")
+    d_union = (KMV_K - 1) * F.lit(4294967296.0) / F.col("hk")
+    return (
+        hk.join(rho, ["ta", "tb"])
+        .join(F.broadcast(sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))), "ta")
+        .join(F.broadcast(sizes.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))), "tb")
+        .join(inter, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_a",
+            "n_b",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter_exact"),
+            dround(jac).alias("jaccard_est"),
+            dround(jac * d_union).alias("inter_est"),
+        )
+    )
+
+
+AB_SEED = "exp7"  # experiment salt folded into the assignment hash
+
+
+def _ab_lift_oracle() -> str:
+    from spark_clustering_spark.functions.porthash import sql_hex_int
+
+    h = sql_hex_int(f"md5('{AB_SEED}:' || user_id::VARCHAR)")
+    pivot = "cast(round(cast(cast(({x}) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE)"
+    return f"""
+    WITH f AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, ({h}) % 2 AS arm,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS converted
+      FROM f WHERE rn = 1
+    ),
+    s AS (
+      SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_c,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
+             sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS conv_c,
+             sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_t
+      FROM u
+    )
+    SELECT n_c, n_t, conv_c, conv_t,
+           {pivot.format(x='conv_c::DOUBLE / n_c')} AS rate_c,
+           {pivot.format(x='conv_t::DOUBLE / n_t')} AS rate_t,
+           {pivot.format(x='(conv_t::DOUBLE / n_t) / nullif(conv_c::DOUBLE / n_c, 0.0) - 1')}
+             AS lift,
+           {pivot.format(x="(conv_t::DOUBLE / n_t - conv_c::DOUBLE / n_c) / "
+                           "nullif(sqrt(((conv_c + conv_t)::DOUBLE / (n_c + n_t)) "
+                           "* (1 - (conv_c + conv_t)::DOUBLE / (n_c + n_t)) "
+                           "* (1.0 / n_c + 1.0 / n_t)), 0.0)")} AS z_score
+    FROM s
+    """
+
+
+@query("q_ab_lift", oracle=_ab_lift_oracle())
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: hash-randomized A/B assignment
+    (portable md5 of '<salt>:<user_id>' mod 2 — the industry-standard
+    deterministic bucketing: stable across reruns, no assignment table
+    to store or join) and the two-proportion z-test on conversion
+    (converted = the user's FIRST event by arrival order is a view — a
+    scale-stable ~1-in-5 outcome on this data), with relative lift.
+    Every float
+    is a deterministic expression over exact integer counts, so the
+    whole test statistic hash-matches the oracle.
+
+    Scale: one partial+final aggregate per user then one global
+    4-counter reduce — assignment is a projection, never a shuffle or
+    a stored mapping; the same salt reproduces the same split on any
+    cluster."""
+    from spark_clustering_spark.functions.porthash import md5_int32
+
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    first = (
+        e.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type")
+    )
+    u = first.select(
+        "user_id",
+        (
+            md5_int32(
+                F.concat(F.lit(f"{AB_SEED}:"), F.col("user_id").cast("string"))
+            )
+            % 2
+        ).alias("arm"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("converted"),
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("conv_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("conv_t"),
+    )
+    rate_c = F.col("conv_c").cast("double") / F.col("n_c")
+    rate_t = F.col("conv_t").cast("double") / F.col("n_t")
+    pool = (F.col("conv_c") + F.col("conv_t")).cast("double") / (
+        F.col("n_c") + F.col("n_t")
+    )
+    # nullif guards mirror the oracle: degenerate splits (a 0% arm or
+    # 0/100% pooled rate — tiny slices) yield NULL, never a raise
+    z = (rate_t - rate_c) / F.nullif(
+        F.sqrt(
+            pool * (1 - pool) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t"))
+        ),
+        F.lit(0.0),
+    )
+    return s.select(
+        "n_c",
+        "n_t",
+        "conv_c",
+        "conv_t",
+        dround(rate_c, 6).alias("rate_c"),
+        dround(rate_t, 6).alias("rate_t"),
+        dround(rate_t / F.nullif(rate_c, F.lit(0.0)) - 1, 6).alias("lift"),
+        dround(z, 6).alias("z_score"),
+    )
