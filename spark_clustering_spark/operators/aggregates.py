@@ -1022,7 +1022,8 @@ def _ab_lift_oracle() -> str:
              sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_t
       FROM u
     )
-    SELECT n_c, n_t, conv_c, conv_t,
+    SELECT n_c::BIGINT AS n_c, n_t::BIGINT AS n_t,
+           conv_c::BIGINT AS conv_c, conv_t::BIGINT AS conv_t,
            {pivot.format(x='conv_c::DOUBLE / n_c')} AS rate_c,
            {pivot.format(x='conv_t::DOUBLE / n_t')} AS rate_t,
            {pivot.format(x='(conv_t::DOUBLE / n_t) / nullif(conv_c::DOUBLE / n_c, 0.0) - 1')}
