@@ -216,3 +216,70 @@ def test_gram_matrix_matches_numpy(spark, mat):
     np.testing.assert_allclose(mean, X.mean(0), rtol=1e-9, atol=1e-6)
     ref = (X.T @ X) / n - np.outer(X.mean(0), X.mean(0))
     np.testing.assert_allclose(cov, ref, rtol=1e-9, atol=1e-4)
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),      # duplicate-heavy key
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows_strategy, st.integers(min_value=2, max_value=12))
+def test_global_running_agg_matches_sequential_fold(spark, rows, nparts):
+    """global_running_agg's slice/carry-in composition equals a plain
+    sequential fold for sum/max/rank on arbitrary duplicate-heavy
+    inputs and any partition count (the two-pass machinery behind
+    every former single-reducer window)."""
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.operators.windows import global_running_agg
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id bigint, k int, v bigint") if data else (
+        spark.createDataFrame([], "id bigint, k int, v bigint")
+    )
+    out, totals = global_running_agg(
+        df,
+        [F.col("k"), F.col("id")],
+        {
+            "rsum": ("sum", F.col("v")),
+            "rmax": ("max", F.col("v")),
+            "rnk": ("count", None),
+        },
+        num_partitions=nparts,
+    )
+    got = {
+        r["id"]: (r["rsum"], r["rmax"], r["rnk"]) for r in out.collect()
+    }
+    ordered = sorted(data, key=lambda t: (t[1], t[0]))
+    acc, mx = 0, None
+    for rank, (i, _k, v) in enumerate(ordered, start=1):
+        acc += v
+        mx = v if mx is None else max(mx, v)
+        assert got[i] == (acc, mx, rank), (i, got[i], (acc, mx, rank))
+    assert totals["rnk"] == (len(data) or None)
+    if data:
+        assert totals["rsum"] == sum(v for _, _, v in data)
+        assert totals["rmax"] == max(v for _, _, v in data)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.binary(min_size=0, max_size=200))
+def test_png_decoder_rejects_garbage_loudly(b):
+    """Arbitrary bytes (including ones starting with the PNG magic)
+    must raise ValueError/zlib.error — never hang, never return
+    garbage pixels."""
+    import pytest
+    import zlib
+
+    from spark_clustering_spark.sources.multimodal import png_decode_pixels
+
+    with pytest.raises((ValueError, zlib.error, OverflowError)):
+        png_decode_pixels(b"\x89PNG\r\n\x1a\n" + b)
+    with pytest.raises((ValueError, zlib.error)):
+        png_decode_pixels(b)  # missing magic entirely
