@@ -123,6 +123,26 @@ def main() -> None:
         timings["fit_gka_ref_config"] = -1.0
         print(f"# bench error fit_gka_ref_config: {ex}", file=sys.stderr)
 
+    # symmetric PSO diagnostic: the reference README's 20-particle swarm
+    try:
+        from spark_clustering_spark.ml.pso import fit_pso
+        from spark_clustering_spark.operators.clustering import points_df
+
+        t0 = time.time()
+        fit_pso(
+            spark,
+            points_df(spark, sf_dir),
+            k=8,
+            num_particles=20,
+            num_iter=5,
+            seed=42,
+        ).metrics.write.format("noop").mode("overwrite").save()
+        timings["fit_pso_ref_config"] = round(time.time() - t0, 3)
+        samples["fit_pso_ref_config"] = 1
+    except Exception as ex:
+        timings["fit_pso_ref_config"] = -1.0
+        print(f"# bench error fit_pso_ref_config: {ex}", file=sys.stderr)
+
     canary_runs.append(_canary())
     canary_spread = round(max(canary_runs) / max(min(canary_runs), 1e-9), 3)
 
