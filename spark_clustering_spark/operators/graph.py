@@ -293,3 +293,101 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+REACH_HOPS = 3  # bounded-depth reachability horizon
+
+
+def _reachability_sql() -> str:
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    r AS (
+      SELECT src, dst, 1 AS hops FROM e
+      UNION ALL
+      SELECT r.src, e.dst, r.hops + 1
+      FROM r JOIN e ON e.src = r.dst
+      WHERE r.hops < {REACH_HOPS} AND e.dst <> r.src
+    ),
+    best AS (
+      SELECT src, dst, min(hops) AS min_hops FROM r GROUP BY src, dst
+    )
+    SELECT n.n_name AS src_nation,
+           count(*) AS n_reachable,
+           sum(CASE WHEN min_hops = 1 THEN 1 ELSE 0 END) AS direct,
+           min(min_hops)::INT AS nearest,
+           max(min_hops)::INT AS farthest
+    FROM best b JOIN nation n ON n.n_nationkey = b.src
+    GROUP BY n.n_name
+    """
+
+
+@query("q_graph_reachability", oracle=_reachability_sql())
+def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth reachability — the engine's recursive-CTE
+    equivalent: which nations can a supplier nation's goods reach
+    through at most {REACH_HOPS} trade hops, with min-hop distances.
+    The DuckDB oracle IS a recursive CTE; Spark has none, so the
+    frontier expands by UNROLLED iterative joins with a min-hops
+    reduction — the standard bounded-BFS-in-DataFrames shape (same
+    family as the PageRank loop and the dedup components fixpoint,
+    here over the relational tables as a declared SQL-checked surface).
+
+    Scale: the fact-sized pass builds the DISTINCT nation edge list
+    once (then <=|nations|² rows); each hop is one equi hash join of
+    frontier x edges with a groupBy min — frontier state is bounded by
+    (nodes x nodes), never path-enumerated (the oracle's UNION ALL
+    enumerates paths, fine at 25 nodes; the DataFrame side reduces to
+    min-hops per frontier PER HOP, which is what survives 100 TB)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # <=|nations|^2 rows, reused per hop
+    )
+    # bounded BFS: best(src, dst) -> min hops, frontier joined on edges
+    best = e.select("src", "dst", F.lit(1).alias("min_hops"))
+    frontier = best
+    for hop in range(2, REACH_HOPS + 1):
+        step = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .filter(F.col("e.dst") != F.col("f.src"))
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                F.lit(hop).alias("min_hops"),
+            )
+            .distinct()
+        )
+        best = best.unionByName(step)
+        frontier = step
+    best = best.groupBy("src", "dst").agg(F.min("min_hops").alias("min_hops"))
+    return (
+        best.join(F.broadcast(n), best["src"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("src_nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reachable"),
+            F.sum(F.when(F.col("min_hops") == 1, 1).otherwise(0)).alias(
+                "direct"
+            ),
+            F.min("min_hops").cast("int").alias("nearest"),
+            F.max("min_hops").cast("int").alias("farthest"),
+        )
+    )

@@ -13,6 +13,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_clustering_spark.io import table
 from spark_clustering_spark.registry import query
@@ -602,4 +603,71 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_price"),
         )
+    )
+
+
+@query(
+    "q_cdc_scd2",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type AS status,
+             epoch_us(ts) AS ts_us, event_id,
+             lag(event_type) OVER w AS prev_status
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    starts AS (
+      SELECT user_id, status, ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS version
+      FROM ch
+      WHERE prev_status IS NULL OR status <> prev_status
+    )
+    SELECT user_id, status, version::INT AS version,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to_us
+    FROM starts
+    """,
+)
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build from a changelog: treat
+    each user's event stream as status changes, collapse consecutive
+    duplicates (gaps-and-islands), and emit versioned validity
+    intervals [valid_from, valid_to) with NULL valid_to for the
+    current version — the warehouse operator that turns a CDC feed
+    into an as-of-joinable history table (completing the CDC family:
+    snapshot diff, last-writer-wins apply, and now full history).
+
+    Scale: both windows partition by user_id — one hash shuffle
+    reused across the change-detection, versioning, and interval
+    close; per-user state is one prior row. No global order
+    anywhere."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    ch = e.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_status"),
+    )
+    starts = ch.filter(
+        F.col("prev_status").isNull()
+        | (F.col("status") != F.col("prev_status"))
+    ).select(
+        "user_id",
+        "status",
+        "ts_us",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts_us", "event_id"))
+        .alias("version"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return starts.select(
+        "user_id",
+        "status",
+        F.col("version").cast("int").alias("version"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(wv).alias("valid_to_us"),
     )
