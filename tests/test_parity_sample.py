@@ -23,6 +23,12 @@ SAMPLE = [
     "q_dedup_exact",
     "q_text_fingerprint",
     "q_text_tfidf",
+    # round-5 machinery canaries
+    "q_window_running_global",   # global_running_agg two-pass
+    "q_olap_abc_pareto",         # decimal carry-in + driver-total literal
+    "q_graph_triangles",         # degree-oriented closure + scaled width
+    "q_cdc_scd2",                # gaps-and-islands SCD2
+    "q_ab_lift",                 # hash bucketing + guarded z-test
 ]
 
 
