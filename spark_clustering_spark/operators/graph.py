@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_clustering_spark.functions.detagg import dround
+from spark_clustering_spark.functions.detagg import dround, sql_dround
 from spark_clustering_spark.io import table
 from spark_clustering_spark.registry import query
 
@@ -389,5 +389,82 @@ def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.min("min_hops").cast("int").alias("nearest"),
             F.max("min_hops").cast("int").alias("farthest"),
+        )
+    )
+
+
+@query(
+    "q_graph_degree_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT c.c_custkey AS cust, l.l_partkey AS prt
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    deg AS (
+      SELECT 'customer' AS side, cust AS node, count(*) AS d
+      FROM e GROUP BY cust
+      UNION ALL
+      SELECT 'part' AS side, prt AS node, count(*) AS d
+      FROM e GROUP BY prt
+    )
+    SELECT side, length(cast(d AS VARCHAR)) AS bucket,
+           count(*) AS n_nodes,
+           min(d) AS min_deg, max(d) AS max_deg,
+           {sql_dround(
+               "cast(sum(cast(d AS DECIMAL(38,8))) AS DOUBLE) / count(*)"
+           )} AS avg_deg
+    FROM deg GROUP BY side, bucket
+    """,
+)
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer–part co-purchase BIPARTITE
+    graph, order-of-magnitude binned: for each side, bucket nodes by
+    the number of decimal digits in their degree (1–9, 10–99, …) and
+    report per-bucket node count and min/avg/max degree. The heavy-tail
+    profile this produces is the first thing to check before any graph
+    algorithm at scale — it tells you whether a hub-salting strategy is
+    needed (cf. the degree-ordered orientation in q_graph_triangles,
+    which exists precisely because this distribution is skewed).
+
+    Determinism: degrees are exact integer counts; the digit bucket is
+    an integer string length (no float log2, whose libm rounding could
+    flip a node sitting exactly on a power of two between engines);
+    avg_deg goes through the detagg decimal sum.
+
+    Scale: one fact-sized distinct (the edge build — same first pass
+    as q_graph_triangles), then two key-partitioned count aggregations
+    and a ~tens-of-buckets final aggregation. Partial aggregation
+    (map-side combine) does almost all the work; nothing is windowed,
+    nothing funnels through one reducer. At 100 TB the edge distinct is
+    the only real shuffle, and it's the unavoidable one."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(F.col("c_custkey").alias("cust"), F.col("l_partkey").alias("prt"))
+        .distinct()
+    )
+    deg = (
+        e.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+        .select(F.lit("customer").alias("side"), F.col("d"))
+        .unionByName(
+            e.groupBy("prt").agg(F.count(F.lit(1)).alias("d"))
+            .select(F.lit("part").alias("side"), F.col("d"))
+        )
+    )
+    return (
+        deg.groupBy("side", F.length(F.col("d").cast("string")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+            dround(
+                F.sum(F.col("d").cast("decimal(38,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_deg"),
         )
     )

@@ -45,6 +45,7 @@ def load_all_queries() -> None:
         scalars,
         scans,
         setops,
+        spatial,
         timeseries,
         vectors,
         windows,
