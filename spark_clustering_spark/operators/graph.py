@@ -320,7 +320,8 @@ def _reachability_sql() -> str:
     )
     SELECT n.n_name AS src_nation,
            count(*) AS n_reachable,
-           sum(CASE WHEN min_hops = 1 THEN 1 ELSE 0 END) AS direct,
+           cast(sum(CASE WHEN min_hops = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS direct,
            min(min_hops)::INT AS nearest,
            max(min_hops)::INT AS farthest
     FROM best b JOIN nation n ON n.n_nationkey = b.src
@@ -457,7 +458,10 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        deg.groupBy("side", F.length(F.col("d").cast("string")).alias("bucket"))
+        deg.groupBy(
+            "side",
+            F.length(F.col("d").cast("string")).cast("bigint").alias("bucket"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),
             F.min("d").alias("min_deg"),
