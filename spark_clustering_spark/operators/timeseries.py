@@ -823,3 +823,130 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+CUSUM_K = 0.5   # slack per step, in σ units
+CUSUM_H = 4.0   # alarm threshold, in σ units
+
+
+@query(
+    "q_ts_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             cast(round(sum(cast(value AS DECIMAL(38,8))), 4) AS DOUBLE)
+               AS x
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT count(*) AS n,
+             cast(sum(cast(x AS DECIMAL(38,8))) AS DOUBLE) AS s,
+             cast(sum(cast(x AS DECIMAL(38,8)) * cast(x AS DECIMAL(38,8)))
+                  AS DOUBLE) AS ss
+      FROM daily
+    ),
+    z AS (
+      SELECT day, x,
+             cast(round(cast(cast((
+               CASE WHEN (ss - s * s / n) / n > 0
+                    THEN (x - s / n) / sqrt((ss - s * s / n) / n)
+                    ELSE 0.0 END) AS VARCHAR) AS DECIMAL(38,12)), 4)
+               AS DECIMAL(38,8)) AS z4
+      FROM daily CROSS JOIN stats
+    ),
+    w AS (
+      SELECT day, z4,
+             sum(z4 - {CUSUM_K}) OVER o AS wpos,
+             sum(-z4 - {CUSUM_K}) OVER o AS wneg
+      FROM z WINDOW o AS (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT day, z4,
+             wpos - least(cast(0 AS DECIMAL(38,8)),
+                          min(wpos) OVER o) AS s_pos,
+             wneg - least(cast(0 AS DECIMAL(38,8)),
+                          min(wneg) OVER o) AS s_neg
+      FROM w WINDOW o AS (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           cast(z4 AS DOUBLE) AS zscore,
+           cast(round(s_pos, 4) AS DOUBLE) AS s_pos,
+           cast(round(s_neg, 4) AS DOUBLE) AS s_neg,
+           (s_pos > {CUSUM_H} OR s_neg > {CUSUM_H}) AS is_change
+    FROM s
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily event-value series
+    (Page 1954): standardize each day against the whole series, then
+    track the one-sided cumulative sums S±_t = max(0, S±_{t-1} ± z_t −
+    k) and alarm when either exceeds h — the standard drift detector
+    for metric regressions and data-quality monitoring.
+
+    The recursion is rewritten into its closed form S_t = W_t −
+    min(0, min_{j≤t} W_j) with W the plain prefix sum of (±z − k), so
+    the whole operator is two stock window aggregates — no recursive
+    UDF, no iterative loop, and the same rewrite serves any engine
+    (the oracle runs it verbatim).
+
+    Determinism: z is rounded to 4 dp FIRST and the prefix sums then
+    accumulate in exact DECIMAL(38,8) — window running sums over
+    doubles are NOT order-proof across engines (DuckDB evaluates
+    window aggregates through a segment tree whose addition order
+    differs from Spark's sequential frame scan); in decimal the order
+    is irrelevant. The alarm compare also happens in decimal.
+
+    Scale: the only data-proportional pass is the daily pre-aggregate
+    (map-side combined). Every window after it runs over the
+    days-cardinality series — bounded, like q_ts_anomaly; the per-key
+    production form partitions all three windows by entity."""
+    from spark_clustering_spark.functions.detagg import DEC, dround, dsum
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        dsum("value", "x")
+    )
+    xdec = F.col("x").cast(DEC)
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xdec).cast("double").alias("s"),
+        F.sum(xdec * xdec).cast("double").alias("ss"),
+    )
+    j = daily.crossJoin(F.broadcast(stats))
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (ss - s * s / n) / n
+    z = F.when(var > 0, (F.col("x") - s / n) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
+    zd = j.select("day", dround(z).cast(DEC).alias("z4"))
+    run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = F.lit(CUSUM_K).cast(DEC)
+    w = zd.select(
+        "day",
+        "z4",
+        F.sum(F.col("z4") - k).over(run).alias("wpos"),
+        F.sum(-F.col("z4") - k).over(run).alias("wneg"),
+    )
+    zero = F.lit(0).cast(DEC)
+    sdf = w.select(
+        "day",
+        "z4",
+        (F.col("wpos") - F.least(zero, F.min("wpos").over(run))).alias(
+            "s_pos"
+        ),
+        (F.col("wneg") - F.least(zero, F.min("wneg").over(run))).alias(
+            "s_neg"
+        ),
+    )
+    h = F.lit(CUSUM_H).cast(DEC)
+    return sdf.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("z4").cast("double").alias("zscore"),
+        F.round("s_pos", 4).cast("double").alias("s_pos"),
+        F.round("s_neg", 4).cast("double").alias("s_neg"),
+        ((F.col("s_pos") > h) | (F.col("s_neg") > h)).alias("is_change"),
+    )

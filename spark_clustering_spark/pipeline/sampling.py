@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_clustering_spark.functions.detagg import dround
 from spark_clustering_spark.functions.porthash import sql_hex_int
 from spark_clustering_spark.functions.rng import lcg_uniform, sql_lcg_uniform
 from spark_clustering_spark.io import table
@@ -357,4 +358,161 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("log_ratio"),
         )
+    )
+
+
+ES_K = 50        # sample size
+ES_SEED = 23
+_ES_A, _ES_C, _ES_M = 1103515245, 12345, 2**31
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             -ln(((doc_id * {_ES_A} + {_ES_C + ES_SEED}) % {_ES_M} + 0.5)
+                 / {float(_ES_M)}) / n_chars AS ekey
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars,
+           cast(round(cast(cast((ekey) AS VARCHAR) AS DECIMAL(38,12)), 6)
+                AS DOUBLE) AS ekey
+    FROM keyed
+    ORDER BY ekey, doc_id LIMIT {ES_K}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k={ES_K}, weight =
+    document length: the Efraimidis–Spirakis exponential race. Each
+    row draws its key-derived uniform u and competes with key
+    −ln(u)/w — an Exp(w) variate — and the k smallest keys win, which
+    is distributionally identical to sequential weighted draws without
+    replacement. The workhorse for "sample a training subset biased
+    toward long documents" (or toward any quality weight).
+
+    Against naive approaches: per-row keys need NO global weight total
+    (unlike CDF inversion, which needs a second pass and breaks under
+    streaming appends), and membership is a pure function of the row —
+    auditable, rerun-stable, and mergeable across shards.
+
+    Determinism: u comes from the shared integer LCG with a +0.5
+    offset so u ∈ (0,1) strictly (ln(0) guarded by construction, not
+    by branch); the ln and divide are one double expression on
+    identical inputs in both engines (the repo's established libm
+    envelope, cf. q_text_tfidf), and the emitted key goes through
+    dround(6).
+
+    Scale: keying is a stateless projection (zero shuffle);
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject — a
+    per-partition bounded heap merged on the driver, NOT a global
+    sort: at 100 TB each task keeps k rows, the exchange moves
+    tasks·k rows, and no reducer ever sees data-proportional input."""
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        (
+            (F.col("doc_id") * F.lit(_ES_A) + F.lit(_ES_C + ES_SEED))
+            % F.lit(_ES_M)
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_ES_M))
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (-F.log(u) / F.col("n_chars")).alias("ekey"),
+    )
+    return (
+        keyed.orderBy("ekey", "doc_id")
+        .limit(ES_K)
+        .select("doc_id", "lang", "n_chars", dround("ekey", 6).alias("ekey"))
+    )
+
+
+TOKEN_BUDGET = 12_000  # whitespace tokens
+
+
+@query(
+    "q_pipeline_token_budget",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               ::BIGINT AS n_tokens,
+             len(list_distinct(
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')))::BIGINT AS n_unique
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, n_tokens,
+             cast(round(cast(cast((
+               cast(n_unique AS DOUBLE) / n_tokens) AS VARCHAR)
+               AS DECIMAL(38,12)), 6) AS DOUBLE) AS quality
+      FROM scored WHERE n_tokens > 0
+    ),
+    run AS (
+      SELECT doc_id, n_tokens, quality,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, n_tokens, quality, cum_tokens::BIGINT AS cum_tokens
+    FROM run WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus selection under a hard token budget: score every document
+    by lexical diversity (unique-token ratio — the cheap repetition
+    penalty), take documents best-first until the cumulative token
+    count crosses {TOKEN_BUDGET}. This is the budgeting step every
+    pretraining data recipe ends with ("fill 1T tokens from the best
+    of the pool"), composed from the repo's token-count and quality
+    conventions.
+
+    The cumulative sum over a GLOBAL quality ordering is the classic
+    single-reducer trap; it's served by ``global_running_agg`` — range
+    shuffle on (quality DESC, doc_id), per-slice integer partials,
+    driver carry-ins — so no task ever materializes the whole ordering
+    (same machinery as q_window_running_global; plan-asserted there).
+
+    Determinism: token counts are integers, the ratio is one double
+    division rounded to 6 dp BEFORE ordering (so both engines order on
+    identical keys, doc_id breaking ties), and the running sum is an
+    integer sum — exact.
+
+    Scale: scoring is a stateless projection; the range shuffle moves
+    (doc_id, 2 ints, 1 double) per row, never text; the budget filter
+    prunes everything past the cut. At 100 TB the budget cut can also
+    be found by a quantile sketch on quality first, turning the range
+    shuffle into a broadcast-threshold filter — the two-job variant —
+    but the carry-in form stays exact under heavy quality ties."""
+    from spark_clustering_spark.operators.windows import global_running_agg
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    utoks = F.array_distinct(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    )
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(utoks).cast("bigint").alias("n_unique"),
+    ).filter(F.col("n_tokens") > 0)
+    q = scored.select(
+        "doc_id",
+        "n_tokens",
+        dround(F.col("n_unique").cast("double") / F.col("n_tokens"), 6).alias(
+            "quality"
+        ),
+    )
+    run, _tot = global_running_agg(
+        q,
+        [F.col("quality").desc(), F.col("doc_id")],
+        {"cum_tokens": ("sum", "n_tokens")},
+    )
+    return run.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", "n_tokens", "quality", F.col("cum_tokens").cast("bigint")
+        .alias("cum_tokens")
     )

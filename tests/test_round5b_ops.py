@@ -1,0 +1,88 @@
+"""Round-5b operators: CUSUM changepoint, ES weighted sampling,
+token-budget corpus selection."""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_SMALL
+
+
+def test_changepoint_matches_recursive_definition(spark):
+    """The prefix-sum closed form must equal the textbook recursion
+    S_t = max(0, S_{t-1} + y_t) replayed sequentially."""
+    from spark_clustering_spark.operators.timeseries import (
+        CUSUM_H,
+        CUSUM_K,
+        q_ts_changepoint,
+    )
+
+    rows = sorted(
+        q_ts_changepoint(spark, SF_SMALL).collect(), key=lambda r: r.day
+    )
+    assert len(rows) >= 25
+    sp = sn = 0.0
+    for r in rows:
+        sp = max(0.0, sp + r.zscore - CUSUM_K)
+        sn = max(0.0, sn - r.zscore - CUSUM_K)
+        assert abs(r.s_pos - sp) < 1e-6, r
+        assert abs(r.s_neg - sn) < 1e-6, r
+        assert r.is_change == (r.s_pos > CUSUM_H or r.s_neg > CUSUM_H)
+    # the standardized series must be roughly centered
+    zs = [r.zscore for r in rows]
+    assert abs(sum(zs) / len(zs)) < 0.2
+
+
+def test_weighted_sample_is_exact_topk(spark):
+    from spark_clustering_spark.pipeline.sampling import (
+        ES_K,
+        ES_SEED,
+        _ES_A,
+        _ES_C,
+        _ES_M,
+        q_sample_weighted,
+    )
+    from spark_clustering_spark.io import table
+
+    got = q_sample_weighted(spark, SF_SMALL).collect()
+    assert len(got) == ES_K
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    keys = []
+    for d in docs:
+        if d.n_chars <= 0:
+            continue
+        u = ((d.doc_id * _ES_A + _ES_C + ES_SEED) % _ES_M + 0.5) / float(
+            _ES_M
+        )
+        keys.append((-math.log(u) / d.n_chars, d.doc_id))
+    expect = {doc for _, doc in sorted(keys)[:ES_K]}
+    assert {r.doc_id for r in got} == expect
+    assert all(r.ekey >= 0 for r in got)
+
+
+def test_token_budget_greedy_maximal(spark):
+    from spark_clustering_spark.pipeline.sampling import (
+        TOKEN_BUDGET,
+        q_pipeline_token_budget,
+    )
+
+    rows = sorted(
+        q_pipeline_token_budget(spark, SF_SMALL).collect(),
+        key=lambda r: r.cum_tokens,
+    )
+    assert rows
+    # running sums are internally consistent and within budget
+    acc = 0
+    for r in rows:
+        acc += r.n_tokens
+        assert r.cum_tokens == acc
+        assert r.cum_tokens <= TOKEN_BUDGET
+    # quality is non-increasing along the selection order
+    quals = [r.quality for r in rows]
+    assert all(a >= b for a, b in zip(quals, quals[1:]))
+    # greedy maximality: the selection stopped because the budget is
+    # nearly exhausted (no average-sized doc would still fit)
+    avg = acc / len(rows)
+    assert TOKEN_BUDGET - acc < 3 * avg
