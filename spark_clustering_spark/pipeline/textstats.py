@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_clustering_spark.functions.detagg import davg, dround, sql_davg
+from spark_clustering_spark.functions.detagg import davg, dround, sql_davg, sql_dround
 from spark_clustering_spark.io import table
 from spark_clustering_spark.registry import query
 
@@ -898,4 +898,101 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.join(d.select("doc_id", "lang"), "doc_id")
         .groupBy(F.col("lang").alias("true_lang"), "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q_text_zipf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS r
+      FROM tc
+    ),
+    sums AS (
+      SELECT count(*) AS n,
+             cast(sum(c) AS BIGINT) AS n_tokens,
+             sum(cast(ln(cast(r AS DOUBLE)) AS DECIMAL(38,8))) AS sx,
+             sum(cast(ln(cast(c AS DOUBLE)) AS DECIMAL(38,8))) AS sy,
+             sum(cast(ln(cast(r AS DOUBLE)) * ln(cast(c AS DOUBLE))
+                      AS DECIMAL(38,8))) AS sxy,
+             sum(cast(ln(cast(r AS DOUBLE)) * ln(cast(r AS DOUBLE))
+                      AS DECIMAL(38,8))) AS sxx
+      FROM ranked
+    ),
+    top AS (SELECT tok AS top_term, c AS top_count FROM ranked WHERE r = 1)
+    SELECT s.n AS n_terms, s.n_tokens, t.top_term, t.top_count,
+           {sql_dround(
+               "(s.n * cast(s.sxy AS DOUBLE)"
+               " - cast(s.sx AS DOUBLE) * cast(s.sy AS DOUBLE))"
+               " / (s.n * cast(s.sxx AS DOUBLE)"
+               " - cast(s.sx AS DOUBLE) * cast(s.sx AS DOUBLE))"
+           )} AS zipf_slope
+    FROM sums s CROSS JOIN top t
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit of the corpus vocabulary: rank every term by
+    frequency and fit ln(freq) = a + slope·ln(rank) by least squares —
+    natural corpora land near slope ≈ −1, so a corpus whose slope
+    drifts far from it (too flat: boilerplate/spam floods; too steep:
+    tiny effective vocabulary) fails the health check before training.
+    One audit row: vocabulary size, token count, the top term, and the
+    fitted slope.
+
+    The global frequency ranking is the scale decision: a vocabulary
+    at 100 TB is hundreds of millions of terms, so rank comes from
+    ``global_running_agg``'s two-pass carry-in row number (range
+    shuffle on (freq DESC, term)) — never a single-reducer window.
+
+    Determinism: ranks and counts are integers; each ln(·) and product
+    is one double expression on identical integer inputs (libm
+    envelope, cf. q_text_tfidf), accumulated in exact DECIMAL(38,8) so
+    the regression sums are order-proof; the slope division happens
+    once on identical doubles and goes through dround.
+
+    Scale: tokenize → map-side-combined term count (the only
+    fact-sized shuffle) → vocab-sized range shuffle → one scalar
+    aggregate. No data-proportional single partition anywhere."""
+    from spark_clustering_spark.functions.detagg import DEC
+    from spark_clustering_spark.operators.windows import global_running_agg
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ranked, _tot = global_running_agg(
+        tc, [F.col("c").desc(), F.col("tok")], {"r": ("count", None)}
+    )
+    lr = F.log(F.col("r").cast("double"))
+    lc = F.log(F.col("c").cast("double"))
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(lr.cast(DEC)).alias("sx"),
+        F.sum(lc.cast(DEC)).alias("sy"),
+        F.sum((lr * lc).cast(DEC)).alias("sxy"),
+        F.sum((lr * lr).cast(DEC)).alias("sxx"),
+    )
+    top = ranked.filter(F.col("r") == 1).select(
+        F.col("tok").alias("top_term"), F.col("c").alias("top_count")
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.crossJoin(F.broadcast(top)).select(
+        F.col("n").alias("n_terms"),
+        "n_tokens",
+        "top_term",
+        "top_count",
+        dround(slope).alias("zipf_slope"),
     )

@@ -86,3 +86,63 @@ def test_token_budget_greedy_maximal(spark):
     # nearly exhausted (no average-sized doc would still fit)
     avg = acc / len(rows)
     assert TOKEN_BUDGET - acc < 3 * avg
+
+
+def test_blocked_editdist_matches_brute_force(spark):
+    """Length-grid blocking must be lossless for the threshold."""
+    from spark_clustering_spark.pipeline.dedup import (
+        EDITDIST_MAX,
+        q_dedup_blocked_editdist,
+    )
+    from spark_clustering_spark.io import table
+    from pyspark.sql import functions as F
+
+    got = q_dedup_blocked_editdist(spark, SF_SMALL)
+    names = (
+        table(spark, SF_SMALL, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = names.select(F.col("p_name").alias("na"), F.col("n").alias("ca"))
+    b = names.select(F.col("p_name").alias("nb"), F.col("n").alias("cb"))
+    brute = (
+        a.join(b, F.col("na") < F.col("nb"))
+        .filter(F.levenshtein("na", "nb") <= EDITDIST_MAX)
+        .collect()
+    )
+    got_rows = got.collect()
+    assert {(r.name_a, r.name_b) for r in got_rows} == {
+        (r.na, r.nb) for r in brute
+    }
+    assert len(got_rows) > 0
+    counts = dict(names.collect())
+    for r in got_rows:
+        assert 1 <= r.dist <= EDITDIST_MAX
+        assert r.n_a == counts[r.name_a] and r.n_b == counts[r.name_b]
+
+
+def test_zipf_slope_and_totals(spark):
+    from spark_clustering_spark.pipeline.textstats import q_text_zipf
+    from spark_clustering_spark.io import table
+    from pyspark.sql import functions as F
+
+    row = q_text_zipf(spark, SF_SMALL).collect()
+    assert len(row) == 1
+    r = row[0]
+    d = table(spark, SF_SMALL, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("tok")
+    )
+    assert r.n_tokens == toks.count()
+    assert r.n_terms == toks.distinct().count()
+    top = (
+        toks.groupBy("tok")
+        .count()
+        .orderBy(F.col("count").desc(), "tok")
+        .first()
+    )
+    assert (r.top_term, r.top_count) == (top.tok, top["count"])
+    # frequency is non-increasing in rank, so the fitted slope is < 0
+    assert r.zipf_slope < 0
