@@ -1104,3 +1104,83 @@ def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(rate_t / F.nullif(rate_c, F.lit(0.0)) - 1, 6).alias("lift"),
         dround(z, 6).alias("z_score"),
     )
+
+
+_FK_EDGES = [
+    # (edge name, child table, fk col, parent table, pk col)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _referential_sql() -> str:
+    parts = []
+    for name, child, fk, parent, pk in _FK_EDGES:
+        parts.append(f"""
+    SELECT '{name}' AS edge,
+           cast(count(*) AS BIGINT) AS n_child,
+           cast(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_fk,
+           cast(sum(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           cast((sum(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                     THEN 1 ELSE 0 END) = 0) AS INT) AS ref_ok
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON p.{pk} = c.{fk}""")
+    return "\n    UNION ALL\n".join(parts)
+
+
+@query("q_dq_referential", oracle=_referential_sql())
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the whole star schema: for every
+    foreign-key edge, count child rows, NULL foreign keys, and ORPHANS
+    (non-null FKs with no parent) — the companion to q_dq_constraints
+    (which audits one table's invariants; this audits the edges
+    BETWEEN tables). An orphan count that isn't zero is the first
+    thing a warehouse ingest gate checks, because every downstream
+    inner join silently drops those rows.
+
+    Shape per edge: child LEFT JOIN distinct-parent-keys, aggregated
+    in the same pass — the join IS the membership test, so no second
+    scan and no EXISTS subquery per row. Dimension-sized parents
+    (nation, region, customer at ratio) broadcast; the lineitem edges
+    co-partition on the key like any fact join, and AQE handles the
+    rest. Each edge is an independent job — at 100 TB you audit edges
+    incrementally per ingest batch, not monolithically.
+
+    Determinism: all outputs are exact integer counts."""
+    out = None
+    for name, child, fk, parent, pk in _FK_EDGES:
+        c = table(spark, sf_dir, child).select(F.col(fk).alias("_fk"))
+        p = (
+            table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("_pk"))
+            .distinct()
+        )
+        joined = c.join(p, c["_fk"] == p["_pk"], "left")
+        agg = joined.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col("_fk").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_fk"),
+            F.sum(
+                F.when(
+                    F.col("_fk").isNotNull() & F.col("_pk").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_orphans"),
+        ).select(
+            F.lit(name).alias("edge"),
+            F.col("n_child"),
+            F.col("n_null_fk"),
+            "n_orphans",
+            (F.col("n_orphans") == 0).cast("int").alias("ref_ok"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

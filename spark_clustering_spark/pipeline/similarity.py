@@ -1361,3 +1361,121 @@ def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick") <= CB_PER_CLUSTER)
         .select("vec_id", F.col("cid").cast("int").alias("cid"), "pick")
     )
+
+
+KNN_MOD = 8   # deterministic corpus subset: vec_id % KNN_MOD == 0
+KNN_K = 5
+
+
+@query(
+    "q_vec_knn_graph",
+    oracle=f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+      WHERE vec_id % {KNN_MOD} = 0
+    ),
+    unn AS (
+      SELECT vec_id, unnest(vec) AS v, generate_subscripts(vec, 1) AS pos
+      FROM ve
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(cast(sum(cast(v * v AS DECIMAL(38,8))) AS DOUBLE)) AS nrm
+      FROM unn GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS DOUBLE) AS dot
+      FROM unn a JOIN unn b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.src, d.dst, d.dot / (na.nrm * nb.nrm) AS cos
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.src
+      JOIN norms nb ON nb.vec_id = d.dst
+    ),
+    topk AS (
+      SELECT src, dst, cos,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos DESC, dst) AS rn
+      FROM scored QUALIFY rn <= {KNN_K}
+    )
+    SELECT t1.src AS id_a, t1.dst AS id_b,
+           cast(round(cast(cast((t1.cos) AS VARCHAR) AS DECIMAL(38,12)), 4)
+                AS DOUBLE) AS cos,
+           t1.rn::INT AS rank_ab, t2.rn::INT AS rank_ba
+    FROM topk t1 JOIN topk t2 ON t2.src = t1.dst AND t2.dst = t1.src
+    WHERE t1.src < t1.dst
+    """,
+)
+def q_vec_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL k-nearest-neighbour graph over a deterministic corpus
+    subset (vec_id ≡ 0 mod {KNN_MOD}): an undirected edge (a, b)
+    survives iff b is in a's cosine top-{KNN_K} AND a is in b's. The
+    mutuality filter is what makes kNN graphs usable downstream —
+    one-directional edges from hub vectors are exactly the noise that
+    wrecks graph-based clustering (HDBSCAN-style) and SemDeDup-like
+    community detection; the mutual graph is the standard input to
+    both.
+
+    Against q_sim_topk_cosine (probe→corpus retrieval): this is
+    corpus→corpus graph CONSTRUCTION, with the symmetric-rank join on
+    top — a different downstream contract (edges, not hit lists).
+
+    Determinism: exact-decimal dot products (order-proof), ranking on
+    identical doubles with dst tie-break, both ranks emitted.
+
+    Scale: the declared all-pairs form is the oracle surface for a
+    bounded subset; the production path at 100 TB swaps candidate
+    generation to the LSH buckets / IVF routing already in this module
+    (cosine_lsh_buckets, ivf_assign) and keeps the SAME mutual-join
+    tail — the top-k window partitions by src (never global), and the
+    mutual join is an equi self-join on (src, dst) ↔ (dst, src)."""
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % KNN_MOD == 0)
+        .select("vec_id", as_double_array("embedding").alias("vec"))
+    )
+    unn = e.select("vec_id", F.posexplode("vec").alias("pos", "v"))
+    norms = unn.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double")).alias(
+            "nrm"
+        )
+    )
+    a = unn.select(F.col("vec_id").alias("src"), "pos", F.col("v").alias("va"))
+    b = unn.select(F.col("vec_id").alias("dst"), "pos", F.col("v").alias("vb"))
+    dots = (
+        F.broadcast(a)
+        .join(b, "pos")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum((F.col("va") * F.col("vb")).cast(DEC)).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("src"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("dst"), F.col("nrm").alias("nb"))
+    scored = (
+        dots.join(F.broadcast(na), "src")
+        .join(F.broadcast(nb), "dst")
+        .select("src", "dst", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    topk = scored.select(
+        "src", "dst", "cos", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= KNN_K)
+    t2 = topk.select(
+        F.col("src").alias("dst"),
+        F.col("dst").alias("src"),
+        F.col("rn").alias("rank_ba"),
+    )
+    return (
+        topk.join(t2, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            dround("cos").alias("cos"),
+            F.col("rn").cast("int").alias("rank_ab"),
+            F.col("rank_ba").cast("int").alias("rank_ba"),
+        )
+    )

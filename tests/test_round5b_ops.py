@@ -146,3 +146,71 @@ def test_zipf_slope_and_totals(spark):
     assert (r.top_term, r.top_count) == (top.tok, top["count"])
     # frequency is non-increasing in rank, so the fitted slope is < 0
     assert r.zipf_slope < 0
+
+
+def test_referential_audit_all_edges_ok(spark):
+    from spark_clustering_spark.operators.aggregates import (
+        _FK_EDGES,
+        q_dq_referential,
+    )
+
+    rows = q_dq_referential(spark, SF_SMALL).collect()
+    assert len(rows) == len(_FK_EDGES)
+    # the synthetic star schema is referentially intact
+    for r in rows:
+        assert r.ref_ok == 1 and r.n_orphans == 0
+        assert r.n_child > 0
+
+
+def test_referential_audit_detects_injected_orphans(spark):
+    """Corrupt one FK and the edge must flip to failing."""
+    from pyspark.sql import functions as F
+    from spark_clustering_spark.io import table
+
+    c = table(spark, SF_SMALL, "customer").select(
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_custkey") + 10_000_000)
+        .otherwise(F.col("c_custkey"))
+        .alias("_fk")
+    )
+    p = (
+        table(spark, SF_SMALL, "customer")
+        .select(F.col("c_custkey").alias("_pk"))
+        .distinct()
+    )
+    joined = c.join(p, c["_fk"] == p["_pk"], "left")
+    n_orphans = joined.filter(
+        F.col("_fk").isNotNull() & F.col("_pk").isNull()
+    ).count()
+    assert n_orphans == c.filter(F.col("_fk") >= 10_000_000).count() > 0
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark):
+    from spark_clustering_spark.pipeline.dedup import q_text_ngram_novelty
+
+    rows = q_text_ngram_novelty(spark, SF_SMALL).collect()
+    assert rows
+    by_id = {r.doc_id: r for r in rows}
+    # every ratio in [0,1], counts consistent
+    for r in rows:
+        assert 0 <= r.n_dup <= r.n_shingles
+        assert abs(r.novelty - (1 - r.n_dup / r.n_shingles)) < 1e-6
+    # the earliest doc can have no earlier source: novelty exactly 1
+    first = min(by_id)
+    assert by_id[first].novelty == 1.0
+
+
+def test_knn_graph_mutuality(spark):
+    from pyspark.sql import functions as F
+    from spark_clustering_spark.pipeline.similarity import (
+        KNN_K,
+        KNN_MOD,
+        q_vec_knn_graph,
+    )
+
+    rows = q_vec_knn_graph(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.id_a % KNN_MOD == 0 and r.id_b % KNN_MOD == 0
+        assert 1 <= r.rank_ab <= KNN_K and 1 <= r.rank_ba <= KNN_K
+        assert -1.0001 <= r.cos <= 1.0001
