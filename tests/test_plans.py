@@ -530,3 +530,58 @@ def test_kmeanspp_cumsum_no_single_partition(spark, qs):
 
     src = inspect.getsource(clustering.q_ml_kmeanspp_init)
     assert "global_running_agg" in src
+
+
+def test_spatial_grid_is_pure_hash_join(spark, qs):
+    """The grid radius join must be a plain shuffled equi join on the
+    cell key: no cartesian/broadcast-nested-loop node, no wide
+    distinct (pairs are generated exactly once by construction)."""
+    plan = formatted_plan(qs["q_join_spatial_grid"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" not in plan or "distinct" not in plan.lower()
+
+
+def test_token_budget_no_single_partition(spark, qs):
+    """The global quality-ordered running sum rides
+    global_running_agg's range shuffle — never one reducer."""
+    plan = formatted_plan(qs["q_pipeline_token_budget"](spark, SF_SMALL))
+    assert "SinglePartition" not in plan, plan[:1200]
+
+
+def test_zipf_rank_no_single_partition(spark, qs):
+    """Vocabulary ranking comes from the two-pass carry-in row number;
+    the only single-partition exchange allowed is the 1-row final
+    audit aggregate."""
+    from spark_clustering_spark.pipeline.textstats import q_text_zipf
+    from spark_clustering_spark.operators.windows import global_running_agg
+    from spark_clustering_spark.io import table
+    from pyspark.sql import functions as F
+
+    d = table(spark, SF_SMALL, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ranked, _ = global_running_agg(
+        tc, [F.col("c").desc(), F.col("tok")], {"r": ("count", None)}
+    )
+    plan = formatted_plan(ranked)
+    assert "SinglePartition" not in plan, plan[:1200]
+
+
+def test_weighted_sample_is_take_ordered(spark, qs):
+    """ES top-k must compile to TakeOrderedAndProject (bounded per-task
+    heap), not a global Sort."""
+    plan = formatted_plan(qs["q_sample_weighted"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_editdist_blocked_join_not_cartesian(spark, qs):
+    """The length-grid block must make the dictionary join an equi
+    hash join, never a cartesian product."""
+    plan = formatted_plan(qs["q_dedup_blocked_editdist"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
