@@ -1161,3 +1161,86 @@ def q_olap_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue") - F.col("prev_rev")) / F.col("prev_rev"), 6
         ).alias("mom_growth"),
     )
+
+
+@query(
+    "q_olap_price_elasticity",
+    oracle=f"""
+    WITH pts AS (
+      SELECT p.p_brand,
+             ln(l.l_extendedprice / l.l_quantity) AS x,
+             ln(cast(l.l_quantity AS DOUBLE)) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ),
+    s AS (
+      SELECT p_brand,
+             count(*) AS n,
+             sum(cast(x AS DECIMAL(38,8))) AS sx,
+             sum(cast(y AS DECIMAL(38,8))) AS sy,
+             sum(cast(x * y AS DECIMAL(38,8))) AS sxy,
+             sum(cast(x * x AS DECIMAL(38,8))) AS sxx
+      FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand, cast(n AS BIGINT) AS n,
+           {sql_dround(
+               "(n * cast(sxy AS DOUBLE) - cast(sx AS DOUBLE) * cast(sy AS DOUBLE))"
+               " / (n * cast(sxx AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE))"
+           )} AS elasticity,
+           {sql_dround(
+               "(cast(sy AS DOUBLE) - ((n * cast(sxy AS DOUBLE)"
+               " - cast(sx AS DOUBLE) * cast(sy AS DOUBLE))"
+               " / (n * cast(sxx AS DOUBLE) - cast(sx AS DOUBLE)"
+               " * cast(sx AS DOUBLE))) * cast(sx AS DOUBLE)) / n"
+           )} AS intercept
+    FROM s
+    """,
+)
+def q_olap_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand by IN-ENGINE grouped OLS:
+    regress ln(quantity) on ln(unit price) within each brand and emit
+    the fitted slope (the elasticity) and intercept. The "grouped
+    linear model as a single aggregation" pattern — no per-group
+    collect, no MLlib round trip: every sufficient statistic (n, Σx,
+    Σy, Σxy, Σx²) is one partial+final aggregate, so a million groups
+    cost the same shape as ten.
+
+    Determinism: each point's ln(·) and products are single double
+    expressions on identical inputs (libm envelope); the five
+    sufficient statistics accumulate in exact DECIMAL(38,8); the
+    slope/intercept arithmetic runs once per group on identical
+    doubles and goes through dround.
+
+    Scale: one fact scan, one broadcast dimension join (part), one
+    map-side-combined groupBy(brand). Adding regressors = adding
+    decimal sum columns (the normal-equations generalization) — still
+    one pass. The classic reason to do stats IN the warehouse."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    y = F.log(F.col("l_quantity").cast("double"))
+    from spark_clustering_spark.functions.detagg import DEC
+
+    pts = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand", x.alias("x"), y.alias("y")
+    )
+    s = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DEC)).alias("sx"),
+        F.sum(F.col("y").cast(DEC)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("sxx"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return s.select(
+        "p_brand",
+        n.cast("bigint").alias("n"),
+        dround(slope).alias("elasticity"),
+        dround(intercept).alias("intercept"),
+    )

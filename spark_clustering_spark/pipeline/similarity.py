@@ -1479,3 +1479,111 @@ def q_vec_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank_ba").cast("int").alias("rank_ba"),
         )
     )
+
+
+@query(
+    "q_sim_ivf_recall",
+    oracle=f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    {_ivf_train_ctes(IVF_NLIST, IVF_TRAIN_ITERS)},
+    lists AS (
+      SELECT v.vec_id, v.vec, c.cid AS list_id
+      FROM ve v CROSS JOIN coarse c
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY list_distance(v.vec, c.cvec), c.cid) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, vec AS pvec FROM ve
+      WHERE vec_id < {N_PROBES}
+    ),
+    probe_lists AS (
+      SELECT p.probe_id, c.cid AS list_id
+      FROM probes p CROSS JOIN coarse c
+      QUALIFY row_number() OVER (PARTITION BY p.probe_id
+        ORDER BY list_distance(p.pvec, c.cvec), c.cid) <= {IVF_NPROBE}
+    ),
+    ivf AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT pl.probe_id, l.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY pl.probe_id
+                 ORDER BY list_cosine_similarity(p.pvec, l.vec) DESC,
+                          l.vec_id) AS rn
+        FROM probe_lists pl
+        JOIN lists l ON l.list_id = pl.list_id
+        JOIN probes p ON p.probe_id = pl.probe_id
+        WHERE l.vec_id <> pl.probe_id) t
+      WHERE rn <= {TOP_K}
+    ),
+    brute AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.probe_id, v.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY list_cosine_similarity(p.pvec, v.vec) DESC,
+                          v.vec_id) AS rn
+        FROM probes p JOIN ve v ON v.vec_id <> p.probe_id) t
+      WHERE rn <= {TOP_K}
+    )
+    SELECT b.probe_id,
+           cast(count(i.cand_id) AS BIGINT) AS n_hits,
+           cast(cast(count(i.cand_id) AS DOUBLE) / {TOP_K} AS DOUBLE)
+             AS recall
+    FROM brute b
+    LEFT JOIN ivf i ON i.probe_id = b.probe_id AND i.cand_id = b.cand_id
+    GROUP BY b.probe_id
+    """,
+)
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} audit of the IVF index against exact brute-force
+    search, per probe — the measurement every ANN deployment runs
+    before trusting the index: recall = |IVF top-k ∩ exact top-k| / k.
+    Declared as a first-class query (not just a tool) because at
+    100 TB the audit itself must be distributed: the brute-force side
+    is the expensive ground truth you run on a sampled probe set, the
+    IVF side is the production path, and the join that scores them is
+    tiny (probes × k rows).
+
+    Determinism: both rankings order by the same float cosine with
+    cand_id tie-break — identical expression trees on identical
+    doubles in both engines (the established envelope of
+    q_sim_topk_ivf / q_sim_topk_cosine); the recall ratio is an exact
+    small-integer division.
+
+    Scale: reuses ivf_train / ivf_topk (broadcast quantizer, inverted-
+    list routing) and the broadcast-probe brute force; the final
+    set-intersection groupBy touches probes·k rows. Sampling more
+    probes scales linearly; nothing new shuffles."""
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    probes = ve.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
+    )
+    ivf = ivf_topk(ve, ivf_train(ve), probes, nprobe=IVF_NPROBE, k=TOP_K).select(
+        "probe_id", "cand_id"
+    )
+    brute = cosine_topk_fast(
+        ve,
+        probes.select(
+            F.col("probe_id").alias("vec_id"), F.col("pvec").alias("vec")
+        ),
+        k=TOP_K,
+    ).select("probe_id", "cand_id")
+    # left join on (probe_id, cand_id): count matches per probe
+    j = brute.join(
+        ivf.select(
+            F.col("probe_id").alias("probe_id"),
+            F.col("cand_id").alias("cand_id"),
+            F.lit(1).alias("_hit"),
+        ),
+        ["probe_id", "cand_id"],
+        "left",
+    )
+    return j.groupBy("probe_id").agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.lit(float(TOP_K))
+        ).alias("recall"),
+    )

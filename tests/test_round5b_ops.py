@@ -214,3 +214,51 @@ def test_knn_graph_mutuality(spark):
         assert r.id_a % KNN_MOD == 0 and r.id_b % KNN_MOD == 0
         assert 1 <= r.rank_ab <= KNN_K and 1 <= r.rank_ba <= KNN_K
         assert -1.0001 <= r.cos <= 1.0001
+
+
+def test_price_elasticity_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.olap import q_olap_price_elasticity
+
+    got = {r.p_brand: r for r in q_olap_price_elasticity(spark, SF_SMALL).collect()}
+    assert got
+    li = table(spark, SF_SMALL, "lineitem")
+    p = table(spark, SF_SMALL, "part").select("p_partkey", "p_brand")
+    pts = (
+        li.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .select("p_brand", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    brands = {r.p_brand for r in pts}
+    assert set(got) == brands
+    brand = sorted(brands)[0]
+    x = np.log(
+        np.array(
+            [r.l_extendedprice / r.l_quantity for r in pts if r.p_brand == brand]
+        )
+    )
+    y = np.log(np.array([r.l_quantity for r in pts if r.p_brand == brand], float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(got[brand].elasticity - slope) < 1e-3
+    assert abs(got[brand].intercept - intercept) < 1e-3
+    assert got[brand].n == len(x)
+
+
+def test_ivf_recall_bounds(spark):
+    from spark_clustering_spark.pipeline.similarity import (
+        N_PROBES,
+        TOP_K,
+        q_sim_ivf_recall,
+    )
+
+    rows = q_sim_ivf_recall(spark, SF_SMALL).collect()
+    assert len(rows) == N_PROBES
+    for r in rows:
+        assert 0 <= r.n_hits <= TOP_K
+        assert abs(r.recall - r.n_hits / TOP_K) < 1e-9
+    # the index must be doing its job on the tiny fixture: mean recall
+    # comfortably above chance
+    assert sum(r.recall for r in rows) / len(rows) >= 0.5
