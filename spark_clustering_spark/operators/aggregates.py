@@ -17,10 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_clustering_spark.functions.detagg import (
+    DEC,
     davg,
     dround,
     dsum,
     sql_davg,
+    sql_dround,
     sql_dsum,
 )
 from spark_clustering_spark.io import register_temp_views, table
@@ -1184,3 +1186,81 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@query(
+    "q_agg_winsorize",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, {WINSOR_LO}) AS lo,
+             quantile_cont(value, {WINSOR_HI}) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           cast(count(*) AS BIGINT) AS n,
+           cast(sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_lo,
+           cast(sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_hi,
+           {sql_dround(
+               "cast(sum(cast(e.value AS DECIMAL(38,8))) AS DOUBLE)"
+               " / count(*)"
+           )} AS raw_mean,
+           {sql_dround(
+               "cast(sum(cast(greatest(least(e.value, c.hi), c.lo)"
+               " AS DECIMAL(38,8))) AS DOUBLE) / count(*)"
+           )} AS winsor_mean
+    FROM events e JOIN cuts c ON c.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-capped) mean per event type: clamp every
+    value into its group's exact [p{int(WINSOR_LO * 100)},
+    p{int(WINSOR_HI * 100)}] band, then average — the robust-statistics
+    pass that keeps a handful of fat-fingered points from owning a
+    metric, reported next to the raw mean and the capped-row counts so
+    the damage is visible.
+
+    Two-pass shape: exact per-group percentiles first (group-cardinality
+    state — Spark ``percentile`` and DuckDB ``quantile_cont`` are
+    bit-identical, the q_agg_percentile envelope), broadcast the cut
+    table back, clamp-and-aggregate in one pass with decimal-exact
+    sums. At 100 TB swap pass 1 to ``approx_percentile`` (the sketch
+    path) and keep pass 2 unchanged — the declared form stays the
+    oracle surface.
+
+    Scale: pass 1 is the only value-buffering aggregate; pass 2 is
+    map-side combined with the tiny cuts table broadcast. Nothing
+    windows; nothing funnels to one reducer."""
+    from spark_clustering_spark.io import spread
+
+    e = spread(table(spark, sf_dir, "events").select("event_type", "value"))
+    cuts = e.groupBy("event_type").agg(
+        F.percentile("value", F.array(F.lit(WINSOR_LO), F.lit(WINSOR_HI))).alias(
+            "ps"
+        )
+    ).select(
+        "event_type", F.col("ps")[0].alias("lo"), F.col("ps")[1].alias("hi")
+    )
+    j = e.join(F.broadcast(cuts), "event_type")
+    clamped = F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_capped_lo"),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_capped_hi"),
+        dround(
+            F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("raw_mean"),
+        dround(
+            F.sum(clamped.cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("winsor_mean"),
+    )

@@ -1244,3 +1244,75 @@ def q_olap_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(slope).alias("elasticity"),
         dround(intercept).alias("intercept"),
     )
+
+
+@query(
+    "q_olap_cohort_revenue",
+    oracle=f"""
+    WITH fo AS (
+      SELECT o_custkey,
+             min(date_part('year', o_orderdate) * 12
+                 + date_part('month', o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ),
+    w AS (
+      SELECT f.cohort_m,
+             (date_part('year', o.o_orderdate) * 12
+              + date_part('month', o.o_orderdate)) - f.cohort_m AS offs,
+             o.o_custkey, o.o_totalprice
+      FROM orders o JOIN fo f ON f.o_custkey = o.o_custkey
+    )
+    SELECT cast(cohort_m // 12 AS BIGINT) AS cohort_year,
+           cast(cohort_m % 12 + 1 AS BIGINT) AS cohort_month,
+           cast(offs AS BIGINT) AS month_offset,
+           cast(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM w
+    GROUP BY cohort_m, offs
+    """,
+)
+def q_olap_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort revenue matrix: customers are grouped by their FIRST
+    order month (the cohort), and every later order lands in the
+    (cohort, months-since-first) cell with its revenue and active-
+    customer count — the standard LTV/retention triangle every growth
+    dashboard is built on.
+
+    Month arithmetic stays in exact integers (year·12 + month), never
+    date-diff floats; cohort attribution is an integer min per
+    customer.
+
+    Scale: the cohort table is customer-cardinality (one min
+    aggregate); joining it back to orders is a plain key join that
+    co-partitions on o_custkey — at 100 TB both sides bucket by
+    custkey and the join is shuffle-free. The distinct-count per cell
+    is the only heavy aggregate; partial aggregation handles it
+    (per-cell distinct customers ≪ rows)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("m"),
+    )
+    fo = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    w = o.join(fo, "o_custkey").select(
+        "cohort_m",
+        (F.col("m") - F.col("cohort_m")).alias("offs"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    return (
+        w.groupBy("cohort_m", "offs")
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .select(
+            F.floor(F.col("cohort_m") / 12).cast("bigint").alias("cohort_year"),
+            (F.col("cohort_m") % 12 + 1).cast("bigint").alias("cohort_month"),
+            F.col("offs").cast("bigint").alias("month_offset"),
+            "n_customers",
+            "revenue",
+        )
+    )

@@ -262,3 +262,39 @@ def test_ivf_recall_bounds(spark):
     # the index must be doing its job on the tiny fixture: mean recall
     # comfortably above chance
     assert sum(r.recall for r in rows) / len(rows) >= 0.5
+
+
+def test_winsorize_bounds(spark):
+    from spark_clustering_spark.operators.aggregates import q_agg_winsorize
+
+    rows = q_agg_winsorize(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # capping shrinks the spread but keeps the mean in range
+        assert r.n_capped_lo + r.n_capped_hi < r.n
+        # ~10% of rows are capped (5% each tail), give or take fixture noise
+        assert 0 < r.n_capped_lo + r.n_capped_hi <= 0.25 * r.n
+        assert r.winsor_mean is not None and r.raw_mean is not None
+
+
+def test_cohort_revenue_triangle(spark):
+    from pyspark.sql import functions as F
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.olap import q_olap_cohort_revenue
+
+    rows = q_olap_cohort_revenue(spark, SF_SMALL).collect()
+    assert rows
+    o = table(spark, SF_SMALL, "orders")
+    total = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    # offset-0 cells must cover every customer exactly once
+    zero = [r for r in rows if r.month_offset == 0]
+    assert sum(r.n_customers for r in zero) == n_cust
+    for r in rows:
+        assert r.month_offset >= 0
+        assert 1 <= r.cohort_month <= 12
+        assert r.n_customers >= 1
+    # revenue triangle total equals the table total
+    got_rev = sum(r.revenue for r in rows)
+    want_rev = o.agg(F.sum("o_totalprice")).first()[0]
+    assert abs(got_rev - want_rev) / want_rev < 1e-6
