@@ -472,3 +472,102 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_deg"),
         )
     )
+
+
+@query(
+    "q_graph_assortativity",
+    oracle=f"""
+    WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ),
+    ends AS (  -- each undirected edge contributes both orientations
+      SELECT du.d AS dx, dv.d AS dy
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.d AS dx, du.d AS dy
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    s AS (
+      SELECT count(*) AS m2,
+             sum(cast(dx AS DECIMAL(38,8))) AS sx,
+             sum(cast(dx AS DECIMAL(38,8)) * cast(dx AS DECIMAL(38,8))) AS sxx,
+             sum(cast(dx AS DECIMAL(38,8)) * cast(dy AS DECIMAL(38,8))) AS sxy
+      FROM ends
+    )
+    SELECT cast(m2 // 2 AS BIGINT) AS n_edges,
+           {sql_dround(
+               "(m2 * cast(sxy AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE))"
+               " / (m2 * cast(sxx AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE))",
+               6,
+           )} AS assortativity
+    FROM s
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (Newman
+    2002): the Pearson correlation of endpoint degrees over all edge
+    stubs — positive means hubs link to hubs (social-network shape),
+    negative means hubs link to leaves (hub-and-spoke). Together with
+    q_graph_degree_stats this fixes the two numbers that determine how
+    a graph algorithm will behave under skew BEFORE you run it.
+
+    By symmetry each undirected edge contributes both (dx,dy) and
+    (dy,dx) stubs, which collapses the correlation to three sufficient
+    statistics (Σx = Σy, Σx² = Σy², Σxy) — one decimal-exact aggregate
+    over the stub stream, the same grouped-OLS trick as
+    q_olap_price_elasticity.
+
+    Scale: reuses the triangle operator's edge build (the only
+    fact-sized pass); the degree join is node-cardinality broadcast-
+    able state; the stub aggregate is map-side combined. One audit
+    row out."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select("o", F.col("p").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    pairs = e.join(du, "u").join(dv, "v")
+    ends = pairs.select(
+        F.col("du").alias("dx"), F.col("dv").alias("dy")
+    ).unionByName(
+        pairs.select(F.col("dv").alias("dx"), F.col("du").alias("dy"))
+    )
+    from spark_clustering_spark.functions.detagg import DEC
+
+    s = ends.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.col("dx").cast(DEC)).alias("sx"),
+        F.sum((F.col("dx").cast(DEC) * F.col("dx").cast(DEC))).alias("sxx"),
+        F.sum((F.col("dx").cast(DEC) * F.col("dy").cast(DEC))).alias("sxy"),
+    )
+    m2 = F.col("m2")
+    sx = F.col("sx").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    r = (m2 * sxy - sx * sx) / (m2 * sxx - sx * sx)
+    return s.select(
+        F.floor(m2 / 2).cast("bigint").alias("n_edges"),
+        dround(r, 6).alias("assortativity"),
+    )

@@ -73,3 +73,40 @@ def test_degree_stats_invariants(spark):
         for side in ("customer", "part")
     }
     assert got == {"customer": n_cust, "part": n_part}
+
+
+def test_assortativity_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.graph import q_graph_assortativity
+
+    row = q_graph_assortativity(spark, SF_SMALL).collect()
+    assert len(row) == 1
+    got = row[0]
+    li = (
+        table(spark, SF_SMALL, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select("o", F.col("p").alias("v"))
+    edges = [
+        (r.u, r.v)
+        for r in a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .collect()
+    ]
+    assert got.n_edges == len(edges)
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs = [deg[u] for u, v in edges] + [deg[v] for u, v in edges]
+    ys = [deg[v] for u, v in edges] + [deg[u] for u, v in edges]
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert abs(got.assortativity - want) < 1e-4
+    assert -1.0 <= got.assortativity <= 1.0
