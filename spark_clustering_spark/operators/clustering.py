@@ -787,3 +787,123 @@ def q_ml_gmm_estep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").cast("int").alias("cid"),
         dround(F.col("l") / F.col("z"), 6).alias("resp"),
     )
+
+
+@query(
+    "q_ml_logreg_step",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+             ln(l_extendedprice / l_quantity) AS z
+      FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(cast(z AS DECIMAL(38,8))) AS sz,
+             sum(cast(z * z AS DECIMAL(38,8))) AS szz,
+             sum(cast(y - 0.5 AS DECIMAL(38,8))) AS g0,
+             sum(cast(z * (y - 0.5) AS DECIMAL(38,8))) AS g1,
+             sum(cast(y AS DECIMAL(38,8))) AS npos
+      FROM pts
+    ),
+    beta AS (
+      SELECT n, cast(npos AS BIGINT) AS n_pos,
+             4.0 * (cast(szz AS DOUBLE) * cast(g0 AS DOUBLE)
+                    - cast(sz AS DOUBLE) * cast(g1 AS DOUBLE))
+                 / (n * cast(szz AS DOUBLE)
+                    - cast(sz AS DOUBLE) * cast(sz AS DOUBLE)) AS b0,
+             4.0 * (n * cast(g1 AS DOUBLE)
+                    - cast(sz AS DOUBLE) * cast(g0 AS DOUBLE))
+                 / (n * cast(szz AS DOUBLE)
+                    - cast(sz AS DOUBLE) * cast(sz AS DOUBLE)) AS b1
+      FROM s
+    ),
+    ev AS (
+      SELECT b.n, b.n_pos, b.b0, b.b1,
+             sum(CASE WHEN (CASE WHEN b.b0 + b.b1 * p.z > 0
+                            THEN 1.0 ELSE 0.0 END) = p.y
+                      THEN 1 ELSE 0 END) AS n_correct
+      FROM pts p CROSS JOIN beta b
+      GROUP BY b.n, b.n_pos, b.b0, b.b1
+    )
+    SELECT cast(n AS BIGINT) AS n, n_pos,
+           {sql_dround("b0", 6)} AS beta0,
+           {sql_dround("b1", 6)} AS beta1,
+           {sql_dround("cast(n_correct AS DOUBLE) / n", 6)} AS train_acc
+    FROM ev
+    """,
+)
+def q_ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Newton–Raphson step of logistic regression, ENTIRELY
+    in the engine: model P(returned) = σ(β₀ + β₁·ln unit price), start
+    at β = 0 where the update has the closed form β = 4·(XᵀX)⁻¹·Xᵀ(y −
+    ½) (at zero all σ' = ¼), evaluate training accuracy at the updated
+    β in a second pass. The IRLS-as-aggregation pattern: every
+    iteration of a GLM fit is sufficient statistics + a tiny
+    driver-side solve — here d = 2 so even the solve inlines as
+    closed-form SQL, making the whole training step oracle-replayable
+    (the fit_* loops extend exactly this shape with broadcast betas).
+
+    Determinism: the five sufficient statistics accumulate in exact
+    DECIMAL(38,8) from identical per-row doubles; the 2×2 inverse is
+    one algebraic expression; the accuracy threshold compares identical
+    doubles (a tie needs β₀ + β₁z exactly 0 — measure-zero).
+
+    Scale: two map-side-combined scans (statistics, then evaluation
+    with the 2-double β broadcast as part of the plan). A d-feature
+    production GLM keeps the same two-pass shape with a d² aggregate
+    and a driver Cholesky — still no data-proportional state."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    pts = li.select(
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("z"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("z").cast(DEC)).alias("sz"),
+        F.sum((F.col("z") * F.col("z")).cast(DEC)).alias("szz"),
+        F.sum((F.col("y") - 0.5).cast(DEC)).alias("g0"),
+        F.sum((F.col("z") * (F.col("y") - 0.5)).cast(DEC)).alias("g1"),
+        F.sum(F.col("y").cast(DEC)).alias("npos"),
+    )
+    n = F.col("n")
+    sz, szz = F.col("sz").cast("double"), F.col("szz").cast("double")
+    g0, g1 = F.col("g0").cast("double"), F.col("g1").cast("double")
+    det = n * szz - sz * sz
+    beta = s.select(
+        "n",
+        F.col("npos").cast("bigint").alias("n_pos"),
+        (4.0 * (szz * g0 - sz * g1) / det).alias("b0"),
+        (4.0 * (n * g1 - sz * g0) / det).alias("b1"),
+    )
+    ev = (
+        pts.crossJoin(F.broadcast(beta))
+        .select(
+            "n",
+            "n_pos",
+            "b0",
+            "b1",
+            F.when(
+                F.when(
+                    F.col("b0") + F.col("b1") * F.col("z") > 0, 1.0
+                ).otherwise(0.0)
+                == F.col("y"),
+                1,
+            )
+            .otherwise(0)
+            .alias("ok"),
+        )
+        .groupBy("n", "n_pos", "b0", "b1")
+        .agg(F.sum("ok").alias("n_correct"))
+    )
+    return ev.select(
+        F.col("n").cast("bigint").alias("n"),
+        "n_pos",
+        dround("b0", 6).alias("beta0"),
+        dround("b1", 6).alias("beta1"),
+        dround(F.col("n_correct").cast("double") / F.col("n"), 6).alias(
+            "train_acc"
+        ),
+    )

