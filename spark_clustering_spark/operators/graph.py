@@ -571,3 +571,107 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(m2 / 2).cast("bigint").alias("n_edges"),
         dround(r, 6).alias("assortativity"),
     )
+
+
+KCORE_K = 100
+KCORE_ROUNDS = 3
+
+
+def _kcore_sql() -> str:
+    k, rounds = KCORE_K, KCORE_ROUNDS
+    ctes = ["""e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+    )"""]
+    sel = []
+    for t in range(1, rounds + 1):
+        ctes.append(f"""d{t} AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e{t - 1} UNION ALL SELECT v FROM e{t - 1}
+      ) GROUP BY node
+    ),
+    a{t} AS (SELECT node FROM d{t} WHERE d >= {k}),
+    e{t} AS (
+      SELECT e.u, e.v FROM e{t - 1} e
+      JOIN a{t} au ON au.node = e.u
+      JOIN a{t} av ON av.node = e.v
+    )""")
+        sel.append(
+            f"SELECT {t} AS round, (SELECT count(*) FROM a{t}) AS n_alive,"
+            f" (SELECT count(*) FROM e{t}) AS n_edges"
+        )
+    return (
+        "WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p"
+        " FROM lineitem),\n    "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT cast(round AS BIGINT) AS round,"
+        " cast(n_alive AS BIGINT) AS n_alive,"
+        " cast(n_edges AS BIGINT) AS n_edges FROM ("
+        + " UNION ALL ".join(sel)
+        + ") t"
+    )
+
+
+@query("q_graph_kcore", oracle=_kcore_sql())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_ROUNDS} synchronous peeling rounds toward the
+    {KCORE_K}-core of the part co-purchase graph: each round drops
+    every node whose CURRENT degree is below k, then discards edges
+    touching dropped nodes, and reports (round, surviving nodes,
+    surviving edges). The k-core is the standard "dense engagement
+    backbone" extraction — what remains after the periphery (and the
+    periphery's support) cascades away — and the peeling loop is the
+    canonical iterative-refinement graph shape after PageRank
+    (q_graph_pagerank) and frontier BFS (q_graph_reachability):
+    recompute a node statistic, filter, re-filter edges, repeat.
+
+    Bounded unrolling (like PR_ITERS/max-hops): each declared round is
+    degree-count → semi-filter → edge filter, all integer-exact. Full
+    convergence at scale = loop the same step with an early-exit count
+    check (the fit_* driver-loop pattern); each round's shuffles stay
+    edges-sized, state stays node-sized, and the edge set only
+    shrinks, so iteration cost is monotone non-increasing.
+
+    Scale: the edge build is the one fact-sized pass (shared shape
+    with q_graph_triangles); per round, degree is a map-side-combined
+    count and the alive filter is two node-keyed semi joins — at
+    1000 executors the node table broadcasts while edges stay
+    partitioned."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select("o", F.col("p").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by every peel round
+    )
+    out = None
+    for t in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= KCORE_K).select("node")
+        e = (
+            e.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        row = alive.agg(F.count(F.lit(1)).alias("n_alive")).crossJoin(
+            e.agg(F.count(F.lit(1)).alias("n_edges"))
+        ).select(
+            F.lit(t).cast("bigint").alias("round"),
+            F.col("n_alive").cast("bigint").alias("n_alive"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

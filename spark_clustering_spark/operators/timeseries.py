@@ -950,3 +950,102 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s_neg", 4).cast("double").alias("s_neg"),
         ((F.col("s_pos") > h) | (F.col("s_neg") > h)).alias("is_change"),
     )
+
+
+ACF_MAX_LAG = 7
+
+
+@query(
+    "q_ts_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', cast(date_trunc('day', ts) AS DATE))
+               AS idx,
+             cast(round(sum(cast(value AS DECIMAL(38,8))), 4) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT count(*) AS n,
+             cast(sum(cast(x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS mu
+      FROM daily
+    ),
+    dev AS (
+      SELECT d.idx, d.x - s.mu AS e FROM daily d CROSS JOIN stats s
+    ),
+    denom AS (
+      SELECT cast(sum(cast(e * e AS DECIMAL(38,8))) AS DOUBLE) AS ss FROM dev
+    ),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+    num AS (
+      SELECT l.lag,
+             count(*) AS n_pairs,
+             cast(sum(cast(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS sp
+      FROM lags l
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.idx = a.idx + l.lag
+      GROUP BY l.lag
+    )
+    SELECT cast(num.lag AS BIGINT) AS lag,
+           cast(num.n_pairs AS BIGINT) AS n_pairs,
+           cast(round(cast(cast((num.sp / denom.ss) AS VARCHAR)
+                AS DECIMAL(38,12)), 6) AS DOUBLE) AS acf
+    FROM num CROSS JOIN denom
+    """,
+)
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-value series for
+    lags 1..{ACF_MAX_LAG}: r_ℓ = Σ(x_t−μ)(x_{t+ℓ}−μ) / Σ(x_t−μ)² — the
+    diagnostic that tells you WHICH period to deseasonalize before
+    forecasting (a weekly cycle shows as a spike at lag 7; cf.
+    q_ts_seasonality's profile and q_olap_forecast_revenue's trend
+    fit). One row per lag with the pair count that supports it.
+
+    Determinism: day indices are integer datediffs; deviations are
+    doubles from one identical μ; every cross-product accumulates in
+    exact DECIMAL(38,8); the single division goes through dround.
+
+    Scale: the fact-sized pass is the daily pre-aggregate; everything
+    after runs on the days-cardinality series (the q_ts_anomaly
+    bounded-series precedent). The lag self-join is an integer equi
+    join — per-entity production form adds the entity to both join
+    keys and the window stays bounded per key."""
+    from spark_clustering_spark.functions.detagg import DEC, dround, dsum
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01")).alias("idx")
+    ).agg(dsum("value", "x"))
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("x").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "mu"
+        ),
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "idx", (F.col("x") - F.col("mu")).alias("e")
+    )
+    denom = dev.agg(
+        F.sum((F.col("e") * F.col("e")).cast(DEC)).cast("double").alias("ss")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = dev.select(F.col("idx").alias("ia"), F.col("e").alias("ea"))
+    b = dev.select(F.col("idx").alias("ib"), F.col("e").alias("eb"))
+    num = (
+        F.broadcast(lags)
+        .join(a, how="cross")
+        .join(b, F.col("ib") == F.col("ia") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("ea") * F.col("eb")).cast(DEC))
+            .cast("double")
+            .alias("sp"),
+        )
+    )
+    return num.crossJoin(F.broadcast(denom)).select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        dround(F.col("sp") / F.col("ss"), 6).alias("acf"),
+    )

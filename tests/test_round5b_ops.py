@@ -328,3 +328,70 @@ def test_logreg_step_matches_sklearn_free_newton(spark):
     # a single step from zero must already beat the majority baseline's
     # complement (sanity that the sign structure is right)
     assert 0.0 <= got.train_acc <= 1.0
+
+
+def test_acf_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.timeseries import (
+        ACF_MAX_LAG,
+        q_ts_acf,
+    )
+
+    rows = {r.lag: r for r in q_ts_acf(spark, SF_SMALL).collect()}
+    assert set(rows) == set(range(1, ACF_MAX_LAG + 1))
+    e = table(spark, SF_SMALL, "events")
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    x = np.array([r.x for r in daily])
+    mu = x.mean()
+    denom = ((x - mu) ** 2).sum()
+    for lag in range(1, ACF_MAX_LAG + 1):
+        want = ((x[:-lag] - mu) * (x[lag:] - mu)).sum() / denom
+        assert abs(rows[lag].acf - want) < 1e-3, lag
+        assert rows[lag].n_pairs == len(x) - lag
+        assert -1.0 <= rows[lag].acf <= 1.0
+
+
+def test_kcore_monotone_cascade(spark):
+    from pyspark.sql import functions as F
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        q_graph_kcore,
+    )
+
+    rows = sorted(q_graph_kcore(spark, SF_SMALL).collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == list(range(1, KCORE_ROUNDS + 1))
+    # peeling only shrinks the graph
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_alive <= a.n_alive
+        assert b.n_edges <= a.n_edges
+    # round 1 must match a direct degree count
+    li = (
+        table(spark, SF_SMALL, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a_ = li.select("o", F.col("p").alias("u"))
+    b_ = li.select("o", F.col("p").alias("v"))
+    e = (
+        a_.join(b_, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .count()
+    )
+    n_alive_1 = deg.filter(F.col("count") >= KCORE_K).count()
+    assert rows[0].n_alive == n_alive_1
