@@ -1264,3 +1264,177 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(clamped.cast(DEC)).cast("double") / F.count(F.lit(1))
         ).alias("winsor_mean"),
     )
+
+
+@query(
+    "q_agg_jackknife",
+    oracle=f"""
+    WITH per_day AS (
+      SELECT date_trunc('day', ts) AS day,
+             count(*) AS nd,
+             sum(cast(value AS DECIMAL(38,8))) AS sd
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*) AS g,
+             sum(nd) AS n,
+             sum(sd) AS s
+      FROM per_day
+    ),
+    pseudo AS (
+      SELECT cast((t.s - p.sd) AS DOUBLE) / (t.n - p.nd) AS est,
+             t.g, cast(t.s AS DOUBLE) / t.n AS full_est
+      FROM per_day p CROSS JOIN tot t
+    ),
+    m AS (
+      SELECT g, full_est,
+             cast(sum(cast(est AS DECIMAL(38,12))) AS DOUBLE) AS se1,
+             cast(sum(cast(est * est AS DECIMAL(38,12))) AS DOUBLE) AS se2
+      FROM pseudo GROUP BY g, full_est
+    )
+    SELECT cast(g AS BIGINT) AS n_groups,
+           {sql_dround("full_est", 6)} AS mean_value,
+           {sql_dround(
+               "sqrt( (g - 1.0) / g * (se2 - se1 * se1 / g) )", 6
+           )} AS jackknife_se
+    FROM m
+    """,
+)
+def q_agg_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error for the global mean
+    event value, with days as the deletion blocks: recompute the mean
+    leaving each day out — cheap, because the leave-one-out estimate
+    is just (S − s_d)/(N − n_d) from per-day partials — then SE² =
+    (g−1)/g · Σ(est_d − mean(est))². The honest uncertainty for serially
+    correlated data (independent-rows bootstrap lies when days are
+    internally correlated; blocking by day is the standard fix), and it
+    needs only ONE pass over the data.
+
+    Determinism: per-day partials are exact decimal sums; each
+    leave-one-out estimate is one double division; the spread
+    accumulates in DECIMAL(38,12) and the final sqrt is a single libm
+    call on identical doubles.
+
+    Scale: the fact-sized pass is the per-day partial aggregate
+    (map-side combined); everything downstream runs on
+    days-cardinality rows. This is the delete-a-group-jackknife
+    pattern behind production metric pipelines at any scale — the
+    blocks just become shards/cookies instead of days."""
+    from spark_clustering_spark.io import spread
+
+    e = spread(table(spark, sf_dir, "events").select("ts", "value"))
+    per_day = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.col("value").cast(DEC)).alias("sd"),
+    )
+    tot = per_day.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum("nd").alias("n"),
+        F.sum("sd").alias("s"),
+    )
+    pseudo = per_day.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("s") - F.col("sd")).cast("double")
+            / (F.col("n") - F.col("nd"))
+        ).alias("est"),
+        "g",
+        (F.col("s").cast("double") / F.col("n")).alias("full_est"),
+    )
+    rdec = "decimal(38,12)"
+    # spread of the pseudo-values via the algebraic identity
+    # Σ(est−ē)² = Σest² − (Σest)²/g with BOTH sums decimal-exact —
+    # no second pass, no order sensitivity (g is tiny: days count)
+    agg = pseudo.groupBy("g", "full_est").agg(
+        F.sum(F.col("est").cast(rdec)).cast("double").alias("se1"),
+        F.sum((F.col("est") * F.col("est")).cast(rdec))
+        .cast("double")
+        .alias("se2"),
+    )
+    se = F.sqrt(
+        (F.col("g") - 1.0)
+        / F.col("g")
+        * (F.col("se2") - F.col("se1") * F.col("se1") / F.col("g"))
+    )
+    return agg.select(
+        F.col("g").cast("bigint").alias("n_groups"),
+        dround("full_est", 6).alias("mean_value"),
+        dround(se, 6).alias("jackknife_se"),
+    )
+
+
+WILSON_Z = 1.96
+
+
+def _wilson_sql() -> str:
+    z2 = f"({WILSON_Z} * {WILSON_Z})"
+    p, n = "(cast(k AS DOUBLE) / n)", "n"
+    centre = f"({p} + {z2} / (2.0 * {n}))"
+    halfw = (
+        f"({WILSON_Z} * sqrt({p} * (1.0 - {p}) / {n}"
+        f" + {z2} / (4.0 * {n} * {n})))"
+    )
+    denom = f"(1.0 + {z2} / {n})"
+    return f"""
+    WITH c AS (
+      SELECT p.p_brand,
+             count(*) AS n,
+             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT p_brand, cast(n AS BIGINT) AS n, cast(k AS BIGINT) AS n_returned,
+           {sql_dround(p, 6)} AS rate,
+           {sql_dround(f"({centre} - {halfw}) / {denom}", 6)} AS wilson_lo,
+           {sql_dround(f"({centre} + {halfw}) / {denom}", 6)} AS wilson_hi
+    FROM c
+    """
+
+
+@query("q_agg_wilson_ci", oracle=_wilson_sql())
+def q_agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand return-rate estimate with a 95% WILSON score interval
+    — the binomial CI that behaves at the boundaries (a plain normal
+    interval goes negative for rare events and degenerates at p̂ ∈
+    {{0,1}}; Wilson inverts the score test instead). This is the
+    per-segment uncertainty readout a quality dashboard needs before
+    ranking segments by a rate — cf. q_ab_lift, which tests a
+    DIFFERENCE of rates; this bounds each rate on its own.
+
+    Determinism: the counts are exact integers; centre, half-width and
+    denominator are one algebraic expression per group evaluated on
+    identical doubles (sqrt is correctly rounded IEEE), emitted
+    through dround.
+
+    Scale: one fact scan with a broadcast part join and a
+    map-side-combined groupBy(brand); the interval math is free. At
+    100 TB nothing changes — this is the canonical cheap-after-
+    aggregation statistics shape."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    c = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "k"
+            ),
+        )
+    )
+    z = WILSON_Z
+    z2 = z * z
+    phat = F.col("k").cast("double") / F.col("n")
+    centre = phat + z2 / (2.0 * F.col("n"))
+    halfw = z * F.sqrt(
+        phat * (1.0 - phat) / F.col("n")
+        + z2 / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1.0 + z2 / F.col("n")
+    return c.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("n_returned"),
+        dround(phat, 6).alias("rate"),
+        dround((centre - halfw) / denom, 6).alias("wilson_lo"),
+        dround((centre + halfw) / denom, 6).alias("wilson_hi"),
+    )

@@ -395,3 +395,47 @@ def test_kcore_monotone_cascade(spark):
     )
     n_alive_1 = deg.filter(F.col("count") >= KCORE_K).count()
     assert rows[0].n_alive == n_alive_1
+
+
+def test_jackknife_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.aggregates import q_agg_jackknife
+
+    row = q_agg_jackknife(spark, SF_SMALL).collect()
+    assert len(row) == 1
+    got = row[0]
+    e = table(spark, SF_SMALL, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    per_day = {
+        r.day: (r.n, r.s)
+        for r in e.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    n_tot = sum(n for n, _ in per_day.values())
+    s_tot = sum(s for _, s in per_day.values())
+    ests = np.array(
+        [(s_tot - s) / (n_tot - n) for n, s in per_day.values()]
+    )
+    g = len(ests)
+    want_se = float(np.sqrt((g - 1) / g * ((ests - ests.mean()) ** 2).sum()))
+    assert got.n_groups == g
+    assert abs(got.mean_value - s_tot / n_tot) < 1e-4
+    assert abs(got.jackknife_se - want_se) < 1e-4
+    assert got.jackknife_se > 0
+
+
+def test_wilson_ci_properties(spark):
+    from spark_clustering_spark.operators.aggregates import q_agg_wilson_ci
+
+    rows = q_agg_wilson_ci(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
+        assert abs(r.rate - r.n_returned / r.n) < 1e-5
+        # the interval shrinks as ~1/sqrt(n): it must be non-degenerate
+        # but far narrower than [0,1] at these group sizes
+        assert 0 < r.wilson_hi - r.wilson_lo < 0.6
