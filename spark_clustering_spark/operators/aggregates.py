@@ -1438,3 +1438,106 @@ def q_agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround((centre - halfw) / denom, 6).alias("wilson_lo"),
         dround((centre + halfw) / denom, 6).alias("wilson_hi"),
     )
+
+
+@query(
+    "q_agg_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT
+        count(*) FILTER (WHERE event_type = 'click') AS n_a,
+        count(*) FILTER (WHERE event_type = 'view')  AS n_b,
+        sum(cast(value AS DECIMAL(38,8))) FILTER (WHERE event_type = 'click') AS sx_a,
+        sum(cast(value AS DECIMAL(38,8))) FILTER (WHERE event_type = 'view')  AS sx_b,
+        sum(cast(value * value AS DECIMAL(38,8))) FILTER (WHERE event_type = 'click') AS sxx_a,
+        sum(cast(value * value AS DECIMAL(38,8))) FILTER (WHERE event_type = 'view')  AS sxx_b
+      FROM events
+    ),
+    m AS (
+      SELECT n_a, n_b,
+             cast(sx_a AS DOUBLE) / n_a AS m_a,
+             cast(sx_b AS DOUBLE) / n_b AS m_b,
+             (cast(sxx_a AS DOUBLE) - cast(sx_a AS DOUBLE) * cast(sx_a AS DOUBLE) / n_a)
+               / (n_a - 1) AS v_a,
+             (cast(sxx_b AS DOUBLE) - cast(sx_b AS DOUBLE) * cast(sx_b AS DOUBLE) / n_b)
+               / (n_b - 1) AS v_b
+      FROM s
+    ),
+    e AS (
+      SELECT n_a, n_b, m_a, m_b, v_a, v_b,
+             v_a / n_a + v_b / n_b AS se2
+      FROM m
+    )
+    SELECT n_a, n_b,
+           cast(round(cast(cast(m_a AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS mean_a,
+           cast(round(cast(cast(m_b AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS mean_b,
+           cast(round(cast(cast(
+             ((m_a - m_b) / sqrt(se2))
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS t_stat,
+           cast(round(cast(cast(
+             ((se2 * se2) / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                             + (v_b / n_b) * (v_b / n_b) / (n_b - 1)))
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS df_welch
+    FROM e
+    """,
+)
+def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test comparing event value
+    between the 'click' and 'view' arms — the one-pass sufficient-
+    statistics shape (n, Σx, Σx²) every experimentation platform runs,
+    with the Welch–Satterthwaite degrees of freedom.
+
+    Scale: a single conditional-aggregate pass over the fact table
+    (map-side partials, 6-value final state); the moment sums
+    accumulate in exact decimal so t and df are partition-order-proof,
+    and the closing scalar algebra is an identical double tree in both
+    engines."""
+    ev = table(spark, sf_dir, "events")
+    dec = F.col("value").cast(DEC)
+    dec2 = (F.col("value") * F.col("value")).cast(DEC)
+    is_a = F.col("event_type") == "click"
+    is_b = F.col("event_type") == "view"
+    s = ev.agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(is_b, 1)).alias("n_b"),
+        F.sum(F.when(is_a, dec)).alias("sx_a"),
+        F.sum(F.when(is_b, dec)).alias("sx_b"),
+        F.sum(F.when(is_a, dec2)).alias("sxx_a"),
+        F.sum(F.when(is_b, dec2)).alias("sxx_b"),
+    )
+    m = s.select(
+        "n_a",
+        "n_b",
+        (F.col("sx_a").cast("double") / F.col("n_a")).alias("m_a"),
+        (F.col("sx_b").cast("double") / F.col("n_b")).alias("m_b"),
+        (
+            (
+                F.col("sxx_a").cast("double")
+                - F.col("sx_a").cast("double") * F.col("sx_a").cast("double") / F.col("n_a")
+            )
+            / (F.col("n_a") - 1)
+        ).alias("v_a"),
+        (
+            (
+                F.col("sxx_b").cast("double")
+                - F.col("sx_b").cast("double") * F.col("sx_b").cast("double") / F.col("n_b")
+            )
+            / (F.col("n_b") - 1)
+        ).alias("v_b"),
+    )
+    e = m.withColumn("se2", F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b"))
+    return e.select(
+        "n_a",
+        "n_b",
+        dround("m_a", 6).alias("mean_a"),
+        dround("m_b", 6).alias("mean_b"),
+        dround((F.col("m_a") - F.col("m_b")) / F.sqrt("se2"), 6).alias("t_stat"),
+        dround(
+            (F.col("se2") * F.col("se2"))
+            / (
+                (F.col("v_a") / F.col("n_a")) * (F.col("v_a") / F.col("n_a")) / (F.col("n_a") - 1)
+                + (F.col("v_b") / F.col("n_b")) * (F.col("v_b") / F.col("n_b")) / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )

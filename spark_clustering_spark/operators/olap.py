@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from spark_clustering_spark.functions.detagg import dround, dsum, sql_dround, sql_dsum
 from spark_clustering_spark.io import table
+from spark_clustering_spark.operators.windows import global_running_agg, ntile_scalable
 from spark_clustering_spark.registry import query
 
 
@@ -1315,4 +1316,131 @@ def q_olap_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "revenue",
         )
+    )
+
+
+@query(
+    "q_olap_rfm",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), TIMESTAMP '1998-12-31')::INT
+               AS rec_days,
+             count(*) AS freq,
+             sum(cast(o_totalprice AS DECIMAL(38,8))) AS mon
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS c_custkey,
+           rec_days, freq,
+           cast(round(mon, 4) AS DOUBLE) AS monetary,
+           ntile(5) OVER (ORDER BY rec_days, o_custkey) ::INT AS r_tile,
+           ntile(5) OVER (ORDER BY freq DESC, o_custkey) ::INT AS f_tile,
+           ntile(5) OVER (ORDER BY mon DESC, o_custkey) ::INT AS m_tile,
+           (ntile(5) OVER (ORDER BY rec_days, o_custkey) * 100
+            + ntile(5) OVER (ORDER BY freq DESC, o_custkey) * 10
+            + ntile(5) OVER (ORDER BY mon DESC, o_custkey)) ::INT AS rfm_code
+    FROM m
+    """,
+)
+def q_olap_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last order at a
+    fixed anchor), frequency (order count), monetary (exact-decimal
+    revenue), each cut into exact global quintiles and combined into
+    the classic 3-digit RFM code (111 = best, 555 = worst).
+
+    Scale: the base aggregate is one fact pass down to customer
+    cardinality; the three quintile cuts CHAIN through
+    ``ntile_scalable`` (range repartition + per-slice rank offsets) —
+    never a partition-less ``ntile() OVER ()`` single reducer. The
+    monetary sort key is the exact DECIMAL(38,8) sum, so tile
+    boundaries cannot flap with accumulation order."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.max("o_orderdate").cast("date")
+        )
+        .cast("int")
+        .alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,8)")).alias("mon"),
+    )
+    t = ntile_scalable(m, [F.col("rec_days"), F.col("o_custkey")], 5, out_col="r_tile")
+    t = ntile_scalable(
+        t, [F.col("freq").desc(), F.col("o_custkey")], 5, out_col="f_tile"
+    )
+    t = ntile_scalable(
+        t, [F.col("mon").desc(), F.col("o_custkey")], 5, out_col="m_tile"
+    )
+    return t.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "rec_days",
+        "freq",
+        F.round("mon", 4).cast("double").alias("monetary"),
+        "r_tile",
+        "f_tile",
+        "m_tile",
+        (F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile"))
+        .cast("int")
+        .alias("rfm_code"),
+    )
+
+
+@query(
+    "q_olap_gini",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey, sum(cast(o_totalprice AS DECIMAL(38,8))) AS mon
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT mon, row_number() OVER (ORDER BY mon, o_custkey) AS grank
+      FROM x
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(mon) AS tot,
+             sum(grank * mon) AS wtot
+      FROM r
+    )
+    SELECT n AS n_customers,
+           cast(round(tot, 4) AS DOUBLE) AS total_revenue,
+           cast(round(cast(cast(
+             (2.0 * cast(wtot AS DOUBLE) / (cast(n AS DOUBLE) * cast(tot AS DOUBLE))
+              - (cast(n AS DOUBLE) + 1.0) / cast(n AS DOUBLE))
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS gini
+    FROM s
+    """,
+)
+def q_olap_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration —
+    G = 2·Σᵢ i·xᵢ / (n·Σxᵢ) − (n+1)/n over revenues sorted ascending.
+
+    The global rank i comes from ``global_running_agg``'s two-pass
+    range-partition count (carry-in + local row_number), NOT a
+    partition-less window — ranking n customers never funnels through
+    one reducer. Both Σxᵢ and the rank-weighted Σ i·xᵢ accumulate in
+    exact decimal (rank is an exact BIGINT weight), so the statistic
+    is independent of partitioning; the final Gini expression is one
+    identical double tree in both engines."""
+    o = table(spark, sf_dir, "orders")
+    x = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,8)")).alias("mon")
+    )
+    ranked, _ = global_running_agg(
+        x, [F.col("mon"), F.col("o_custkey")], {"grank": ("count", None)}
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mon").alias("tot"),
+        F.sum(F.col("grank") * F.col("mon")).alias("wtot"),
+    )
+    n_d = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("wtot").cast("double") / (n_d * F.col("tot").cast("double"))
+        - (n_d + F.lit(1.0)) / n_d
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round("tot", 4).cast("double").alias("total_revenue"),
+        dround(gini, 6).alias("gini"),
     )
