@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_clustering_spark.functions.detagg import dround, dsum, sql_dround, sql_dsum
 from spark_clustering_spark.io import table
@@ -1443,4 +1444,134 @@ def q_olap_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_customers"),
         F.round("tot", 4).cast("double").alias("total_revenue"),
         dround(gini, 6).alias("gini"),
+    )
+
+
+@query(
+    "q_olap_survival",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS nxt
+      FROM orders
+    ),
+    dur AS (
+      SELECT date_diff('day', o_orderdate, nxt)::INT AS t, 1 AS obs
+      FROM seq WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT date_diff('day', max(o_orderdate), TIMESTAMP '1998-12-31')::INT AS t,
+             0 AS obs
+      FROM orders GROUP BY o_custkey
+    ),
+    at_t AS (
+      SELECT t, count(*) AS m, sum(obs) AS d
+      FROM dur GROUP BY t
+    ),
+    risk AS (
+      SELECT t, m, d,
+             (SELECT count(*) FROM dur)
+               - coalesce(sum(m) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM at_t
+    ),
+    km AS (
+      SELECT t, d, n_risk,
+             sum(CASE WHEN d < n_risk AND d > 0
+                 THEN ln(1.0 - cast(d AS DOUBLE) / n_risk) ELSE 0.0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lnS,
+             sum(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_zero
+      FROM risk
+    )
+    SELECT t AS t_days, n_risk::BIGINT AS n_risk, d::BIGINT AS d_events,
+           CASE WHEN n_zero > 0 THEN 0.0 ELSE
+             cast(round(cast(cast(exp(lnS) AS VARCHAR) AS DECIMAL(38,12)), 6)
+                  AS DOUBLE) END AS survival
+    FROM km
+    WHERE d > 0
+    """,
+)
+def q_olap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of customer inter-purchase time:
+    consecutive order gaps are observed events, the gap from each
+    customer's last order to the 1998-12-31 anchor is right-censored.
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over event times, the standard
+    churn / repeat-purchase-latency estimator.
+
+    Determinism: the cumulative Σ ln(1 − dᵢ/nᵢ) runs over a window
+    ORDER BY t — a pinned sequential fold, identical accumulation in
+    both engines (the q_window_running argument); each ln term is one
+    double from exact integer inputs. A terminal time where the whole
+    risk set fails (d = n) would make the product exactly 0 — handled
+    by a zero-counter, never ln(0) (Spark yields NULL there, DuckDB
+    -inf).
+
+    Scale: durations are fact-cardinality, but the KM table aggregates
+    to DISTINCT DAY-GAP cardinality (bounded by the date span, ≤ a few
+    thousand rows regardless of data size) before any ordered window —
+    the same bounded-series argument as q_ts_gapfill. The risk-set
+    count composes from per-t counts, not a data-wide sort."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("nxt"),
+    )
+    gaps = seq.filter(F.col("nxt").isNotNull()).select(
+        F.datediff(F.col("nxt").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("t"),
+        F.lit(1).alias("obs"),
+    )
+    censor = (
+        o.groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_d"))
+        .select(
+            F.datediff(F.lit("1998-12-31").cast("date"), F.col("last_d").cast("date"))
+            .cast("int")
+            .alias("t"),
+            F.lit(0).alias("obs"),
+        )
+    )
+    dur = gaps.unionAll(censor)
+    at_t = dur.groupBy("t").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("obs").alias("d")
+    )
+    total = dur.agg(F.count(F.lit(1)).alias("n_total"))
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = at_t.crossJoin(F.broadcast(total)).select(
+        "t",
+        "m",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("m").over(wt), F.lit(0))
+        ).alias("n_risk"),
+    )
+    ln_term = F.when(
+        (F.col("d") < F.col("n_risk")) & (F.col("d") > 0),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    km = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum(ln_term).over(wc).alias("lnS"),
+        F.sum(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0))
+        .over(wc)
+        .alias("n_zero"),
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("t").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.when(F.col("n_zero") > 0, F.lit(0.0))
+        .otherwise(dround(F.exp("lnS"), 6))
+        .alias("survival"),
     )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from spark_clustering_spark.functions.detagg import dround
 from spark_clustering_spark.functions.distance import as_double_array, euclidean
+from spark_clustering_spark.functions.rng import lcg_uniform, sql_lcg_uniform
 from spark_clustering_spark.io import table
 from spark_clustering_spark.registry import query
 
@@ -464,4 +465,67 @@ def q_vec_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("int").alias("pos"),
         dround("v", 6).alias("loading2"),
         dround("nrm").alias("eigenvalue2"),
+    )
+
+
+RP_K = 8        # output dimensionality of the sign projection
+RP_SEED = 777   # LCG substream for the sign matrix
+
+
+@query(
+    "q_vec_random_projection",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id, k,
+             sum(cast(v * (CASE WHEN {sql_lcg_uniform('pos * 8 + k', 777)} < 0.5
+                           THEN 1.0 ELSE -1.0 END) AS DECIMAL(38,8))) AS s
+      FROM dims CROSS JOIN (SELECT unnest(range(0, 8)) AS k)
+      GROUP BY vec_id, k
+    )
+    SELECT vec_id, k::INT AS k, cast(round(s, 4) AS DOUBLE) AS proj
+    FROM proj
+    """,
+)
+def q_vec_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection: 64-d embeddings
+    down to {RP_K} dims with a seeded Rademacher (±1) matrix — the
+    standard cheap dimensionality reduction in front of LSH / coarse
+    clustering. The sign matrix is never materialized: entry (j,k) is
+    a pure function of the portable LCG stream keyed j·8+k, so both
+    engines (and every executor) derive it independently — the
+    broadcast-free version of broadcasting the matrix.
+
+    Determinism: each v·(±1) term is exact in double; the per-(vec,k)
+    sum accumulates in DECIMAL(38,8) (order-proof).
+
+    Scale: one shuffle keyed (vec_id, k) of scalar terms. At true
+    100 TB you'd fuse this into a mapInPandas GEMM against the same
+    LCG-derived matrix (zero shuffle); the declared expression form is
+    the oracle-replayable twin of that kernel."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode(as_double_array("embedding")).alias("pos", "v")
+    )
+    expanded = dims.select(
+        "vec_id",
+        "pos",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(RP_K - 1))).alias("k"),
+    )
+    sign = F.when(
+        lcg_uniform(F.col("pos") * 8 + F.col("k"), seed=RP_SEED) < 0.5, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    return (
+        expanded.groupBy("vec_id", "k")
+        .agg(F.sum((F.col("v") * sign).cast("decimal(38,8)")).alias("s"))
+        .select(
+            "vec_id",
+            F.col("k").cast("int").alias("k"),
+            F.round("s", 4).cast("double").alias("proj"),
+        )
     )

@@ -996,3 +996,125 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_count",
         dround(slope).alias("zipf_slope"),
     )
+
+
+@query(
+    "q_ml_naive_bayes",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, tok FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    dt AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    ct AS (
+      SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY lang, tok
+    ),
+    tot AS (
+      SELECT lang, sum(cnt) AS tot, count(*) AS n_tok_types FROM ct GROUP BY lang
+    ),
+    vocab AS (SELECT count(DISTINCT tok) AS v FROM toks),
+    prior AS (
+      SELECT lang, count(*) AS nd FROM documents GROUP BY lang
+    ),
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT dt.doc_id, t.lang,
+             sum(cast(dt.c * ln(cast(coalesce(ct.cnt, 0) + 1 AS DOUBLE)
+                                / (t.tot + vocab.v)) AS DECIMAL(38,8)))
+               + cast(ln(cast(prior.nd AS DOUBLE) / ndocs.n) AS DECIMAL(38,8))
+               AS score
+      FROM dt
+      CROSS JOIN tot t
+      CROSS JOIN vocab
+      LEFT JOIN ct ON ct.lang = t.lang AND ct.tok = dt.tok
+      JOIN prior ON prior.lang = t.lang
+      CROSS JOIN ndocs
+      GROUP BY dt.doc_id, t.lang, prior.nd, ndocs.n
+    ),
+    best AS (
+      SELECT doc_id, lang AS pred_lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn
+      FROM scored
+    )
+    SELECT b.doc_id, b.pred_lang,
+           d.lang AS true_lang,
+           cast(round(b.score, 4) AS DOUBLE) AS score,
+           (b.pred_lang = d.lang)::INT AS correct
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    WHERE b.rn = 1
+    """,
+)
+def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classification trained
+    in-engine: add-one-smoothed per-language token likelihoods + log
+    priors, scored per document, argmax with a deterministic
+    (score DESC, lang) tie-break — the vocabulary-level Bayes twin of
+    the heuristic ``q_text_langid``.
+
+    Determinism: each c·ln(p) term is one double computed from
+    identical integer inputs, rounded into DECIMAL(38,8) BEFORE the
+    order-ambiguous sum (detagg discipline), so per-(doc,lang) scores
+    — and hence the argmax — are exact in both engines.
+
+    Scale: the model (langs × vocab counts, lang totals, priors) is an
+    aggregate of the (doc,tok) shuffle and broadcasts back; scoring is
+    one |langs|-way row expansion of the doc-term table followed by a
+    per-doc window over |langs| rows. Nothing data-proportional
+    crosses the driver."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ct = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = ct.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    prior = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n"))
+    # model tables are vocabulary/lang-cardinality -> broadcast them all
+    t_l = tot.withColumnRenamed("lang", "m_lang")
+    ct_l = ct.withColumnRenamed("lang", "c_lang").withColumnRenamed("tok", "c_tok")
+    term = F.col("c") * F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+        / (F.col("tot") + F.col("v"))
+    )
+    scored = (
+        dt.crossJoin(F.broadcast(t_l))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            F.broadcast(ct_l),
+            (F.col("c_lang") == F.col("m_lang")) & (F.col("c_tok") == F.col("tok")),
+            "left",
+        )
+        .join(F.broadcast(prior.withColumnRenamed("lang", "p_lang")),
+              F.col("p_lang") == F.col("m_lang"))
+        .crossJoin(F.broadcast(ndocs))
+        .groupBy("doc_id", "m_lang", "nd", "n")
+        .agg(F.sum(term.cast("decimal(38,8)")).alias("tok_score"))
+        .select(
+            "doc_id",
+            F.col("m_lang").alias("lang"),
+            (
+                F.col("tok_score")
+                + F.log(F.col("nd").cast("double") / F.col("n")).cast("decimal(38,8)")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(d.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred_lang"),
+            "true_lang",
+            F.round("score", 4).cast("double").alias("score"),
+            (F.col("pred_lang") == F.col("true_lang")).cast("int").alias("correct"),
+        )
+    )
