@@ -1541,3 +1541,81 @@ def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df_welch"),
     )
+
+
+@query(
+    "q_agg_chisq",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio, count(*) AS n
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT seg, sum(n) AS rn FROM cells GROUP BY seg),
+    cols_ AS (SELECT prio, sum(n) AS cn FROM cells GROUP BY prio),
+    tot AS (SELECT sum(n) AS t FROM cells),
+    terms AS (
+      SELECT c.seg, c.prio, c.n,
+             cast(r.rn AS DOUBLE) * c2.cn / t.t AS expected
+      FROM cells c
+      JOIN rows_ r USING (seg)
+      JOIN cols_ c2 USING (prio)
+      CROSS JOIN tot t
+    ),
+    stat AS (
+      SELECT sum(cast(
+               ((n - expected) * (n - expected) / expected)
+               AS DECIMAL(38,8))) AS chi2,
+             count(*) AS n_cells
+      FROM terms
+    )
+    SELECT (SELECT count(*) FROM rows_)::INT AS n_segments,
+           (SELECT count(*) FROM cols_)::INT AS n_priorities,
+           ((SELECT count(*) FROM rows_) - 1)
+             * ((SELECT count(*) FROM cols_) - 1) ::INT AS df,
+           cast(round(chi2, 4) AS DOUBLE) AS chi2
+    FROM stat
+    """,
+)
+def q_agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between customer
+    market segment and order priority — the categorical counterpart of
+    q_agg_welch_ttest: contingency cells in one grouped pass, expected
+    counts from broadcast marginals, Σ(O−E)²/E with (r−1)(c−1) df.
+
+    Determinism: each cell's (O−E)²/E is one double from exact integer
+    inputs, rounded into DECIMAL(38,8) before the order-ambiguous sum.
+
+    Scale: the fact join aggregates straight down to r×c cells
+    (map-side partials); marginals and the total are aggregates of
+    that tiny table — nothing data-proportional past the first
+    groupBy."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cells = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("prio"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows_ = cells.groupBy("seg").agg(F.sum("n").alias("rn"))
+    cols_ = cells.groupBy("prio").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    expected = F.col("rn").cast("double") * F.col("cn") / F.col("t")
+    terms = (
+        cells.join(F.broadcast(rows_), "seg")
+        .join(F.broadcast(cols_), "prio")
+        .crossJoin(F.broadcast(tot))
+        .select("seg", "prio", "n", expected.alias("expected"))
+    )
+    term = (F.col("n") - F.col("expected")) * (F.col("n") - F.col("expected")) / F.col(
+        "expected"
+    )
+    stat = terms.agg(F.sum(term.cast("decimal(38,8)")).alias("chi2"))
+    nr = rows_.count()
+    nc = cols_.count()
+    return stat.select(
+        F.lit(nr).cast("int").alias("n_segments"),
+        F.lit(nc).cast("int").alias("n_priorities"),
+        F.lit((nr - 1) * (nc - 1)).cast("int").alias("df"),
+        F.round("chi2", 4).cast("double").alias("chi2"),
+    )

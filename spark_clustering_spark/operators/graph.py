@@ -675,3 +675,122 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "q_graph_jaccard_linkpred",
+    oracle="""
+    WITH lp0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    small AS (SELECT o FROM lp0 GROUP BY o HAVING count(*) <= 5),
+    lp AS (SELECT lp0.o, lp0.p FROM lp0 JOIN small USING (o)),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM e
+      UNION ALL SELECT v AS node, u AS nbr FROM e
+    ),
+    deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+    wedge AS (
+      SELECT a.nbr AS u, b.nbr AS v, count(*) AS common
+      FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+      GROUP BY a.nbr, b.nbr
+    ),
+    cand AS (
+      SELECT w.u, w.v, w.common, du.d AS du, dv.d AS dv
+      FROM wedge w
+      JOIN deg du ON du.node = w.u
+      JOIN deg dv ON dv.node = w.v
+      LEFT JOIN e ON e.u = w.u AND e.v = w.v
+      WHERE e.u IS NULL AND w.common >= 2
+    )
+    SELECT u, v, common,
+           cast(round(cast(cast(
+             (cast(common AS DOUBLE) / (du + dv - common))
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS jaccard
+    FROM cand
+    ORDER BY jaccard DESC, u, v
+    LIMIT 50
+    """,
+)
+def q_graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the focused-basket co-purchase graph: for
+    every non-adjacent pair at distance 2, neighborhood Jaccard
+    |N(u)∩N(v)| / (|N(u)|+|N(v)|−|∩|) — common-neighbor scoring, the
+    classic recommender primitive ("parts bought alongside the same
+    parts"). Association signal comes from focused baskets, so edges
+    are built from orders with ≤5 distinct parts (a mega-basket
+    contributes O(B²) uninformative edges and O(B⁴)-ish wedge mass —
+    the standard market-basket cap). Top-50 by (score DESC, u, v),
+    ≥2 common neighbors.
+
+    Scale: wedges enumerate per CENTER node — Σd² rows shuffled on
+    the candidate-pair key, never a single reducer — and the shuffle
+    width is derived from the measured Σd(d−1)/2 (node-cardinality
+    state, 1-row collect), because AQE can only coalesce what the
+    static width over-provisioned (the q_graph_triangles lesson: a
+    fixed width sort-spills as the graph grows). Existing edges drop
+    out via a shuffle anti-join keyed (u,v); degrees broadcast; the
+    final top-50 is TakeOrderedAndProject (per-partition heaps), not
+    a global sort."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    small = li.groupBy("o").agg(F.count(F.lit(1)).alias("bsz")).filter(
+        F.col("bsz") <= 5
+    )
+    lp = li.join(small.select("o"), "o")
+    a = lp.select("o", F.col("p").alias("u"))
+    b = lp.select("o", F.col("p").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)  # pin: adj, deg, and anti-join reuse it
+    )
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    n_wedges = (
+        deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("w"))
+        .collect()[0]["w"]
+        or 0
+    )
+    width = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        -(-int(n_wedges) // 1_000_000),  # ceil: ~1M wedge rows per task
+    )
+    wa = adj.select("node", F.col("nbr").alias("u"))
+    wb = adj.select("node", F.col("nbr").alias("v"))
+    wedge = (
+        wa.join(wb, "node")
+        .filter(F.col("u") < F.col("v"))
+        .repartition(width, "u", "v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = (
+        wedge.join(e, ["u", "v"], "left_anti")
+        .filter(F.col("common") >= 2)
+        .join(F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))), "u")
+        .join(F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))), "v")
+    )
+    return (
+        cand.select(
+            "u",
+            "v",
+            "common",
+            dround(
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(50)
+    )
