@@ -1596,6 +1596,9 @@ def q_agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("prio"))
         .agg(F.count(F.lit(1)).alias("n"))
+        # r x c rows (~25): pin them so the marginals, total, and the
+        # terms join replan from the tiny table, not 6 fact passes
+        .localCheckpoint(eager=True)
     )
     rows_ = cells.groupBy("seg").agg(F.sum("n").alias("rn"))
     cols_ = cells.groupBy("prio").agg(F.sum("n").alias("cn"))

@@ -585,3 +585,73 @@ def test_editdist_blocked_join_not_cartesian(spark, qs):
     plan = formatted_plan(qs["q_dedup_blocked_editdist"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _single_partition_exchanges_carry_only_partials(plan: str):
+    """Allow Exchange SinglePartition ONLY when its child is a partial
+    HashAggregate (P partial-state rows, the small-state global-agg
+    shape) — never under a Sort/Window (data-proportional rows)."""
+    import re as _re
+
+    sp_ids = {
+        m.group(1)
+        for m in _re.finditer(
+            r"\((\d+)\) Exchange\n[^(]*?Arguments: SinglePartition", plan
+        )
+    }
+    tree = plan.split("\n\n")[0].split("\n")
+    for i, line in enumerate(tree):
+        m = _re.search(r"Exchange \((\d+)\)", line)
+        if not m or m.group(1) not in sp_ids:
+            continue
+        child = tree[i + 1] if i + 1 < len(tree) else ""
+        assert "HashAggregate" in child, (line, child)
+
+
+def test_rfm_and_gini_no_single_partition_exchange(spark, qs):
+    """Round-5c rank machinery: RFM quintiles chain ntile_scalable and
+    Gini ranks via global_running_agg — customer-cardinality rows never
+    pass a SinglePartition exchange (only P-row aggregate partials may,
+    for Gini's one-row answer)."""
+    plan = formatted_plan(qs["q_olap_rfm"](spark, SF_SMALL))
+    assert "SinglePartition" not in plan, plan[:1200]
+    plan = formatted_plan(qs["q_olap_gini"](spark, SF_SMALL))
+    _single_partition_exchanges_carry_only_partials(plan)
+
+
+def test_welch_and_chisq_single_fact_pass(spark, qs):
+    """Sufficient-statistic tests: one partial+final aggregate over
+    the fact input, never a window. Welch is a pure two-exchange
+    global aggregate; chi-squared pins its r*c cell table with an
+    eager checkpoint so every later exchange (marginals, broadcasts,
+    the one-row answer) carries <= 25 rows — the fact is read once."""
+    df = qs["q_agg_welch_ttest"](spark, SF_SMALL)
+    assert "WindowExec" not in formatted_plan(df)
+    assert num_shuffles(df) <= 2, num_shuffles(df)
+    df = qs["q_agg_chisq"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "WindowExec" not in plan
+    # the fact join was cut off by the checkpoint: no parquet scan of
+    # orders/customer may remain in the downstream plan
+    assert "parquet" not in plan.lower(), plan[:800]
+
+
+def test_naive_bayes_model_broadcasts(spark, qs):
+    """The NB model tables (per-lang counts, totals, priors, vocab)
+    must come back as broadcast joins — the doc-term table never
+    re-shuffles on the model key."""
+    plan = formatted_plan(qs["q_ml_naive_bayes"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") + tree.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 4, tree
+
+
+def test_linkpred_anti_join_and_no_cartesian(spark, qs):
+    """Wedge enumeration must stay equi-join (no cartesian), existing
+    edges must drop via a hash anti-join."""
+    plan = formatted_plan(qs["q_graph_jaccard_linkpred"](spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree.replace("BroadcastNestedLoopJoin", ""), tree
+    assert "LeftAnti" in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan, "top-50 must be a heap, not a sort"
