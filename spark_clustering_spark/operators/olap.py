@@ -1575,3 +1575,73 @@ def q_olap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround(F.exp("lnS"), 6))
         .alias("survival"),
     )
+
+
+@query(
+    "q_olap_repeat_rate",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey,
+             (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m
+      FROM orders
+    ),
+    fst AS (SELECT o_custkey, min(m) AS first_m FROM om GROUP BY o_custkey),
+    act AS (
+      SELECT om.m, om.o_custkey, min(fst.first_m) AS first_m,
+             count(*) AS n_orders
+      FROM om JOIN fst USING (o_custkey)
+      GROUP BY om.m, om.o_custkey
+    )
+    SELECT (m // 12)::INT AS year, (m % 12 + 1)::INT AS month,
+           count(*) AS n_active,
+           sum(CASE WHEN first_m = m THEN 1 ELSE 0 END)::BIGINT AS n_new,
+           sum(CASE WHEN first_m < m THEN 1 ELSE 0 END)::BIGINT AS n_repeat,
+           sum(n_orders)::BIGINT AS n_orders,
+           cast(round(cast(cast(
+             (cast(sum(CASE WHEN first_m < m THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*)) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE)
+             AS repeat_share
+    FROM act
+    GROUP BY m
+    """,
+)
+def q_olap_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning customer mix per calendar month: active
+    customers split by whether the month is their first-ever order
+    month — the retention headline every subscription/commerce
+    dashboard leads with (repeat_share = returning / active).
+
+    Scale: integer month arithmetic; both aggregates key on customer
+    (the first-order table is customer-cardinality and joins
+    co-partitioned on o_custkey before the month rollup) — no window,
+    no date dimension scan."""
+    o = table(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+    )
+    fst = om.groupBy("o_custkey").agg(F.min("m").alias("first_m"))
+    act = (
+        om.join(fst, "o_custkey")
+        .groupBy("m", "o_custkey")
+        .agg(F.min("first_m").alias("first_m"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    new_flag = F.when(F.col("first_m") == F.col("m"), 1).otherwise(0)
+    rep_flag = F.when(F.col("first_m") < F.col("m"), 1).otherwise(0)
+    return act.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(new_flag).cast("bigint").alias("n_new"),
+        F.sum(rep_flag).cast("bigint").alias("n_repeat"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        dround(F.sum(rep_flag).cast("double") / F.count(F.lit(1)), 6).alias(
+            "repeat_share"
+        ),
+    ).select(
+        F.floor(F.col("m") / 12).cast("int").alias("year"),
+        (F.col("m") % 12 + 1).cast("int").alias("month"),
+        "n_active",
+        "n_new",
+        "n_repeat",
+        "n_orders",
+        "repeat_share",
+    )

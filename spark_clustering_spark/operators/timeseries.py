@@ -1049,3 +1049,61 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         dround(F.col("sp") / F.col("ss"), 6).alias("acf"),
     )
+
+
+@query(
+    "q_ts_markov",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS prev_type
+      FROM e
+    ),
+    pairs AS (
+      SELECT prev_type, next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    outdeg AS (
+      SELECT prev_type, sum(n) AS tot FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type, p.n,
+           cast(round(cast(cast(
+             (cast(p.n AS DOUBLE) / o.tot) AS VARCHAR) AS DECIMAL(38,12)), 6)
+             AS DOUBLE) AS prob
+    FROM pairs p JOIN outdeg o USING (prev_type)
+    """,
+)
+def q_ts_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of consecutive events per user, the empirical
+    P(next event type | current event type) — the behavioral-analytics
+    primitive behind "what do users do after an error?".
+
+    Determinism: the per-user sequence is pinned by (ts, event_id);
+    probabilities are one double division of exact counts.
+
+    Scale: one shuffle keyed user_id for the lag window (user-partitioned,
+    never global), then aggregation straight down to the |types|² matrix;
+    row-normalization happens on that tiny table."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    outdeg = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(outdeg), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            dround(F.col("n").cast("double") / F.col("tot"), 6).alias("prob"),
+        )
+    )

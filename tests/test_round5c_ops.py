@@ -243,3 +243,50 @@ def test_chisq_matches_scipy_free_reference(spark):
     assert got.n_priorities == len(prios)
     assert got.df == (len(segs) - 1) * (len(prios) - 1)
     assert abs(got.chi2 - chi2) < 1e-2
+
+
+def test_markov_rows_normalize_and_match_sequential_replay(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.timeseries import q_ts_markov
+
+    got = q_ts_markov(spark, SF_SMALL).collect()
+    by_prev = defaultdict(float)
+    for r in got:
+        by_prev[r.prev_type] += r.prob
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-4, (prev, s)
+    ev = table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+    pairs = Counter()
+    for lst in seqs.values():
+        lst.sort()
+        for a, b in zip(lst, lst[1:]):
+            pairs[(a[2], b[2])] += 1
+    assert {(r.prev_type, r.next_type): r.n for r in got} == dict(pairs)
+
+
+def test_repeat_rate_conservation(spark):
+    from spark_clustering_spark.operators.olap import q_olap_repeat_rate
+
+    rows = sorted(q_olap_repeat_rate(spark, SF_SMALL).collect(),
+                  key=lambda r: (r.year, r.month))
+    assert rows
+    # first month has zero repeats; every month: new + repeat = active
+    assert rows[0].n_repeat == 0
+    total_new = 0
+    for r in rows:
+        assert r.n_new + r.n_repeat == r.n_active
+        assert r.n_orders >= r.n_active
+        assert abs(r.repeat_share - r.n_repeat / r.n_active) < 1e-4
+        total_new += r.n_new
+    # every customer is new exactly once
+    from spark_clustering_spark.io import table
+
+    n_cust = (
+        table(spark, SF_SMALL, "orders").select("o_custkey").distinct().count()
+    )
+    assert total_new == n_cust
