@@ -907,3 +907,98 @@ def q_ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "train_acc"
         ),
     )
+
+
+@query(
+    "q_ml_gmm_mstep",
+    oracle=f"""
+    WITH {sql_points()},
+    {sql_centroids(K_DEFAULT)},
+    s AS (SELECT vec_id, vec FROM pts WHERE vec_id < {GMM_SAMPLE}),
+    lik AS (
+      SELECT s.vec_id, c.cid, s.vec,
+             exp(-pow(list_distance(s.vec, c.cvec), 2)
+                 / (2.0 * {GMM_SIGMA2})) AS l
+      FROM s CROSS JOIN ctr c
+    ),
+    den AS (
+      SELECT vec_id,
+             cast(sum(cast(l AS DECIMAL(38,18))) AS DOUBLE) AS z
+      FROM lik GROUP BY vec_id
+    ),
+    resp AS (
+      SELECT l.vec_id, l.cid, l.vec, l.l / d.z AS r
+      FROM lik l JOIN den d USING (vec_id)
+    ),
+    dims AS (
+      SELECT vec_id, cid, r,
+             generate_subscripts(vec, 1) - 1 AS pos,
+             unnest(vec) AS x
+      FROM resp
+    ),
+    agg AS (
+      SELECT cid, pos,
+             sum(cast(r * x AS DECIMAL(38,12))) AS wx,
+             sum(cast(r AS DECIMAL(38,12))) AS rsum
+      FROM dims GROUP BY cid, pos
+    ),
+    n AS (SELECT count(*) AS n_pts FROM s)
+    SELECT cid::INT AS cid, pos::INT AS pos,
+           cast(round(cast(cast(
+             (cast(wx AS DOUBLE) / cast(rsum AS DOUBLE))
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS mu_new,
+           cast(round(cast(cast(
+             (cast(rsum AS DOUBLE) / n.n_pts)
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS weight_new
+    FROM agg CROSS JOIN n
+    """,
+)
+def q_ml_gmm_mstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M-step completing q_ml_gmm_estep's EM pair: component means
+    re-estimated as responsibility-weighted averages
+    mu_k = SUM_i r_ik x_i / SUM_i r_ik and mixture weights
+    w_k = SUM_i r_ik / N — soft-assignment counterpart of
+    q_centroid_update's hard mean-by-key (reference R5,
+    kmeans.java:124-164 generalized to fractional membership).
+
+    Determinism: each r_ik x_i term is a double from identical inputs
+    rounded into DECIMAL(38,12) before the order-ambiguous sums; the
+    mean and weight are single double divisions of exact decimals.
+
+    Scale: identical to the Lloyd update — broadcast k-row centroid
+    state, one (cid, pos) keyed aggregate whose state is k*d partials
+    regardless of data size; no data-proportional state anywhere."""
+    pts = points_df(spark, sf_dir)
+    ctr = centroids_df(spark, sf_dir)
+    s = pts.filter(F.col("vec_id") < GMM_SAMPLE)
+    lik = s.crossJoin(F.broadcast(ctr)).select(
+        "vec_id",
+        "cid",
+        "vec",
+        F.exp(
+            -F.pow(euclidean(F.col("vec"), F.col("cvec")), F.lit(2))
+            / F.lit(2.0 * GMM_SIGMA2)
+        ).alias("l"),
+    )
+    den = lik.groupBy("vec_id").agg(
+        F.sum(F.col("l").cast("decimal(38,18)")).cast("double").alias("z")
+    )
+    resp = lik.join(den, "vec_id").select(
+        "vec_id", "cid", "vec", (F.col("l") / F.col("z")).alias("r")
+    )
+    dims = resp.select(
+        "cid", "r", F.posexplode("vec").alias("pos", "x")
+    )
+    agg = dims.groupBy("cid", "pos").agg(
+        F.sum((F.col("r") * F.col("x")).cast("decimal(38,12)")).alias("wx"),
+        F.sum(F.col("r").cast("decimal(38,12)")).alias("rsum"),
+    )
+    n = s.agg(F.count(F.lit(1)).alias("n_pts"))
+    return agg.crossJoin(F.broadcast(n)).select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("pos").cast("int").alias("pos"),
+        dround(F.col("wx").cast("double") / F.col("rsum").cast("double"), 6).alias(
+            "mu_new"
+        ),
+        dround(F.col("rsum").cast("double") / F.col("n_pts"), 6).alias("weight_new"),
+    )

@@ -290,3 +290,41 @@ def test_repeat_rate_conservation(spark):
         table(spark, SF_SMALL, "orders").select("o_custkey").distinct().count()
     )
     assert total_new == n_cust
+
+
+def test_gmm_mstep_consistent_with_estep(spark):
+    """M-step means/weights must equal the numpy-replayed weighted
+    averages of the E-step responsibilities."""
+    import numpy as np
+
+    from spark_clustering_spark.operators.clustering import (
+        GMM_SAMPLE,
+        q_ml_gmm_estep,
+        q_ml_gmm_mstep,
+        points_df,
+    )
+
+    resp = q_ml_gmm_estep(spark, SF_SMALL).collect()
+    pts = {
+        r.vec_id: np.array(r.vec)
+        for r in points_df(spark, SF_SMALL)
+        .filter(f"vec_id < {GMM_SAMPLE}")
+        .collect()
+    }
+    got = {(r.cid, r.pos): r for r in q_ml_gmm_mstep(spark, SF_SMALL).collect()}
+    by_cid = defaultdict(list)
+    for r in resp:
+        by_cid[r.cid].append((r.vec_id, r.resp))
+    n = len(pts)
+    w_sum = 0.0
+    for cid, lst in by_cid.items():
+        rs = sum(r for _, r in lst)
+        mu = sum(r * pts[v] for v, r in lst) / rs
+        w = rs / n
+        w_sum += w
+        for pos in range(len(mu)):
+            g = got[(cid, pos)]
+            # estep responsibilities are rounded to 6dp -> loose tol
+            assert abs(g.mu_new - mu[pos]) < 5e-3
+            assert abs(g.weight_new - w) < 1e-3
+    assert abs(w_sum - 1.0) < 1e-2  # mixture weights sum to ~1
