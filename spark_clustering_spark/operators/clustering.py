@@ -1002,3 +1002,72 @@ def q_ml_gmm_mstep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dround(F.col("rsum").cast("double") / F.col("n_pts"), 6).alias("weight_new"),
     )
+
+
+@query(
+    "q_ml_gmm_loglik",
+    oracle=f"""
+    WITH {sql_points()},
+    {sql_centroids(K_DEFAULT)},
+    s AS (SELECT vec_id, vec FROM pts WHERE vec_id < {GMM_SAMPLE}),
+    lik AS (
+      SELECT s.vec_id,
+             exp(-pow(list_distance(s.vec, c.cvec), 2)
+                 / (2.0 * {GMM_SIGMA2})) AS l
+      FROM s CROSS JOIN ctr c
+    ),
+    perpt AS (
+      SELECT vec_id,
+             ln(cast(sum(cast(l AS DECIMAL(38,18))) AS DOUBLE)
+                / {K_DEFAULT}) AS ll
+      FROM lik GROUP BY vec_id
+    )
+    SELECT count(*) AS n_points,
+           cast(round(sum(cast(ll AS DECIMAL(38,8))), 4) AS DOUBLE)
+             AS loglik,
+           cast(round(cast(cast(
+             (cast(sum(cast(ll AS DECIMAL(38,8))) AS DOUBLE) / count(*))
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS avg_loglik
+    FROM perpt
+    """,
+)
+def q_ml_gmm_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observed-data log-likelihood Σᵢ ln(Σₖ wₖ N(xᵢ|μₖ,σ²)) for
+    the equal-weight spherical mixture — the EM convergence objective
+    that q_ml_gmm_estep / q_ml_gmm_mstep iterate on (the soft twin of
+    q_sse_objective, reference kmeans.java:186-191).
+
+    Determinism: the inner k-term mixture sum accumulates in
+    DECIMAL(38,18) (order-proof), ln of that is one double per point,
+    and the outer point sum rounds each ln into DECIMAL(38,8) before
+    accumulating — both order-ambiguous sums are exact.
+
+    Scale: broadcast k·d centroids, one narrow pass, two-level
+    aggregate whose state is one partial per partition."""
+    pts = points_df(spark, sf_dir)
+    ctr = centroids_df(spark, sf_dir)
+    s = pts.filter(F.col("vec_id") < GMM_SAMPLE)
+    lik = s.crossJoin(F.broadcast(ctr)).select(
+        "vec_id",
+        F.exp(
+            -F.pow(euclidean(F.col("vec"), F.col("cvec")), F.lit(2))
+            / F.lit(2.0 * GMM_SIGMA2)
+        ).alias("l"),
+    )
+    perpt = lik.groupBy("vec_id").agg(
+        F.log(
+            F.sum(F.col("l").cast("decimal(38,18)")).cast("double")
+            / F.lit(K_DEFAULT)
+        ).alias("ll")
+    )
+    return perpt.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum(F.col("ll").cast("decimal(38,8)")), 4)
+        .cast("double")
+        .alias("loglik"),
+        dround(
+            F.sum(F.col("ll").cast("decimal(38,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_loglik"),
+    )

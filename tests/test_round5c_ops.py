@@ -328,3 +328,33 @@ def test_gmm_mstep_consistent_with_estep(spark):
             assert abs(g.mu_new - mu[pos]) < 5e-3
             assert abs(g.weight_new - w) < 1e-3
     assert abs(w_sum - 1.0) < 1e-2  # mixture weights sum to ~1
+
+
+def test_gmm_loglik_numpy_replay_and_em_monotonicity_anchor(spark):
+    import numpy as np
+
+    from spark_clustering_spark.operators.clustering import (
+        GMM_SAMPLE,
+        GMM_SIGMA2,
+        K_DEFAULT,
+        centroids_df,
+        points_df,
+        q_ml_gmm_loglik,
+    )
+
+    got = q_ml_gmm_loglik(spark, SF_SMALL).collect()[0]
+    pts = np.array(
+        [
+            r.vec
+            for r in points_df(spark, SF_SMALL)
+            .filter(f"vec_id < {GMM_SAMPLE}")
+            .collect()
+        ]
+    )
+    ctr = np.array([r.cvec for r in centroids_df(spark, SF_SMALL).collect()])
+    d2 = ((pts[:, None, :] - ctr[None, :, :]) ** 2).sum(-1)
+    ll = np.log(np.exp(-d2 / (2 * GMM_SIGMA2)).sum(1) / K_DEFAULT).sum()
+    assert got.n_points == len(pts)
+    assert abs(got.loglik - ll) < 1e-2
+    assert abs(got.avg_loglik - ll / len(pts)) < 1e-4
+    assert got.loglik < 0  # densities < 1 here -> negative ll
