@@ -1622,3 +1622,88 @@ def q_agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit((nr - 1) * (nc - 1)).cast("int").alias("df"),
         F.round("chi2", 4).cast("double").alias("chi2"),
     )
+
+
+@query(
+    "q_dq_profile",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n_rows,
+             count(*) FILTER (WHERE lang   IS NULL) AS null_lang,
+             count(*) FILTER (WHERE source IS NULL) AS null_source,
+             count(*) FILTER (WHERE text   IS NULL) AS null_text,
+             count(*) FILTER (WHERE n_chars IS NULL) AS null_nchars,
+             count(DISTINCT lang)   AS d_lang,
+             count(DISTINCT source) AS d_source,
+             count(DISTINCT text)   AS d_text,
+             count(DISTINCT n_chars) AS d_nchars,
+             min(lang) AS min_lang,     max(lang) AS max_lang,
+             min(source) AS min_source, max(source) AS max_source,
+             min(cast(n_chars AS VARCHAR)) AS min_nchars,
+             max(cast(n_chars AS VARCHAR)) AS max_nchars
+      FROM documents
+    )
+    SELECT 'lang' AS col, n_rows, null_lang AS n_null, d_lang AS n_distinct,
+           min_lang AS min_s, max_lang AS max_s FROM s
+    UNION ALL
+    SELECT 'source', n_rows, null_source, d_source, min_source, max_source FROM s
+    UNION ALL
+    SELECT 'text', n_rows, null_text, d_text, NULL, NULL FROM s
+    UNION ALL
+    SELECT 'n_chars', n_rows, null_nchars, d_nchars, min_nchars, max_nchars FROM s
+    """,
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the documents table (the ingest-time
+    dataset summary every curation pipeline logs): row count, null
+    count, exact distinct count, and lexicographic min/max of the
+    string form — one row per column, tidy schema. Text min/max are
+    suppressed (NULL): a corpus-sized free-text extremum is noise and
+    would bloat the profile row.
+
+    Scale: ONE partial+final aggregate computes every metric
+    (count-distinct expands via Spark's expand-operator but stays a
+    single shuffle of (col-id, value) partials); the 4-row unpivot is
+    driver-free projection of the one-row summary, pinned by an eager
+    checkpoint so the fact scan runs once, not four times."""
+    d = table(spark, sf_dir, "documents")
+    nch_s = F.col("n_chars").cast("string")
+    s = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("null_lang"),
+        F.count(F.when(F.col("source").isNull(), 1)).alias("null_source"),
+        F.count(F.when(F.col("text").isNull(), 1)).alias("null_text"),
+        F.count(F.when(F.col("n_chars").isNull(), 1)).alias("null_nchars"),
+        F.countDistinct("lang").alias("d_lang"),
+        F.countDistinct("source").alias("d_source"),
+        F.countDistinct("text").alias("d_text"),
+        F.countDistinct("n_chars").alias("d_nchars"),
+        F.min("lang").alias("min_lang"),
+        F.max("lang").alias("max_lang"),
+        F.min("source").alias("min_source"),
+        F.max("source").alias("max_source"),
+        F.min(nch_s).alias("min_nchars"),
+        F.max(nch_s).alias("max_nchars"),
+    ).localCheckpoint(eager=True)
+    rows = [
+        ("lang", "null_lang", "d_lang", "min_lang", "max_lang"),
+        ("source", "null_source", "d_source", "min_source", "max_source"),
+        ("text", "null_text", "d_text", None, None),
+        ("n_chars", "null_nchars", "d_nchars", "min_nchars", "max_nchars"),
+    ]
+    parts = []
+    for col, nn, nd, mn, mx in rows:
+        parts.append(
+            s.select(
+                F.lit(col).alias("col"),
+                "n_rows",
+                F.col(nn).alias("n_null"),
+                F.col(nd).alias("n_distinct"),
+                (F.col(mn) if mn else F.lit(None).cast("string")).alias("min_s"),
+                (F.col(mx) if mx else F.lit(None).cast("string")).alias("max_s"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
