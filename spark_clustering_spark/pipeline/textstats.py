@@ -1024,9 +1024,13 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndocs AS (SELECT count(*) AS n FROM documents),
     scored AS (
       SELECT dt.doc_id, t.lang,
-             sum(cast(dt.c * ln(cast(coalesce(ct.cnt, 0) + 1 AS DOUBLE)
-                                / (t.tot + vocab.v)) AS DECIMAL(38,8)))
-               + cast(ln(cast(prior.nd AS DOUBLE) / ndocs.n) AS DECIMAL(38,8))
+             sum(dt.c * cast(round(cast(cast(
+                   ln(cast(coalesce(ct.cnt, 0) + 1 AS DOUBLE)
+                      / (t.tot + vocab.v))
+                 AS VARCHAR) AS DECIMAL(38,12)), 6) AS DECIMAL(38,6)))
+               + cast(round(cast(cast(
+                   ln(cast(prior.nd AS DOUBLE) / ndocs.n)
+                 AS VARCHAR) AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))
                AS score
       FROM dt
       CROSS JOIN tot t
@@ -1057,10 +1061,13 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score DESC, lang) tie-break — the vocabulary-level Bayes twin of
     the heuristic ``q_text_langid``.
 
-    Determinism: each c·ln(p) term is one double computed from
-    identical integer inputs, rounded into DECIMAL(38,8) BEFORE the
-    order-ambiguous sum (detagg discipline), so per-(doc,lang) scores
-    — and hence the argmax — are exact in both engines.
+    Determinism: JVM Math.log and libm ln disagree by 1 ulp on some
+    inputs (caught by the sf0.1 sweep: 3 of 5000 scores flapped at the
+    4-dp boundary), so each DISTINCT model log-prob (~|langs|·|vocab|
+    values) is quantized to a 6-dp DECIMAL through the VARCHAR pivot
+    BEFORE the exact c-weighted sum — a 1-ulp input lands on a 5e-7
+    boundary with ~1e-9 probability, and everything after the quantize
+    is integer-exact in both engines, argmax included.
 
     Scale: the model (langs × vocab counts, lang totals, priors) is an
     aggregate of the (doc,tok) shuffle and broadcasts back; scoring is
@@ -1080,10 +1087,14 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # model tables are vocabulary/lang-cardinality -> broadcast them all
     t_l = tot.withColumnRenamed("lang", "m_lang")
     ct_l = ct.withColumnRenamed("lang", "c_lang").withColumnRenamed("tok", "c_tok")
-    term = F.col("c") * F.log(
-        (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
-        / (F.col("tot") + F.col("v"))
-    )
+    lq = F.round(
+        F.log(
+            (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+            / (F.col("tot") + F.col("v"))
+        ).cast("decimal(38,12)"),
+        6,
+    ).cast("decimal(38,6)")
+    term = F.col("c") * lq
     scored = (
         dt.crossJoin(F.broadcast(t_l))
         .crossJoin(F.broadcast(vocab))
@@ -1096,13 +1107,18 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("p_lang") == F.col("m_lang"))
         .crossJoin(F.broadcast(ndocs))
         .groupBy("doc_id", "m_lang", "nd", "n")
-        .agg(F.sum(term.cast("decimal(38,8)")).alias("tok_score"))
+        .agg(F.sum(term).alias("tok_score"))
         .select(
             "doc_id",
             F.col("m_lang").alias("lang"),
             (
                 F.col("tok_score")
-                + F.log(F.col("nd").cast("double") / F.col("n")).cast("decimal(38,8)")
+                + F.round(
+                    F.log(F.col("nd").cast("double") / F.col("n")).cast(
+                        "decimal(38,12)"
+                    ),
+                    6,
+                ).cast("decimal(38,6)")
             ).alias("score"),
         )
     )
