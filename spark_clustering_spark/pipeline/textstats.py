@@ -509,8 +509,10 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT sum(c) AS total FROM dtf)
     SELECT d.doc_id,
            CAST(sum(d.c) AS BIGINT) AS n_toks,
-           cast(round(sum(cast(d.c * ln(cast(g.gc AS DOUBLE) / t.total)
-                AS DECIMAL(38,8))), 4) AS DOUBLE) AS sum_logprob
+           cast(round(sum(d.c * cast(round(cast(cast(
+                ln(cast(g.gc AS DOUBLE) / t.total)
+                AS VARCHAR) AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))), 4)
+             AS DOUBLE) AS sum_logprob
     FROM dtf d JOIN g USING (tok) CROSS JOIN t
     GROUP BY d.doc_id
     """,
@@ -537,18 +539,21 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     g = dtf.groupBy("tok").agg(F.sum("c").alias("gc"))
     t = dtf.agg(F.sum("c").alias("total"))
-    term = F.col("c") * F.log(
-        F.col("gc").cast("double") / F.col("total")
-    )
+    # quantize each DISTINCT ln(p) to a 6-dp decimal before the exact
+    # c-weighted sum: JVM Math.log and libm ln can differ by 1 ulp
+    # (the q_ml_naive_bayes sf0.1 lesson)
+    lq = F.round(
+        F.log(F.col("gc").cast("double") / F.col("total")).cast("decimal(38,12)"),
+        6,
+    ).cast("decimal(38,6)")
+    term = F.col("c") * lq
     return (
         dtf.join(F.broadcast(g), "tok")
         .crossJoin(F.broadcast(t))
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_toks"),
-            F.round(F.sum(term.cast("decimal(38,8)")), 4)
-            .cast("double")
-            .alias("sum_logprob"),
+            F.round(F.sum(term), 4).cast("double").alias("sum_logprob"),
         )
     )
 
@@ -646,9 +651,10 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc AS (SELECT b.u AS u, b.v AS v, count(*) AS cb FROM bg GROUP BY 1, 2)
     SELECT g.doc_id,
            count(*) AS n_bigrams,
-           cast(round(sum(cast(
+           cast(round(sum(cast(round(cast(cast(
              ln(0.7 * bc.cb / cu.c + 0.3 * cw.c / t.n)
-           AS DECIMAL(38,8))), 4) AS DOUBLE) AS sum_logprob
+           AS VARCHAR) AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))), 4)
+             AS DOUBLE) AS sum_logprob
     FROM bg g
     JOIN bc ON bc.u = g.b.u AND bc.v = g.b.v
     JOIN uni cu ON cu.tok = g.b.u
@@ -703,10 +709,15 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = bg.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cb"))
     cu = uni.select(F.col("tok").alias("u"), F.col("c").alias("c_u"))
     cw = uni.select(F.col("tok").alias("v"), F.col("c").alias("c_v"))
-    term = F.log(
-        F.lit(0.7) * F.col("cb") / F.col("c_u")
-        + F.lit(0.3) * F.col("c_v") / F.col("n")
-    )
+    # 6-dp decimal quantization of the ln output guards the 1-ulp
+    # JVM-vs-libm divergence (the q_ml_naive_bayes sf0.1 lesson)
+    term = F.round(
+        F.log(
+            F.lit(0.7) * F.col("cb") / F.col("c_u")
+            + F.lit(0.3) * F.col("c_v") / F.col("n")
+        ).cast("decimal(38,12)"),
+        6,
+    ).cast("decimal(38,6)")
     return (
         bg.join(F.broadcast(bc), ["u", "v"])
         .join(F.broadcast(cu), "u")
@@ -715,9 +726,7 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.sum(term.cast("decimal(38,8)")), 4)
-            .cast("double")
-            .alias("sum_logprob"),
+            F.round(F.sum(term), 4).cast("double").alias("sum_logprob"),
         )
     )
 
