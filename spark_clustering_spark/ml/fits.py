@@ -82,3 +82,16 @@ def q_fit_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(euclidean(F.col("vec"), F.col("center"))).alias("cost"),
         )
     )
+
+
+@query("fit_gmm")  # rows-only: iterative, validated by invariants
+def q_fit_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical-GMM EM (k=8, 3 iterations, sigma2=4, free means +
+    mixture weights) — metrics history (iteration, loglik,
+    avg_loglik). EM's monotone-loglik guarantee is the invariant
+    test; the single-step E/M/loglik surfaces are hash-verified
+    separately (q_ml_gmm_estep / _mstep / _loglik)."""
+    from spark_clustering_spark.ml.gmm import fit_gmm
+
+    res = fit_gmm(spark, points_df(spark, sf_dir), k=8, num_iter=3, sigma2=4.0)
+    return res.metrics

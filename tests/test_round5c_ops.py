@@ -358,3 +358,24 @@ def test_gmm_loglik_numpy_replay_and_em_monotonicity_anchor(spark):
     assert abs(got.loglik - ll) < 1e-2
     assert abs(got.avg_loglik - ll / len(pts)) < 1e-4
     assert got.loglik < 0  # densities < 1 here -> negative ll
+
+
+def test_fit_gmm_loglik_monotone_and_weights_normalized(spark):
+    from spark_clustering_spark.ml.gmm import fit_gmm
+    from spark_clustering_spark.operators.clustering import points_df
+
+    res = fit_gmm(spark, points_df(spark, SF_SMALL), k=4, num_iter=3)
+    assert len(res.logliks) == 3
+    for a, b in zip(res.logliks, res.logliks[1:]):
+        assert b >= a - 1e-6, res.logliks  # EM monotonicity
+    assert abs(sum(res.weights) - 1.0) < 1e-9
+    assert all(w > 0 for w in res.weights)
+    rows = res.metrics.collect()
+    assert [r.iteration for r in rows] == [0, 1, 2]
+    # means stay inside the data's bounding box
+    import numpy as np
+
+    pts = np.array([r.vec for r in points_df(spark, SF_SMALL).collect()])
+    lo, hi = pts.min(0), pts.max(0)
+    m = np.array(res.means)
+    assert (m >= lo - 1e-9).all() and (m <= hi + 1e-9).all()
