@@ -60,3 +60,16 @@ def sql_euclidean(a: str, b: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"list_cosine_similarity(({a})::DOUBLE[], ({b})::DOUBLE[])"
+
+
+def dot_dec(a: Column, b: Column) -> Column:
+    """Dot product accumulated in exact DECIMAL(38,8) — bit-identical
+    to a grouped `sum(cast(x*y AS DECIMAL(38,8)))` over exploded
+    dimensions (each per-dim double product is one IEEE op; the exact
+    decimal fold is order-free), but it runs INSIDE whole-stage
+    codegen per row instead of shuffling dimension-cardinality rows."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(38,8)")),
+        F.lit(0).cast("decimal(38,8)"),
+        lambda acc, v: (acc + v).cast("decimal(38,8)"),
+    )

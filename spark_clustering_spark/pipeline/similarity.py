@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_clustering_spark.functions.detagg import DEC, dround
-from spark_clustering_spark.functions.distance import as_double_array, cosine
+from spark_clustering_spark.functions.distance import as_double_array, cosine, dot_dec
 from spark_clustering_spark.functions.rng import py_lcg_uniform
 from spark_clustering_spark.io import table
 from spark_clustering_spark.registry import query
@@ -1437,27 +1437,34 @@ def q_vec_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") % KNN_MOD == 0)
         .select("vec_id", as_double_array("embedding").alias("vec"))
     )
-    unn = e.select("vec_id", F.posexplode("vec").alias("pos", "v"))
-    norms = unn.groupBy("vec_id").agg(
-        F.sqrt(F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double")).alias(
-            "nrm"
-        )
+    # dot/norm as per-row exact-decimal codegen folds (dot_dec) — the
+    # same values the exploded sum(cast(v*v AS DECIMAL)) produces, but
+    # the n^2 pair stream never shuffles dimension-cardinality rows
+    # (the explode+groupBy form measured 9.8 s vs ~2 s at sf0.1)
+    n = e.select(
+        "vec_id",
+        "vec",
+        F.sqrt(dot_dec(F.col("vec"), F.col("vec")).cast("double")).alias("nrm"),
     )
-    a = unn.select(F.col("vec_id").alias("src"), "pos", F.col("v").alias("va"))
-    b = unn.select(F.col("vec_id").alias("dst"), "pos", F.col("v").alias("vb"))
-    dots = (
-        F.broadcast(a)
-        .join(b, "pos")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.sum((F.col("va") * F.col("vb")).cast(DEC)).cast("double").alias("dot"))
+    a = n.select(
+        F.col("vec_id").alias("src"), F.col("vec").alias("va"), F.col("nrm").alias("na")
     )
-    na = norms.select(F.col("vec_id").alias("src"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("dst"), F.col("nrm").alias("nb"))
+    b = n.select(
+        F.col("vec_id").alias("dst"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     scored = (
-        dots.join(F.broadcast(na), "src")
-        .join(F.broadcast(nb), "dst")
-        .select("src", "dst", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"))
+        a.repartition(width)  # spread the n^2 decimal folds across cores
+        .crossJoin(F.broadcast(b))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (
+                dot_dec(F.col("va"), F.col("vb")).cast("double")
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
     topk = scored.select(
