@@ -161,6 +161,27 @@ NOTES = {
         "unrolled Pregel step shuffles only edge-cardinality "
         "contributions against broadcast rank/out-weight tables."
     ),
+    "q_olap_rfm": (
+        "three chained ntile_scalable passes (range repartition + "
+        "per-slice rank offsets) — global quintiles with no "
+        "partition-less window anywhere in the plan."
+    ),
+    "q_graph_jaccard_linkpred": (
+        "per-center wedge enumeration as hash equi-joins; shuffle width "
+        "derived from the measured wedge count; existing edges removed "
+        "by a hash LeftAnti join; final top-50 is TakeOrderedAndProject."
+    ),
+    "q_vec_knn_graph": (
+        "pairwise cosine as per-row exact-decimal codegen folds over a "
+        "BroadcastNestedLoopJoin of the bounded subset (no "
+        "dimension-cardinality shuffle); per-src window top-k; mutual "
+        "filter is an equi self-join."
+    ),
+    "q_ml_naive_bayes": (
+        "model tables (per-lang counts/totals/priors/vocab) broadcast "
+        "back onto the doc-term table; per-doc argmax is a |langs|-row "
+        "window per doc — nothing data-proportional crosses the driver."
+    ),
     "q_dedup_semantic": (
         "assignment is a literal-centroid projection (no crossJoin, no "
         "16n-row window shuffle); the pair scan is one BLAS GEMM per "
