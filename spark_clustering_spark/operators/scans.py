@@ -671,3 +671,45 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_us").alias("valid_from_us"),
         F.lead("ts_us").over(wv).alias("valid_to_us"),
     )
+
+
+@query(
+    "q_sink_xml",
+    # format neutrality, semi-structured leg: an XML round-trip (Spark
+    # 4's built-in xml data source) must aggregate exactly like the
+    # parquet source it was written from
+    oracle=f"""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           {sql_dsum('c_acctbal', 'sum_bal')}
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip (Spark 4 native `xml` format,
+    the spark-xml connector merged upstream): write the customer
+    dimension as row-tagged XML, read it back with explicit rowTag,
+    aggregate — completing the format matrix (parquet / ORC / CSV /
+    JSONL / XML) with the schema-inferring semi-structured leg.
+
+    Scale: XML is a fan-out/interchange format, not a lake format —
+    the round-trip is over a dimension table by design; fact data
+    stays columnar. The read infers types (acctbal back as double,
+    keys as bigint), so the aggregate is bit-identical to the parquet
+    original under the detagg decimal discipline."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="customer_xml_"), "customer")
+    (
+        c.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "customers")
+        .option("rowTag", "customer")
+        .save(out)
+    )
+    back = spark.read.format("xml").option("rowTag", "customer").load(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", "sum_bal"),
+    )
