@@ -379,3 +379,19 @@ def test_fit_gmm_loglik_monotone_and_weights_normalized(spark):
     lo, hi = pts.min(0), pts.max(0)
     m = np.array(res.means)
     assert (m >= lo - 1e-9).all() and (m <= hi + 1e-9).all()
+
+
+def test_lsh_tuning_monotone_tradeoff(spark):
+    """Fewer rows per band (more permissive S-curve) must never find
+    FEWER candidates, and recall must be monotone non-increasing in r
+    while precision is non-decreasing (the banding trade-off)."""
+    from spark_clustering_spark.pipeline.dedup import q_dedup_lsh_tuning
+
+    rows = {r.rows_per_band: r for r in q_dedup_lsh_tuning(spark, SF_SMALL).collect()}
+    assert set(rows) == {2, 4, 8}
+    assert rows[2].n_candidates >= rows[4].n_candidates >= rows[8].n_candidates
+    assert rows[2].recall_vs_union >= rows[4].recall_vs_union >= rows[8].recall_vs_union
+    assert rows[2].precision_ <= rows[4].precision_ <= rows[8].precision_ + 1e-12
+    for r in rows.values():
+        assert r.n_bands * r.rows_per_band == 16
+        assert 0 <= r.n_true <= r.n_candidates
