@@ -1571,8 +1571,8 @@ def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (SELECT count(*) FROM rows_)::INT AS n_segments,
            (SELECT count(*) FROM cols_)::INT AS n_priorities,
-           ((SELECT count(*) FROM rows_) - 1)
-             * ((SELECT count(*) FROM cols_) - 1) ::INT AS df,
+           (((SELECT count(*) FROM rows_) - 1)
+             * ((SELECT count(*) FROM cols_) - 1))::INT AS df,
            cast(round(chi2, 4) AS DOUBLE) AS chi2
     FROM stat
     """,
