@@ -909,6 +909,131 @@ def q_ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RIDGE_LAMBDA = 50.0  # per-observation L2 penalty λ₀ (total λ = n·λ₀)
+
+
+@query(
+    "q_ml_ridge",
+    oracle=f"""
+    WITH pts AS (
+      SELECT cast(l_quantity AS DOUBLE) AS x,
+             cast(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(cast(x AS DECIMAL(38,8))) AS sx,
+             sum(cast(y AS DECIMAL(38,8))) AS sy,
+             sum(cast(x * x AS DECIMAL(38,8))) AS sxx,
+             sum(cast(x * y AS DECIMAL(38,8))) AS sxy,
+             sum(cast(y * y AS DECIMAL(38,8))) AS syy
+      FROM pts
+    ),
+    b AS (
+      SELECT n,
+             (n * cast(sxy AS DOUBLE)
+              - cast(sx AS DOUBLE) * cast(sy AS DOUBLE)) AS cov_n,
+             (n * cast(sxx AS DOUBLE)
+              - cast(sx AS DOUBLE) * cast(sx AS DOUBLE)) AS var_n,
+             (n * cast(syy AS DOUBLE)
+              - cast(sy AS DOUBLE) * cast(sy AS DOUBLE)) AS vary_n,
+             cast(sx AS DOUBLE) AS sxd, cast(sy AS DOUBLE) AS syd
+      FROM s
+    ),
+    fit AS (
+      SELECT n,
+             cov_n / var_n AS b_ols,
+             cov_n / (var_n + cast(n AS DOUBLE) * cast(n AS DOUBLE)
+                      * {RIDGE_LAMBDA}) AS b_ridge,
+             cov_n * cov_n / (var_n * vary_n) AS r2,
+             sxd, syd
+      FROM b
+    )
+    SELECT cast(n AS BIGINT) AS n,
+           {sql_dround("b_ols", 6)} AS slope_ols,
+           {sql_dround("b_ridge", 6)} AS slope_ridge,
+           {sql_dround("(syd - b_ols * sxd) / n", 6)} AS intercept_ols,
+           {sql_dround("(syd - b_ridge * sxd) / n", 6)} AS intercept_ridge,
+           {sql_dround("r2", 6)} AS r2
+    FROM fit
+    """,
+)
+def q_ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (and its OLS twin) of extended
+    price on quantity, ENTIRELY in the engine: one pass accumulates
+    the six sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²) in exact
+    DECIMAL(38,8); the 1-feature normal equation then inlines as
+    closed-form arithmetic — slope = cov/(var + λ), intercept from the
+    means, with the per-observation penalty λ₀={RIDGE_LAMBDA} scaled by
+    n so the shrinkage is corpus-size-invariant. Reports both the OLS
+    and ridge coefficients plus R², the regularization exhibit to
+    q_ml_logreg_step's Newton step.
+
+    Determinism: sufficient statistics are exact decimal sums of
+    identical per-row doubles; every engine then evaluates the SAME
+    fixed-order double expression on the SAME decimal-to-double
+    conversions (IEEE round-to-nearest), so the coefficients agree to
+    the last ulp before the 6dp rounding.
+
+    Scale: one map-side-combined aggregate to 6 numbers — no shuffle of
+    anything data-proportional, no window, no driver state beyond one
+    row. A d-feature ridge keeps the shape with a d²-cell gram-matrix
+    aggregate and a driver Cholesky solve."""
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DEC)).alias("sx"),
+        F.sum(F.col("y").cast(DEC)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    b = s.select(
+        "n",
+        (n * sxy - sx * sy).alias("cov_n"),
+        (n * sxx - sx * sx).alias("var_n"),
+        (n * syy - sy * sy).alias("vary_n"),
+        sx.alias("sxd"),
+        sy.alias("syd"),
+    )
+    fit = b.select(
+        "n",
+        (F.col("cov_n") / F.col("var_n")).alias("b_ols"),
+        (
+            F.col("cov_n")
+            / (
+                F.col("var_n")
+                + n.cast("double") * n.cast("double") * F.lit(RIDGE_LAMBDA)
+            )
+        ).alias("b_ridge"),
+        (
+            F.col("cov_n") * F.col("cov_n") / (F.col("var_n") * F.col("vary_n"))
+        ).alias("r2"),
+        "sxd",
+        "syd",
+    )
+    return fit.select(
+        F.col("n").cast("bigint").alias("n"),
+        dround("b_ols", 6).alias("slope_ols"),
+        dround("b_ridge", 6).alias("slope_ridge"),
+        dround((F.col("syd") - F.col("b_ols") * F.col("sxd")) / n, 6).alias(
+            "intercept_ols"
+        ),
+        dround(
+            (F.col("syd") - F.col("b_ridge") * F.col("sxd")) / n, 6
+        ).alias("intercept_ridge"),
+        dround("r2", 6).alias("r2"),
+    )
+
+
 @query(
     "q_ml_gmm_mstep",
     oracle=f"""

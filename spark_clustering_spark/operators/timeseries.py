@@ -1107,3 +1107,66 @@ def q_ts_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("n").cast("double") / F.col("tot"), 6).alias("prob"),
         )
     )
+
+
+@query(
+    "q_ts_resample_ohlc",
+    oracle=f"""
+    WITH e AS (
+      SELECT epoch_us(ts) // {HOUR_US} AS hour_id, ts, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT hour_id, value,
+             row_number() OVER (PARTITION BY hour_id
+                                ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY hour_id
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM e
+    ),
+    agg AS (
+      SELECT hour_id, count(*) AS n_events,
+             max(value) AS high, min(value) AS low,
+             {sql_dsum('value', 'volume')}
+      FROM e GROUP BY hour_id
+    )
+    SELECT agg.hour_id, agg.n_events,
+           o.value AS open, agg.high, agg.low, c.value AS close,
+           agg.volume
+    FROM agg
+    JOIN (SELECT hour_id, value FROM r WHERE rf = 1) o USING (hour_id)
+    JOIN (SELECT hour_id, value FROM r WHERE rl = 1) c USING (hour_id)
+    """,
+)
+def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsample of the event stream — the canonical
+    tick-to-bar resample (finance candlesticks, metrics rollups):
+    per hour bucket, the first and last value in (ts, event_id) order
+    (open/close — the unique event_id breaks timestamp ties, so the
+    bars are rerun-deterministic), the min/max (low/high), the exact
+    decimal volume, and the event count.
+
+    Scale: ONE partial+final hash aggregate — open/close ride the same
+    pass as min/max via MAX_BY/MIN_BY keyed on the (ts, event_id)
+    struct (order-free "first" semantics: the executors keep one
+    running champion per bucket, merged associatively, so no
+    per-bucket sort and no window materializes the raw ticks). The
+    oracle expresses the same bars with per-hour row_number windows —
+    hour-partitioned, which is also scale-safe, but the MIN_BY
+    formulation halves the shuffled bytes (bars only, never ranked
+    ticks)."""
+    e = table(spark, sf_dir, "events").select(
+        F.expr(f"unix_micros(ts) div {HOUR_US}").alias("hour_id"),
+        F.struct("ts", "event_id").alias("ord"),
+        "value",
+    )
+    from spark_clustering_spark.functions.detagg import DEC
+
+    return e.groupBy("hour_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("value", "ord").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ord").alias("close"),
+        dsum("value", "volume"),
+    )

@@ -1,0 +1,136 @@
+"""Round-5d operators: ridge regression, OHLC resample, paragraph dedup."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from tests.conftest import SF_SMALL
+
+
+def test_ridge_matches_numpy_closed_form(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.clustering import (
+        RIDGE_LAMBDA,
+        q_ml_ridge,
+    )
+
+    got = q_ml_ridge(spark, SF_SMALL).collect()[0]
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    ).collect()
+    x = np.array([float(r.l_quantity) for r in li])
+    y = np.array([float(r.l_extendedprice) for r in li])
+    n = len(x)
+    assert got.n == n
+    cov = n * (x * y).sum() - x.sum() * y.sum()
+    var = n * (x * x).sum() - x.sum() ** 2
+    b_ols = cov / var
+    b_ridge = cov / (var + n * n * RIDGE_LAMBDA)
+    assert abs(got.slope_ols - b_ols) < 1e-4
+    assert abs(got.slope_ridge - b_ridge) < 1e-4
+    # ridge always shrinks toward zero, and λ>0 makes it strict
+    assert abs(got.slope_ridge) < abs(got.slope_ols)
+    a_ols = (y.sum() - b_ols * x.sum()) / n
+    assert abs(got.intercept_ols - a_ols) < 1e-2
+    assert 0.0 <= got.r2 <= 1.0
+
+
+def test_ohlc_bars_match_sequential_resample(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.timeseries import (
+        HOUR_US,
+        q_ts_resample_ohlc,
+    )
+
+    got = {r.hour_id: r for r in q_ts_resample_ohlc(spark, SF_SMALL).collect()}
+    ev = table(spark, SF_SMALL, "events").selectExpr(
+        "unix_micros(ts) as us", "event_id", "value"
+    ).collect()
+    bars = defaultdict(list)
+    for r in ev:
+        bars[r.us // HOUR_US].append((r.us, r.event_id, r.value))
+    assert set(got) == set(bars)
+    for h, ticks in bars.items():
+        ticks.sort()
+        b = got[h]
+        assert b.n_events == len(ticks)
+        assert b.open == ticks[0][2]
+        assert b.close == ticks[-1][2]
+        vals = [t[2] for t in ticks]
+        assert b.high == max(vals) and b.low == min(vals)
+        assert abs(b.volume - sum(vals)) < 1e-3
+        # bar invariants
+        assert b.low <= b.open <= b.high
+        assert b.low <= b.close <= b.high
+
+
+def test_paragraph_dedup_keeps_first_occurrence_only(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.dedup import (
+        PARA_W,
+        q_text_dedup_paragraph,
+    )
+
+    got = {r.doc_id: r for r in q_text_dedup_paragraph(spark, SF_SMALL).collect()}
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    seen: set[str] = set()
+    kept = defaultdict(lambda: [0, 0, 0, 0])  # n_segs, n_kept, tot, kept_toks
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        toks = [t for t in r.text.split() if t]
+        if not toks:
+            continue
+        for s in range(0, max(len(toks), 1), PARA_W):
+            seg = " ".join(toks[s : s + PARA_W])
+            st = kept[r.doc_id]
+            st[0] += 1
+            st[2] += len(toks[s : s + PARA_W])
+            if seg not in seen:
+                seen.add(seg)
+                st[1] += 1
+                st[3] += len(toks[s : s + PARA_W])
+    assert set(got) == set(kept)
+    n_dropped = 0
+    for doc_id, (n_segs, n_kept, tot, ktoks) in kept.items():
+        g = got[doc_id]
+        assert (g.n_segs, g.n_kept, g.total_toks, g.kept_toks) == (
+            n_segs,
+            n_kept,
+            tot,
+            ktoks,
+        ), doc_id
+        n_dropped += n_segs - n_kept
+        assert abs(g.retained_frac - ktoks / tot) < 1e-5
+    # the corpus is built with duplicated docs, so the pass must bite
+    assert n_dropped > 0
+
+
+def test_new_ops_plan_contracts(spark):
+    """q_ml_ridge: no shuffle wider than the 1-row aggregate exchange;
+    q_ts_resample_ohlc: single hash aggregate, no WindowExec;
+    q_text_dedup_paragraph: no window (champion via objectHashAgg)."""
+    from spark_clustering_spark.operators.clustering import q_ml_ridge
+    from spark_clustering_spark.operators.timeseries import q_ts_resample_ohlc
+    from spark_clustering_spark.pipeline.dedup import q_text_dedup_paragraph
+
+    ridge = q_ml_ridge(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in ridge
+
+    ohlc = (
+        q_ts_resample_ohlc(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in ohlc
+    # open/close ride the aggregate (min_by/max_by), not a per-bucket sort
+    assert "min_by" in ohlc or "ObjectHashAggregate" in ohlc
+
+    para = (
+        q_text_dedup_paragraph(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in para
