@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_clustering_spark.functions.detagg import dround
+from spark_clustering_spark.functions.detagg import dround, sql_dround
 from spark_clustering_spark.functions.porthash import sql_hex_int
 from spark_clustering_spark.functions.rng import lcg_uniform, sql_lcg_uniform
 from spark_clustering_spark.io import table
@@ -515,4 +515,145 @@ def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.filter(F.col("cum_tokens") <= TOKEN_BUDGET).select(
         "doc_id", "n_tokens", "quality", F.col("cum_tokens").cast("bigint")
         .alias("cum_tokens")
+    )
+
+
+BOOT_B = 32          # bootstrap replicates
+BOOT_SEED = 77       # LCG substream for the Poisson draws
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * sum 1/k!), as
+# fixed 10dp literals so both engines take identical branches; weights
+# cap at 5 (P(w>5) < 6e-4 — negligible for SE estimation).
+_POIS_CUM = (0.3678794412, 0.7357588823, 0.9196986029,
+             0.9810118431, 0.9963401532)
+
+
+@query(
+    "q_sample_bootstrap",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range({BOOT_B})) AS b),
+    draws AS (
+      SELECT b, cast(o_totalprice AS DOUBLE) AS x,
+             {sql_lcg_uniform(f'(o_orderkey * {BOOT_B} + b)', seed=BOOT_SEED)}
+               AS u
+      FROM orders CROSS JOIN reps
+    ),
+    w AS (
+      SELECT b, x,
+             CASE WHEN u < {_POIS_CUM[0]} THEN 0
+                  WHEN u < {_POIS_CUM[1]} THEN 1
+                  WHEN u < {_POIS_CUM[2]} THEN 2
+                  WHEN u < {_POIS_CUM[3]} THEN 3
+                  WHEN u < {_POIS_CUM[4]} THEN 4
+                  ELSE 5 END AS wt
+      FROM draws
+    ),
+    rep_means AS (
+      SELECT b,
+             cast(round(cast(cast(
+               cast(sum(cast(wt * x AS DECIMAL(38,8))) AS DOUBLE)
+               / cast(sum(wt) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,12)), 4)
+               AS DECIMAL(18,4)) AS m
+      FROM w GROUP BY b
+    ),
+    boot AS (
+      SELECT count(*) AS nb,
+             cast(sum(m) AS DOUBLE) AS sm,
+             cast(sum(cast(m AS DECIMAL(19,4))
+                      * cast(m AS DECIMAL(19,4))) AS DOUBLE) AS smm
+      FROM rep_means
+    ),
+    base AS (
+      SELECT count(*) AS n,
+             cast(sum(cast(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+             cast(sum(cast(
+               cast(o_totalprice AS DOUBLE) * cast(o_totalprice AS DOUBLE)
+               AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+      FROM orders
+    )
+    SELECT base.n,
+           cast(boot.nb AS BIGINT) AS n_replicates,
+           {sql_dround("base.sx / base.n", 4)} AS mean,
+           {sql_dround(
+             "sqrt((boot.smm - boot.sm * boot.sm / boot.nb)"
+             " / (boot.nb - 1))", 4)} AS se_boot,
+           {sql_dround(
+             "sqrt((base.sxx - base.sx * base.sx / base.n)"
+             " / (base.n - 1) / base.n)", 4)} AS se_analytic
+    FROM boot CROSS JOIN base
+    """,
+)
+def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order value: {BOOT_B} replicates,
+    each reweighting every order by an independent Poisson(1) draw (the
+    streaming-friendly bootstrap — no resampling pass, weights are a
+    pure function of (row key, replicate id)), then the standard error
+    of the replicate means next to the analytic SE sqrt(s²/n) it should
+    approximate. Draws come from the shared cross-engine LCG keyed
+    o_orderkey·B+b, so every weight is auditable and rerun-stable.
+
+    Determinism: replicate means quantize to DECIMAL(18,4) before the
+    across-replicate moments (sums of 32 doubles would be
+    order-ambiguous); all big sums are exact decimals; the final SE
+    arithmetic is one fixed-order double expression.
+
+    Scale: the ×{BOOT_B} row amplification happens map-side (explode of
+    a literal range — no shuffle of the amplified stream until the
+    per-replicate partial aggregation, which combines map-side down to
+    B rows per task). Two aggregations total: corpus → B replicate
+    means → 1 audit row. A 100 TB bootstrap is exactly this plan."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("x")
+    )
+    draws = o.select(
+        "o_orderkey",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    ).select(
+        "b",
+        "x",
+        lcg_uniform(
+            F.col("o_orderkey") * BOOT_B + F.col("b"), seed=BOOT_SEED
+        ).alias("u"),
+    )
+    wt = (
+        F.when(F.col("u") < _POIS_CUM[0], 0)
+        .when(F.col("u") < _POIS_CUM[1], 1)
+        .when(F.col("u") < _POIS_CUM[2], 2)
+        .when(F.col("u") < _POIS_CUM[3], 3)
+        .when(F.col("u") < _POIS_CUM[4], 4)
+        .otherwise(5)
+    )
+    from spark_clustering_spark.functions.detagg import DEC
+
+    rep_means = (
+        draws.select("b", "x", wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum((F.col("wt") * F.col("x")).cast(DEC)).cast("double")
+                / F.sum("wt").cast("double")
+            ).alias("m_raw")
+        )
+        .select(dround("m_raw", 4).cast("decimal(18,4)").alias("m"))
+    )
+    boot = rep_means.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("m").cast("double").alias("sm"),
+        F.sum(F.col("m") * F.col("m")).cast("double").alias("smm"),
+    )
+    base = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+    )
+    nb, sm, smm = F.col("nb"), F.col("sm"), F.col("smm")
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return boot.crossJoin(F.broadcast(base)).select(
+        "n",
+        nb.cast("bigint").alias("n_replicates"),
+        dround(sx / n, 4).alias("mean"),
+        dround(F.sqrt((smm - sm * sm / nb) / (nb - 1)), 4).alias("se_boot"),
+        dround(F.sqrt((sxx - sx * sx / n) / (n - 1) / n), 4).alias(
+            "se_analytic"
+        ),
     )

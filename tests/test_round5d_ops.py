@@ -134,3 +134,33 @@ def test_new_ops_plan_contracts(spark):
         .toString()
     )
     assert "Window" not in para
+
+
+def test_bootstrap_se_brackets_analytic(spark):
+    from spark_clustering_spark.pipeline.sampling import q_sample_bootstrap
+
+    r = q_sample_bootstrap(spark, SF_SMALL).collect()[0]
+    assert r.n_replicates == 32
+    assert r.se_analytic > 0
+    # Poisson bootstrap SE is a consistent estimator of the analytic SE;
+    # with B=32 replicates it should land well within a factor of two.
+    assert 0.5 * r.se_analytic < r.se_boot < 2.0 * r.se_analytic
+    # the mean itself must match the plain aggregate
+    from spark_clustering_spark.io import table
+    import math
+
+    xs = [
+        float(row.o_totalprice)
+        for row in table(spark, SF_SMALL, "orders").select("o_totalprice").collect()
+    ]
+    assert abs(r.mean - sum(xs) / len(xs)) < 1e-2
+    var = sum((x - sum(xs) / len(xs)) ** 2 for x in xs) / (len(xs) - 1)
+    assert abs(r.se_analytic - math.sqrt(var / len(xs))) < 1e-2
+
+    plan = (
+        q_sample_bootstrap(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
