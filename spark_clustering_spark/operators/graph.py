@@ -794,3 +794,128 @@ def q_graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "u", "v")
         .limit(50)
     )
+
+
+MODULARITY_BASKET_CAP = 5  # focused-basket cap (see q_graph_jaccard_linkpred)
+
+
+@query(
+    "q_graph_modularity",
+    oracle=f"""
+    WITH lp0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    small AS (SELECT o FROM lp0 GROUP BY o
+              HAVING count(*) <= {MODULARITY_BASKET_CAP}),
+    lp AS (SELECT lp0.o, lp0.p FROM lp0 JOIN small USING (o)),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+    ),
+    lab AS (SELECT p_partkey AS node, p_brand AS com FROM part),
+    el AS (
+      SELECT cu.com AS cu, cv.com AS cv
+      FROM e JOIN lab cu ON cu.node = e.u
+             JOIN lab cv ON cv.node = e.v
+    ),
+    m AS (SELECT count(*) AS m FROM el),
+    within AS (
+      SELECT cu AS com, count(*) AS m_c FROM el WHERE cu = cv GROUP BY cu
+    ),
+    dc AS (
+      SELECT com, count(*) AS d_c, count(DISTINCT node) AS n_nodes
+      FROM (
+        SELECT cu.com AS com, e.u AS node
+        FROM e JOIN lab cu ON cu.node = e.u
+        UNION ALL
+        SELECT cv.com AS com, e.v AS node
+        FROM e JOIN lab cv ON cv.node = e.v
+      ) GROUP BY com
+    )
+    SELECT dc.com AS community,
+           dc.n_nodes::BIGINT AS n_nodes,
+           dc.d_c::BIGINT AS degree_sum,
+           coalesce(within.m_c, 0)::BIGINT AS m_within,
+           {sql_dround(
+             "coalesce(within.m_c, 0) / cast(m.m AS DOUBLE)"
+             " - (dc.d_c / (2.0 * m.m)) * (dc.d_c / (2.0 * m.m))", 6)}
+             AS q_contrib
+    FROM dc LEFT JOIN within USING (com) CROSS JOIN m
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity decomposition of the focused-basket
+    co-purchase graph under the part-brand partition: per community
+    (brand), the node count, degree mass d_c, within-community edge
+    count m_c, and the community's modularity contribution
+    m_c/m − (d_c/2m)² — summing q_contrib gives Q, the standard
+    did-the-catalog-taxonomy-capture-the-buying-structure audit (and
+    the objective every Louvain pass greedily improves).
+
+    Scale: edges come from basket-capped orders (≤{MODULARITY_BASKET_CAP}
+    distinct parts — bounded per-order expansion); community labels
+    attach via two dimension hash-joins on partkey; everything then
+    collapses through map-side-combined aggregates keyed on the
+    community (≤ |brands| rows). No window, no single reducer, text
+    never shuffles. A Louvain implementation iterates exactly this
+    plan with updated labels."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    small = (
+        li.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= MODULARITY_BASKET_CAP)
+        .select("o")
+    )
+    lp = li.join(small, "o")
+    a = lp.select("o", F.col("p").alias("u"))
+    b = lp.select("o", F.col("p").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)  # pin: labeled twice + degree stream
+    )
+    lab = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("com")
+    )
+    lu = lab.select(F.col("node").alias("u"), F.col("com").alias("cu"))
+    lv = lab.select(F.col("node").alias("v"), F.col("com").alias("cv"))
+    el = e.join(lu, "u").join(lv, "v").select("cu", "cv")
+    m = el.agg(F.count(F.lit(1)).alias("m"))
+    within = (
+        el.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("com"))
+        .agg(F.count(F.lit(1)).alias("m_c"))
+    )
+    stubs = (
+        e.join(lu, "u")
+        .select(F.col("cu").alias("com"), F.col("u").alias("node"))
+        .unionAll(
+            e.join(lv, "v").select(
+                F.col("cv").alias("com"), F.col("v").alias("node")
+            )
+        )
+    )
+    dc = stubs.groupBy("com").agg(
+        F.count(F.lit(1)).alias("d_c"),
+        F.countDistinct("node").alias("n_nodes"),
+    )
+    return (
+        dc.join(F.broadcast(within), "com", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("com").alias("community"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("d_c").cast("bigint").alias("degree_sum"),
+            F.coalesce("m_c", F.lit(0)).cast("bigint").alias("m_within"),
+            dround(
+                F.coalesce("m_c", F.lit(0)) / F.col("m").cast("double")
+                - (F.col("d_c") / (2.0 * F.col("m")))
+                * (F.col("d_c") / (2.0 * F.col("m"))),
+                6,
+            ).alias("q_contrib"),
+        )
+    )

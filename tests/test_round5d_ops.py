@@ -164,3 +164,54 @@ def test_bootstrap_se_brackets_analytic(spark):
         .toString()
     )
     assert "Window" not in plan
+
+
+def test_modularity_contributions_sum_to_q(spark):
+    from collections import Counter
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.graph import (
+        MODULARITY_BASKET_CAP,
+        q_graph_modularity,
+    )
+
+    rows = q_graph_modularity(spark, SF_SMALL).collect()
+    assert len(rows) > 1
+    # sequential reference: rebuild the capped co-purchase graph
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    basket = Counter(r.l_orderkey for r in li)
+    by_order = {}
+    for r in li:
+        if basket[r.l_orderkey] <= MODULARITY_BASKET_CAP:
+            by_order.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in table(spark, SF_SMALL, "part").select(
+            "p_partkey", "p_brand"
+        ).collect()
+    }
+    m = len(edges)
+    m_c: Counter = Counter()
+    d_c: Counter = Counter()
+    for u, v in edges:
+        if brand[u] == brand[v]:
+            m_c[brand[u]] += 1
+        d_c[brand[u]] += 1
+        d_c[brand[v]] += 1
+    q_ref = sum(
+        m_c[c] / m - (d_c[c] / (2 * m)) ** 2 for c in d_c
+    )
+    got_q = sum(r.q_contrib for r in rows)
+    assert abs(got_q - q_ref) < 1e-4
+    for r in rows:
+        assert r.m_within <= r.degree_sum  # within edges bounded by stubs
+    # modularity of any partition lies in [-1, 1]
+    assert -1.0 <= got_q <= 1.0
