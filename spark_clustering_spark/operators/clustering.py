@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from spark_clustering_spark.functions.detagg import DEC, dround, dsum, sql_dround, sql_dsum
 from spark_clustering_spark.functions.distance import as_double_array, euclidean
+from spark_clustering_spark.functions.rng import lcg_uniform, sql_lcg_uniform
 from spark_clustering_spark.io import table
 from spark_clustering_spark.registry import query
 
@@ -1195,4 +1196,97 @@ def q_ml_gmm_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("avg_loglik"),
+    )
+
+
+ALS_LAMBDA = 0.1  # per-user L2 regularization in the ALS half-step
+
+
+@query(
+    "q_ml_als_step",
+    oracle=f"""
+    WITH r AS (
+      SELECT o.o_custkey AS c,
+             cast(l.l_quantity AS DOUBLE) AS r,
+             1.0 + {sql_lcg_uniform('l.l_partkey', seed=101)} AS v1,
+             1.0 + {sql_lcg_uniform('l.l_partkey', seed=202)} AS v2
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    s AS (
+      SELECT c, count(*) AS n_items,
+             cast(sum(cast(v1 * v1 AS DECIMAL(38,8))) AS DOUBLE) AS s11,
+             cast(sum(cast(v1 * v2 AS DECIMAL(38,8))) AS DOUBLE) AS s12,
+             cast(sum(cast(v2 * v2 AS DECIMAL(38,8))) AS DOUBLE) AS s22,
+             cast(sum(cast(r * v1 AS DECIMAL(38,8))) AS DOUBLE) AS b1,
+             cast(sum(cast(r * v2 AS DECIMAL(38,8))) AS DOUBLE) AS b2
+      FROM r GROUP BY c
+    )
+    SELECT c AS custkey, n_items,
+           {sql_dround(
+             "((s22 + " + str(ALS_LAMBDA) + ") * b1 - s12 * b2)"
+             " / ((s11 + " + str(ALS_LAMBDA) + ") * (s22 + " + str(ALS_LAMBDA)
+             + ") - s12 * s12)", 6)} AS u1,
+           {sql_dround(
+             "((s11 + " + str(ALS_LAMBDA) + ") * b2 - s12 * b1)"
+             " / ((s11 + " + str(ALS_LAMBDA) + ") * (s22 + " + str(ALS_LAMBDA)
+             + ") - s12 * s12)", 6)} AS u2
+    FROM s
+    """,
+)
+def q_ml_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact ALS half-step of a rank-2 matrix factorization of the
+    customer × part quantity matrix: item factors are FIXED (a
+    deterministic LCG function of the part key — no dimension join, no
+    broadcast, the factor materializes map-side from the fact row
+    itself), and every customer's factor solves its own ridge-regularized
+    2×2 normal equations in closed form — the alternating-least-squares
+    recommender primitive (Koren et al.), inverted so the per-user solve
+    is pure aggregation + arithmetic instead of a driver loop.
+
+    Determinism: item factors are exact dyadic doubles (LCG/2³¹), the
+    five per-user sufficient statistics quantize each IEEE product to
+    DECIMAL(38,8) before the exact sum, and the 2×2 solve is one
+    fixed-order double expression — both engines agree to the ulp
+    before the 6dp round.
+
+    Scale: one co-partitioned fact join (lineitem ⋈ orders on
+    orderkey), then one map-side-combined aggregate keyed custkey with
+    5-number state — the full ALS iteration is this plan run twice
+    (swapping the fixed side), each pass shuffling only k²+k doubles
+    per entity. No window, no driver-side solve loop, no collect."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("double").alias("r"),
+        (1.0 + lcg_uniform("l_partkey", seed=101)).alias("v1"),
+        (1.0 + lcg_uniform("l_partkey", seed=202)).alias("v2"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), F.col("o_custkey").alias("c")
+    )
+    r = li.join(o, "l_orderkey")
+    s = r.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("v1") * F.col("v1")).cast(DEC)).cast("double").alias("s11"),
+        F.sum((F.col("v1") * F.col("v2")).cast(DEC)).cast("double").alias("s12"),
+        F.sum((F.col("v2") * F.col("v2")).cast(DEC)).cast("double").alias("s22"),
+        F.sum((F.col("r") * F.col("v1")).cast(DEC)).cast("double").alias("b1"),
+        F.sum((F.col("r") * F.col("v2")).cast(DEC)).cast("double").alias("b2"),
+    )
+    lam = F.lit(ALS_LAMBDA)
+    det = (F.col("s11") + lam) * (F.col("s22") + lam) - F.col("s12") * F.col(
+        "s12"
+    )
+    return s.select(
+        F.col("c").alias("custkey"),
+        "n_items",
+        dround(
+            ((F.col("s22") + lam) * F.col("b1") - F.col("s12") * F.col("b2"))
+            / det,
+            6,
+        ).alias("u1"),
+        dround(
+            ((F.col("s11") + lam) * F.col("b2") - F.col("s12") * F.col("b1"))
+            / det,
+            6,
+        ).alias("u2"),
     )

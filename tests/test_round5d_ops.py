@@ -215,3 +215,48 @@ def test_modularity_contributions_sum_to_q(spark):
         assert r.m_within <= r.degree_sum  # within edges bounded by stubs
     # modularity of any partition lies in [-1, 1]
     assert -1.0 <= got_q <= 1.0
+
+
+def test_als_step_solves_per_user_normal_equations(spark):
+    import numpy as np
+
+    from spark_clustering_spark.functions.rng import py_lcg_uniform
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.clustering import (
+        ALS_LAMBDA,
+        q_ml_als_step,
+    )
+
+    got = {r.custkey: r for r in q_ml_als_step(spark, SF_SMALL).collect()}
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    ).collect()
+    cust = {
+        r.o_orderkey: r.o_custkey
+        for r in table(spark, SF_SMALL, "orders").select(
+            "o_orderkey", "o_custkey"
+        ).collect()
+    }
+    by_user: dict = {}
+    for r in li:
+        c = cust[r.l_orderkey]
+        v = np.array(
+            [
+                1.0 + py_lcg_uniform(r.l_partkey, seed=101),
+                1.0 + py_lcg_uniform(r.l_partkey, seed=202),
+            ]
+        )
+        A, b, n = by_user.setdefault(c, [np.zeros((2, 2)), np.zeros(2), 0])
+        A += np.outer(v, v)
+        b += float(r.l_quantity) * v
+        by_user[c][2] = n + 1
+    assert set(got) == set(by_user)
+    for c, (A, b, n) in by_user.items():
+        u = np.linalg.solve(A + ALS_LAMBDA * np.eye(2), b)
+        g = got[c]
+        assert g.n_items == n
+        assert abs(g.u1 - u[0]) < 1e-3, c
+        assert abs(g.u2 - u[1]) < 1e-3, c
+    # reconstruction sanity: predicted ratings are positive where
+    # factors are positive, and the solve is regularized (finite)
+    assert all(np.isfinite((r.u1, r.u2)).all() for r in got.values())
