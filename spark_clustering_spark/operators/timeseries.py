@@ -1170,3 +1170,55 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ord").alias("close"),
         dsum("value", "volume"),
     )
+
+
+MED_W = 7  # rolling-median window (rows), matching the weekly cycle
+
+
+@query(
+    "q_ts_rolling_median",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {DAY_US} AS day_id,
+             {sql_dsum('value', 'x')}
+      FROM events GROUP BY 1
+    )
+    SELECT day_id, x,
+           {sql_dround(f'''median(x) OVER (
+             ORDER BY day_id ROWS BETWEEN {MED_W - 1} PRECEDING
+             AND CURRENT ROW)''', 4)} AS med{MED_W}
+    FROM daily
+    """,
+)
+def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {MED_W}-day median of the daily value series — the
+    robust trend line (immune to single-day spikes that drag a rolling
+    mean, the standard anomaly-baseline smoother). Median over an even
+    prefix interpolates the middle pair, matching DuckDB's window
+    median.
+
+    Scale: the raw stream collapses to ONE row per calendar day via a
+    map-side-combined aggregate first; the ordered window then runs
+    over that bounded series (days grow with wall-clock coverage, not
+    data volume — the same provably-bounded-window argument as
+    q_ts_acf/q_ts_gapfill). Spark has no exact median window function,
+    so the frame materializes as a sorted {MED_W}-element array per
+    row — constant work per day."""
+    from spark_clustering_spark.functions.detagg import DEC
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .select(F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_id"), "value")
+        .groupBy("day_id")
+        .agg(dround(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("x"))
+    )
+    w = Window.orderBy("day_id").rowsBetween(-(MED_W - 1), Window.currentRow)
+    arr = F.array_sort(F.collect_list("x").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return daily.select(
+        "day_id",
+        "x",
+        dround((lo + hi) / 2.0, 4).alias(f"med{MED_W}"),
+    )

@@ -260,3 +260,21 @@ def test_als_step_solves_per_user_normal_equations(spark):
     # reconstruction sanity: predicted ratings are positive where
     # factors are positive, and the solve is regularized (finite)
     assert all(np.isfinite((r.u1, r.u2)).all() for r in got.values())
+
+
+def test_rolling_median_matches_sequential(spark):
+    import statistics
+
+    from spark_clustering_spark.operators.timeseries import (
+        MED_W,
+        q_ts_rolling_median,
+    )
+
+    rows = sorted(
+        q_ts_rolling_median(spark, SF_SMALL).collect(), key=lambda r: r.day_id
+    )
+    assert len(rows) > MED_W  # enough days to exercise full frames
+    xs = [r.x for r in rows]
+    for i, r in enumerate(rows):
+        frame = xs[max(0, i - (MED_W - 1)) : i + 1]
+        assert abs(getattr(r, f"med{MED_W}") - statistics.median(frame)) < 1e-3
