@@ -1707,3 +1707,64 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# quantile targets as exact rationals (num/den) so the rank arithmetic
+# ceil(q*n) = (num*n + den - 1) // den stays in integers on both engines
+QUANTILE_TARGETS = ((0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100))
+
+
+@query(
+    "q_agg_quantiles_scalable",
+    oracle=f"""
+    WITH o AS (SELECT o_totalprice AS v, o_orderkey AS k FROM orders),
+    n AS (SELECT count(*) AS n FROM o),
+    r AS (SELECT v, row_number() OVER (ORDER BY v, k) AS rn FROM o),
+    q AS (SELECT * FROM (VALUES {', '.join(f'({q}, {num}, {den})' for q, num, den in QUANTILE_TARGETS)})
+          t(q, num, den))
+    SELECT q.q AS quantile,
+           ((q.num * n.n + q.den - 1) // q.den)::BIGINT AS rank,
+           r.v AS value
+    FROM q CROSS JOIN n
+    JOIN r ON r.rn = (q.num * n.n + q.den - 1) // q.den
+    """,
+)
+def q_agg_quantiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global p50/p90/p99 of order value WITHOUT a global sort:
+    the type-1 quantile (value at rank ceil(q·n) in (value, key) order)
+    selected through the two-pass range-partition rank machinery
+    (``global_running_agg``) — range shuffle into sorted slices,
+    per-slice counts collected (P rows), carry-in offsets turn local
+    row_numbers into global ranks, and the three target rows filter
+    out. The targets use exact integer arithmetic (num·n+den−1)//den so
+    no float ceil can straddle engines.
+
+    This is the scalable counterpart to q_agg_percentile /
+    q_agg_approx_percentile: exact answers like the former, but with
+    the approx sketch's no-single-reducer plan shape — at 100 TB the
+    naive percentile() (one sorted reducer) dies exactly like an
+    unpartitioned window, while this plan's widest stage is the range
+    exchange."""
+    from spark_clustering_spark.operators.windows import global_running_agg
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("k")
+    )
+    ranked, totals = global_running_agg(
+        o, [F.col("v"), F.col("k")], {"rn": ("count", "v")}
+    )
+    n = int(totals["rn"] or 0)
+    parts = []
+    for q, num, den in QUANTILE_TARGETS:
+        tgt = (num * n + den - 1) // den
+        parts.append(
+            ranked.filter(F.col("rn") == tgt).select(
+                F.lit(q).alias("quantile"),
+                F.lit(tgt).cast("bigint").alias("rank"),
+                F.col("v").alias("value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

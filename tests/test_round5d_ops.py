@@ -278,3 +278,38 @@ def test_rolling_median_matches_sequential(spark):
     for i, r in enumerate(rows):
         frame = xs[max(0, i - (MED_W - 1)) : i + 1]
         assert abs(getattr(r, f"med{MED_W}") - statistics.median(frame)) < 1e-3
+
+
+def test_scalable_quantiles_match_sorted_reference(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.aggregates import (
+        QUANTILE_TARGETS,
+        q_agg_quantiles_scalable,
+    )
+
+    rows = {r.quantile: r for r in q_agg_quantiles_scalable(spark, SF_SMALL).collect()}
+    vals = sorted(
+        (float(r.o_totalprice), r.o_orderkey)
+        for r in table(spark, SF_SMALL, "orders").select(
+            "o_totalprice", "o_orderkey"
+        ).collect()
+    )
+    n = len(vals)
+    assert set(rows) == {q for q, _, _ in QUANTILE_TARGETS}
+    for q, num, den in QUANTILE_TARGETS:
+        tgt = (num * n + den - 1) // den
+        got = rows[q]
+        assert got.rank == tgt
+        assert abs(float(got.value) - vals[tgt - 1][0]) < 1e-9
+    # quantiles are monotone in q
+    assert float(rows[0.5].value) <= float(rows[0.9].value) <= float(rows[0.99].value)
+
+    # plan contract: no data-proportional single-partition exchange —
+    # the only window is per-slice (partitioned by _pid)
+    plan = (
+        q_agg_quantiles_scalable(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
