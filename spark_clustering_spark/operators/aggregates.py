@@ -1768,3 +1768,81 @@ def q_agg_quantiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# Benford's-law expected first-digit shares log10(1 + 1/d), inlined as
+# identical 6dp literals in both engines (no runtime libm log10 calls
+# whose ulp could straddle the rounding boundary).
+BENFORD_EXPECTED = (0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+                    0.066947, 0.057992, 0.051153, 0.045757)
+
+
+@query(
+    "q_dq_benford",
+    oracle=f"""
+    WITH d AS (
+      SELECT substr(cast(o_totalprice AS VARCHAR), 1, 1)::INT AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS tot FROM c),
+    exp_ AS (SELECT * FROM (VALUES {', '.join(f'({d}, {e})' for d, e in enumerate(BENFORD_EXPECTED, 1))})
+             e(digit, expected))
+    SELECT exp_.digit,
+           coalesce(c.n, 0)::BIGINT AS n,
+           {sql_dround("coalesce(c.n, 0) / cast(t.tot AS DOUBLE)", 6)}
+             AS share,
+           exp_.expected,
+           {sql_dround(
+             "abs(coalesce(c.n, 0) / cast(t.tot AS DOUBLE) - exp_.expected)",
+             6)} AS abs_dev
+    FROM exp_ LEFT JOIN c USING (digit) CROSS JOIN t
+    """,
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fraud / synthetic-data screen: observed first-digit shares next to
+    the log10(1+1/d) expectation and the absolute deviation per digit.
+    First digits come from the decimal's canonical string (both engines
+    render DECIMAL without leading zeros or exponents), not from a
+    runtime log10 whose libm ulp could flip a boundary value; the nine
+    expected shares are pre-rounded literals for the same reason.
+
+    Scale: one map-side-combined aggregate to ≤9 cells; the total rides
+    back as a one-row cross join. The 9-row expectation table is a
+    literal — nothing data-proportional passes anything but the first
+    hash aggregate."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    c = (
+        o.select(
+            F.substring(F.col("o_totalprice").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("tot"))
+    exp_ = spark.createDataFrame(
+        [(d, e) for d, e in enumerate(BENFORD_EXPECTED, 1)],
+        "digit int, expected double",
+    )
+    return (
+        exp_.join(F.broadcast(c), "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            dround(
+                F.coalesce("n", F.lit(0)) / F.col("tot").cast("double"), 6
+            ).alias("share"),
+            "expected",
+            dround(
+                F.abs(
+                    F.coalesce("n", F.lit(0)) / F.col("tot").cast("double")
+                    - F.col("expected")
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+    )

@@ -313,3 +313,29 @@ def test_scalable_quantiles_match_sorted_reference(spark):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_benford_audit_shares_and_expectations(spark):
+    import math
+    from collections import Counter
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.aggregates import q_dq_benford
+
+    rows = {r.digit: r for r in q_dq_benford(spark, SF_SMALL).collect()}
+    assert set(rows) == set(range(1, 10))  # all nine digits present
+    counts = Counter(
+        int(str(r.o_totalprice)[0])
+        for r in table(spark, SF_SMALL, "orders").select("o_totalprice").collect()
+        if r.o_totalprice > 0
+    )
+    tot = sum(counts.values())
+    assert sum(r.n for r in rows.values()) == tot
+    for d in range(1, 10):
+        r = rows[d]
+        assert r.n == counts.get(d, 0)
+        assert abs(r.share - counts.get(d, 0) / tot) < 1e-5
+        assert abs(r.expected - round(math.log10(1 + 1 / d), 6)) < 1e-9
+        assert abs(r.abs_dev - abs(r.share - r.expected)) < 1e-5
+    # shares form a distribution
+    assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-3
