@@ -1722,7 +1722,7 @@ QUANTILE_TARGETS = ((0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100))
     r AS (SELECT v, row_number() OVER (ORDER BY v, k) AS rn FROM o),
     q AS (SELECT * FROM (VALUES {', '.join(f'({q}, {num}, {den})' for q, num, den in QUANTILE_TARGETS)})
           t(q, num, den))
-    SELECT q.q AS quantile,
+    SELECT q.q::DOUBLE AS quantile,
            ((q.num * n.n + q.den - 1) // q.den)::BIGINT AS rank,
            r.v AS value
     FROM q CROSS JOIN n
@@ -1792,7 +1792,7 @@ BENFORD_EXPECTED = (0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
            coalesce(c.n, 0)::BIGINT AS n,
            {sql_dround("coalesce(c.n, 0) / cast(t.tot AS DOUBLE)", 6)}
              AS share,
-           exp_.expected,
+           exp_.expected::DOUBLE AS expected,
            {sql_dround(
              "abs(coalesce(c.n, 0) / cast(t.tot AS DOUBLE) - exp_.expected)",
              6)} AS abs_dev
