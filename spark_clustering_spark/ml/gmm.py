@@ -83,6 +83,14 @@ def fit_gmm(
                 )
             ).alias("l"),
         )
+        # lik feeds the loglik denominator AND the E-step join; without
+        # the persist each consumer re-runs the n·k likelihood
+        # cross-join, recompiling the d-wide distance codegen each time.
+        # The cache is n·k rows of (ids, vec, l) — spillable
+        # (MEMORY_AND_DISK default), dropped before the next iteration;
+        # at extreme scale a caller can trade the cache for recompute by
+        # unpersisting, the semantics don't change.
+        lik = lik.persist()
         den = lik.groupBy("vec_id").agg(
             F.sum(F.col("l").cast("decimal(38,18)")).cast("double").alias("z")
         )
@@ -92,7 +100,10 @@ def fit_gmm(
         logliks.append(float(ll))
         hist.append((it, float(ll), float(ll) / n_pts))
 
-        # M-step sums: k·d rows of (cid, pos, wx, rsum) cross the driver
+        # M-step sums: k·d rows of (cid, pos, wx, rsum) cross the driver.
+        # (An in-row d+1-buffer aggregate was measured SLOWER here —
+        # d=64 decimal aggregation states blow up codegen; the exploded
+        # shuffle is n·k·d rows but map-side combined to k·d.)
         resp = lik.join(den, "vec_id").select(
             "cid", "vec", (F.col("l") / F.col("z")).alias("r")
         )
@@ -105,6 +116,7 @@ def fit_gmm(
             )
             .collect()
         )
+        lik.unpersist()
         d = len(means[0])
         new_means = [[0.0] * d for _ in range(k)]
         rmass = [0.0] * k

@@ -188,6 +188,29 @@ NOTES = {
         "cluster via applyInPandas — 63x the expression path at 16x "
         "corpus (PERF.md)."
     ),
+    "q_ml_als_step": (
+        "item factors materialize map-side from the fact row (LCG of "
+        "the part key — no dimension join); one co-partitioned fact "
+        "join then a single custkey hash aggregate carrying 5-double "
+        "state; the 2x2 ridge solve is fixed-order projection "
+        "arithmetic."
+    ),
+    "q_agg_quantiles_scalable": (
+        "range repartition into sorted slices + per-slice row_number "
+        "with driver carry-in offsets (global_running_agg) — exact "
+        "global ranks, SinglePartition-free (plan-asserted); the 3 "
+        "target rows filter out of the ranked stream."
+    ),
+    "q_ts_resample_ohlc": (
+        "one ObjectHashAggregate pass: open/close are MIN_BY/MAX_BY "
+        "champions on the (ts, event_id) struct riding beside "
+        "min/max/decimal-sum — bars shuffle, ticks never do."
+    ),
+    "q_text_dedup_paragraph": (
+        "segment digests (never text) shuffle into a map-side-combined "
+        "min(struct) champion groupBy; winners join back on the digest; "
+        "the manifest re-aggregates per doc — three narrow exchanges."
+    ),
 }
 
 
