@@ -1222,3 +1222,105 @@ def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         dround((lo + hi) / 2.0, 4).alias(f"med{MED_W}"),
     )
+
+
+XCORR_MAX_LAG = 3  # lead/lag horizon in days
+XCORR_X = "view"       # leading series
+XCORR_Y = "purchase"   # lagging series
+
+
+@query(
+    "q_ts_xcorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {DAY_US} AS day_id, event_type,
+             count(*) AS n
+      FROM events WHERE event_type IN ('{XCORR_X}', '{XCORR_Y}')
+      GROUP BY 1, 2
+    ),
+    x AS (SELECT day_id, n AS vx FROM daily WHERE event_type = '{XCORR_X}'),
+    y AS (SELECT day_id, n AS vy FROM daily WHERE event_type = '{XCORR_Y}'),
+    lags AS (SELECT unnest(range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG + 1}))
+               AS lag),
+    j AS (
+      SELECT l.lag, x.vx, y.vy
+      FROM lags l
+      JOIN x ON TRUE
+      JOIN y ON y.day_id = x.day_id + l.lag
+    ),
+    s AS (
+      SELECT lag, count(*) AS n,
+             sum(vx) AS sx, sum(vy) AS sy,
+             sum(vx * vy) AS sxy, sum(vx * vx) AS sxx,
+             sum(vy * vy) AS syy
+      FROM j GROUP BY lag
+    )
+    SELECT lag::INT AS lag, n::BIGINT AS n_days,
+           {sql_dround(
+             "(n * sxy - sx * sy) / sqrt("
+             "(n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)",
+             6)} AS xcorr
+    FROM s
+    """,
+)
+def q_ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation between the daily '{XCORR_X}' and
+    '{XCORR_Y}' series at lags −{XCORR_MAX_LAG}..{XCORR_MAX_LAG}:
+    corr(x_t, y_(t+lag)) — does one series lead the other (the
+    leading-indicator scan that pairs with q_ts_acf's self-correlation).
+    Counts are integers, so every sufficient statistic is EXACT integer
+    arithmetic end-to-end; only the final Pearson ratio touches floats
+    (one fixed-order double expression).
+
+    Scale: the raw stream collapses to two bounded daily series first
+    (map-side-combined aggregate, the q_ts_acf boundedness argument);
+    the 2·{XCORR_MAX_LAG}+1 lags expand via a literal cross join over
+    the SERIES (not the stream), and the lag alignment is an integer
+    equi-join on the shifted day id. Nothing data-proportional passes
+    a window or single reducer."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(XCORR_X, XCORR_Y))
+        .select(
+            F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_id"),
+            "event_type",
+        )
+        .groupBy("day_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    x = e.filter(F.col("event_type") == XCORR_X).select(
+        "day_id", F.col("n").alias("vx")
+    )
+    y = e.filter(F.col("event_type") == XCORR_Y).select(
+        F.col("day_id").alias("y_day"), F.col("n").alias("vy")
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    j = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("y_day") == F.col("day_id") + F.col("lag"))
+    )
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vx").alias("sx"),
+        F.sum("vy").alias("sy"),
+        F.sum(F.col("vx") * F.col("vy")).alias("sxy"),
+        F.sum(F.col("vx") * F.col("vx")).alias("sxx"),
+        F.sum(F.col("vy") * F.col("vy")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        F.col("lag").cast("int").alias("lag"),
+        n.cast("bigint").alias("n_days"),
+        dround(
+            (n * sxy - sx * sy)
+            / F.sqrt(
+                (n * sxx - sx * sx).cast("double")
+                * (n * syy - sy * sy).cast("double")
+            ),
+            6,
+        ).alias("xcorr"),
+    )

@@ -339,3 +339,35 @@ def test_benford_audit_shares_and_expectations(spark):
         assert abs(r.abs_dev - abs(r.share - r.expected)) < 1e-5
     # shares form a distribution
     assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-3
+
+
+def test_xcorr_matches_numpy_and_lag_zero_symmetry(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.timeseries import (
+        DAY_US,
+        XCORR_MAX_LAG,
+        XCORR_X,
+        XCORR_Y,
+        q_ts_xcorr,
+    )
+
+    got = {r.lag: r for r in q_ts_xcorr(spark, SF_SMALL).collect()}
+    assert set(got) == set(range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1))
+    ev = table(spark, SF_SMALL, "events").selectExpr(
+        f"unix_micros(ts) div {DAY_US} as day", "event_type"
+    ).collect()
+    from collections import Counter
+
+    cx = Counter(r.day for r in ev if r.event_type == XCORR_X)
+    cy = Counter(r.day for r in ev if r.event_type == XCORR_Y)
+    for lag in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1):
+        days = sorted(d for d in cx if (d + lag) in cy)
+        x = np.array([cx[d] for d in days], dtype=float)
+        y = np.array([cy[d + lag] for d in days], dtype=float)
+        r = got[lag]
+        assert r.n_days == len(days)
+        ref = np.corrcoef(x, y)[0, 1]
+        assert abs(r.xcorr - ref) < 1e-4, lag
+        assert -1.0 <= r.xcorr <= 1.0
