@@ -1645,3 +1645,86 @@ def q_olap_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "repeat_share",
     )
+
+
+MIGRATION_SPLIT = "1998-04-01"  # period boundary (orders span 1995..2001)
+
+
+@query(
+    "q_olap_customer_migration",
+    oracle=f"""
+    WITH pa AS (
+      SELECT o_custkey, sum(cast(o_totalprice AS DECIMAL(38,8))) AS mon
+      FROM orders WHERE o_orderdate < TIMESTAMP '{MIGRATION_SPLIT}'
+      GROUP BY o_custkey
+    ),
+    pb AS (
+      SELECT o_custkey, sum(cast(o_totalprice AS DECIMAL(38,8))) AS mon
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{MIGRATION_SPLIT}'
+      GROUP BY o_custkey
+    ),
+    ta AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY mon DESC, o_custkey)::INT AS tile_a
+      FROM pa
+    ),
+    tb AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY mon DESC, o_custkey)::INT AS tile_b
+      FROM pb
+    ),
+    m AS (SELECT tile_a, tile_b FROM ta JOIN tb USING (o_custkey)),
+    c AS (SELECT tile_a, tile_b, count(*) AS n_customers
+          FROM m GROUP BY tile_a, tile_b),
+    rt AS (SELECT tile_a, sum(n_customers) AS row_n FROM c GROUP BY tile_a)
+    SELECT c.tile_a, c.tile_b, c.n_customers,
+           {sql_dround("c.n_customers / cast(rt.row_n AS DOUBLE)", 6)}
+             AS row_share
+    FROM c JOIN rt USING (tile_a)
+    """,
+)
+def q_olap_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment migration: monetary quintile in the early
+    period vs the late period (split at {MIGRATION_SPLIT}), as the
+    5×5 transition matrix with within-row shares — the
+    did-my-best-customers-stay / churn-risk matrix every retention
+    team tracks (the time-axis companion to q_olap_rfm's snapshot).
+    Only customers active in BOTH periods transition (inner join);
+    diagonal mass = segment stability.
+
+    Scale: two customer-cardinality aggregates off partition-prunable
+    date filters; each period's quintile cut goes through
+    ``ntile_scalable`` (range repartition + per-slice rank offsets —
+    the same no-partition-less-window discipline as q_olap_rfm, vs
+    the oracle's single-reducer ntile() OVER ()); the transition join
+    is custkey-keyed and the matrix collapses to ≤25 cells."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    split = F.lit(MIGRATION_SPLIT).cast("timestamp")
+
+    def tiles(period_df, out_col):
+        m = period_df.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,8)")).alias("mon")
+        )
+        t = ntile_scalable(
+            m, [F.col("mon").desc(), F.col("o_custkey")], 5, out_col=out_col
+        )
+        return t.select("o_custkey", out_col)
+
+    ta = tiles(o.filter(F.col("o_orderdate") < split), "tile_a")
+    tb = tiles(o.filter(F.col("o_orderdate") >= split), "tile_b")
+    c = (
+        ta.join(tb, "o_custkey")
+        .groupBy("tile_a", "tile_b")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    rt = c.groupBy("tile_a").agg(F.sum("n_customers").alias("row_n"))
+    return c.join(F.broadcast(rt), "tile_a").select(
+        "tile_a",
+        "tile_b",
+        "n_customers",
+        dround(
+            F.col("n_customers") / F.col("row_n").cast("double"), 6
+        ).alias("row_share"),
+    )

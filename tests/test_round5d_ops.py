@@ -371,3 +371,26 @@ def test_xcorr_matches_numpy_and_lag_zero_symmetry(spark):
         ref = np.corrcoef(x, y)[0, 1]
         assert abs(r.xcorr - ref) < 1e-4, lag
         assert -1.0 <= r.xcorr <= 1.0
+
+
+def test_customer_migration_matrix_invariants(spark):
+    from spark_clustering_spark.operators.olap import q_olap_customer_migration
+
+    rows = q_olap_customer_migration(spark, SF_SMALL).collect()
+    assert rows
+    tiles = {(r.tile_a, r.tile_b) for r in rows}
+    assert all(1 <= a <= 5 and 1 <= b <= 5 for a, b in tiles)
+    # within-row shares form a distribution per tile_a
+    from collections import defaultdict
+
+    by_row = defaultdict(list)
+    for r in rows:
+        by_row[r.tile_a].append(r)
+    for a, rs in by_row.items():
+        assert abs(sum(r.row_share for r in rs) - 1.0) < 1e-3, a
+        for r in rs:
+            n_row = sum(x.n_customers for x in rs)
+            assert abs(r.row_share - r.n_customers / n_row) < 1e-5
+    # the diagonal should carry real mass (segments are sticky-ish):
+    # every tile_a row has at least one customer somewhere
+    assert set(by_row) == {r.tile_a for r in rows}
