@@ -1728,3 +1728,73 @@ def q_olap_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_customers") / F.col("row_n").cast("double"), 6
         ).alias("row_share"),
     )
+
+
+@query(
+    "q_olap_skyline",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_custkey,
+             count(*) AS freq,
+             sum(cast(o_totalprice AS DECIMAL(38,8))) AS mon
+      FROM orders GROUP BY o_custkey
+    ),
+    p AS (
+      SELECT freq, mon, count(*) AS n_customers,
+             min(o_custkey) AS min_custkey
+      FROM x GROUP BY freq, mon
+    ),
+    sky AS (
+      SELECT * FROM p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p q
+        WHERE q.freq >= p.freq AND q.mon >= p.mon
+          AND (q.freq > p.freq OR q.mon > p.mon)
+      )
+    )
+    SELECT freq::BIGINT AS freq,
+           cast(round(mon, 4) AS DOUBLE) AS monetary,
+           n_customers, min_custkey
+    FROM sky
+    """,
+)
+def q_olap_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of customers in (order count, exact
+    revenue) space: the (freq, mon) pairs no other pair dominates —
+    the multi-criteria "best customers" query that no single score
+    captures. The oracle states the semantics as the literal
+    quadratic NOT EXISTS dominance test; the engine computes the SAME
+    frontier linearly: in (freq DESC, mon DESC) order over distinct
+    pairs, a pair is on the frontier iff its mon strictly raises the
+    running maximum — served by ``global_running_agg``'s
+    range-partition + carry-in machinery, so no single-reducer sort
+    and no quadratic pair join ever materializes.
+
+    The candidate filter (mon == inclusive running max) can keep a
+    later equal-mon pair that an earlier higher-freq pair dominates;
+    the ≤|frontier|-sized groupBy(mon) keep-max-freq pass removes
+    exactly those — both steps are data-proportional-safe."""
+    x = table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,8)")).alias("mon"),
+    )
+    p = x.groupBy("freq", "mon").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("o_custkey").alias("min_custkey"),
+    )
+    ranked, _tot = global_running_agg(
+        p,
+        [F.col("freq").desc(), F.col("mon").desc()],
+        {"rmax": ("max", "mon")},
+    )
+    cand = ranked.filter(F.col("mon") == F.col("rmax"))
+    best = cand.groupBy("mon").agg(F.max("freq").alias("freq"))
+    return (
+        cand.join(best, ["mon", "freq"])
+        .select(
+            F.col("freq").cast("bigint").alias("freq"),
+            F.round("mon", 4).cast("double").alias("monetary"),
+            "n_customers",
+            "min_custkey",
+        )
+    )

@@ -394,3 +394,34 @@ def test_customer_migration_matrix_invariants(spark):
     # the diagonal should carry real mass (segments are sticky-ish):
     # every tile_a row has at least one customer somewhere
     assert set(by_row) == {r.tile_a for r in rows}
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark):
+    from collections import Counter
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.olap import q_olap_skyline
+
+    got = {(r.freq, r.monetary) for r in q_olap_skyline(spark, SF_SMALL).collect()}
+    orders = table(spark, SF_SMALL, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    freq: Counter = Counter()
+    mon: Counter = Counter()
+    for r in orders:
+        freq[r.o_custkey] += 1
+        mon[r.o_custkey] += float(r.o_totalprice)
+    pairs = {(freq[c], round(mon[c], 4)) for c in freq}
+    sky = {
+        p
+        for p in pairs
+        if not any(
+            q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
+            for q in pairs
+        )
+    }
+    assert got == sky
+    # frontier is strictly decreasing in mon as freq increases
+    s = sorted(got)
+    for (f1, m1), (f2, m2) in zip(s, s[1:]):
+        assert f1 < f2 and m1 > m2
