@@ -1324,3 +1324,58 @@ def q_ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xcorr"),
     )
+
+
+@query(
+    "q_ts_peaks",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {DAY_US} AS day_id,
+             {sql_dsum('value', 'x')}
+      FROM events GROUP BY 1
+    ),
+    nbr AS (
+      SELECT day_id, x,
+             lag(x)  OVER (ORDER BY day_id) AS prev_x,
+             lead(x) OVER (ORDER BY day_id) AS next_x
+      FROM daily
+    )
+    SELECT day_id, x, prev_x, next_x
+    FROM nbr
+    WHERE prev_x IS NOT NULL AND next_x IS NOT NULL
+      AND x > prev_x AND x > next_x
+    """,
+)
+def q_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum (peak) detection on the daily value series: days
+    strictly above both calendar neighbors — the spike-candidate list
+    that feeds alerting/annotation (complement of q_ts_anomaly's
+    z-score screen: a peak need not be a global outlier). Boundary
+    days (no neighbor on one side) are excluded by definition.
+
+    Scale: the stream collapses to the bounded daily series first
+    (map-side-combined aggregate — the q_ts_acf boundedness argument);
+    the lag/lead window runs over that series only. Comparisons are on
+    the 4dp-quantized exact-decimal daily sums, so the strict
+    inequalities cannot flap between engines."""
+    from spark_clustering_spark.functions.detagg import DEC
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .select(F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_id"), "value")
+        .groupBy("day_id")
+        .agg(dround(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("x"))
+    )
+    w = Window.orderBy("day_id")
+    nbr = daily.select(
+        "day_id",
+        "x",
+        F.lag("x").over(w).alias("prev_x"),
+        F.lead("x").over(w).alias("next_x"),
+    )
+    return nbr.filter(
+        F.col("prev_x").isNotNull()
+        & F.col("next_x").isNotNull()
+        & (F.col("x") > F.col("prev_x"))
+        & (F.col("x") > F.col("next_x"))
+    )

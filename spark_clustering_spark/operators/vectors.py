@@ -529,3 +529,87 @@ def q_vec_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s", 4).cast("double").alias("proj"),
         )
     )
+
+
+OUTLIER_TOPK = 20  # reported outliers
+
+
+@query(
+    "q_vec_outlier_mahalanobis",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ),
+    s AS (
+      SELECT pos, count(*) AS n,
+             cast(sum(cast(v AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+             cast(sum(cast(v * v AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+      FROM dims GROUP BY pos
+    ),
+    terms AS (
+      SELECT d.vec_id,
+             cast(
+               (d.v - s.sx / s.n) * (d.v - s.sx / s.n)
+               / (s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n))
+               AS DECIMAL(38,12)) AS t
+      FROM dims d JOIN s USING (pos)
+    ),
+    sc AS (
+      SELECT vec_id, cast(sum(t) AS DOUBLE) AS m2
+      FROM terms GROUP BY vec_id
+    )
+    SELECT vec_id,
+           cast(round(cast(cast(m2 AS VARCHAR) AS DECIMAL(38,12)), 4)
+                AS DOUBLE) AS m2
+    FROM sc ORDER BY m2 DESC, vec_id LIMIT {OUTLIER_TOPK}
+    """,
+)
+def q_vec_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: the {OUTLIER_TOPK} vectors
+    with the largest diagonal Mahalanobis distance Σᵢ(xᵢ−μᵢ)²/σᵢ² —
+    the distribution-aware generalization of L2-to-centroid (a
+    dimension with tight variance counts for more), the standard
+    cheap screen for corrupted embeddings / off-manifold documents
+    before expensive dedup or ANN indexing.
+
+    Determinism: per-dimension μ, σ² come from exact decimal sums;
+    each per-dimension term quantizes to DECIMAL(38,12) before the
+    per-vector sum, so dimension accumulation order can't flap bits;
+    the top-k orders by the exact pre-rounding score with vec_id
+    tiebreak.
+
+    Scale: two passes — (1) per-dim moments: posexplode then a
+    map-side-combined aggregate to d rows, broadcast back; (2) per-
+    vector score: the same explode shape aggregating n rows keyed
+    vec_id. Top-k is TakeOrderedAndProject (per-partition heaps), not
+    a global sort. The d-row stats table broadcasts; nothing else is
+    small-state."""
+    pts = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    dims = pts.select("vec_id", F.posexplode("vec").alias("pos", "v"))
+    s = dims.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,8)")).cast("double").alias("sx"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mu = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (
+        F.col("sx") / F.col("n")
+    )
+    terms = dims.join(F.broadcast(s), "pos").select(
+        "vec_id",
+        (((F.col("v") - mu) * (F.col("v") - mu)) / var)
+        .cast("decimal(38,12)")
+        .alias("t"),
+    )
+    sc = terms.groupBy("vec_id").agg(F.sum("t").cast("double").alias("m2"))
+    return (
+        sc.orderBy(F.desc("m2"), "vec_id")
+        .limit(OUTLIER_TOPK)
+        .select("vec_id", dround("m2", 4).alias("m2"))
+    )

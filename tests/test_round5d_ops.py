@@ -425,3 +425,71 @@ def test_skyline_is_exactly_the_nondominated_set(spark):
     s = sorted(got)
     for (f1, m1), (f2, m2) in zip(s, s[1:]):
         assert f1 < f2 and m1 > m2
+
+
+def test_mahalanobis_outliers_match_numpy(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.vectors import (
+        OUTLIER_TOPK,
+        q_vec_outlier_mahalanobis,
+    )
+
+    got = q_vec_outlier_mahalanobis(spark, SF_SMALL).collect()
+    assert len(got) == OUTLIER_TOPK
+    X = np.array(
+        [
+            r.embedding
+            for r in table(spark, SF_SMALL, "embeddings")
+            .select("embedding")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=float,
+    )
+    ids = [
+        r.vec_id
+        for r in table(spark, SF_SMALL, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    mu = X.mean(axis=0)
+    var = X.var(axis=0)  # population variance, matching sxx/n - mu^2
+    m2 = (((X - mu) ** 2) / var).sum(axis=1)
+    order = sorted(zip(m2, ids), key=lambda t: (-t[0], t[1]))[:OUTLIER_TOPK]
+    ref_ids = [i for _, i in order]
+    assert [r.vec_id for r in got] != []  # non-degenerate
+    assert {r.vec_id for r in got} == set(ref_ids)
+    for r, (ref_m2, ref_id) in zip(got, order):
+        assert abs(r.m2 - ref_m2) < 1e-2
+
+
+def test_peaks_are_strict_local_maxima(spark):
+    from spark_clustering_spark.operators.timeseries import (
+        DAY_US,
+        q_ts_peaks,
+    )
+    from spark_clustering_spark.io import table
+    from pyspark.sql import functions as F
+    from spark_clustering_spark.functions.detagg import DEC
+    from spark_clustering_spark.functions.detagg import dround
+
+    peaks = q_ts_peaks(spark, SF_SMALL).collect()
+    daily = dict(
+        (r.day_id, r.x)
+        for r in table(spark, SF_SMALL, "events")
+        .select(F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_id"), "value")
+        .groupBy("day_id")
+        .agg(dround(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("x"))
+        .collect()
+    )
+    days = sorted(daily)
+    ref = {
+        d
+        for i, d in enumerate(days[1:-1], 1)
+        if daily[d] > daily[days[i - 1]] and daily[d] > daily[days[i + 1]]
+    }
+    assert {r.day_id for r in peaks} == ref
+    assert ref  # the synthetic series must have at least one peak
