@@ -493,3 +493,38 @@ def test_peaks_are_strict_local_maxima(spark):
     }
     assert {r.day_id for r in peaks} == ref
     assert ref  # the synthetic series must have at least one peak
+
+
+def test_canonical_rep_is_longest_member(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.dedup import (
+        q_dedup_canonical,
+        q_dedup_clusters,
+    )
+
+    manifest = {r.component: r for r in q_dedup_canonical(spark, SF_SMALL).collect()}
+    comp = {
+        r.doc_id: r.component for r in q_dedup_clusters(spark, SF_SMALL).collect()
+    }
+    chars = {
+        r.doc_id: r.n_chars
+        for r in table(spark, SF_SMALL, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    # every document appears in exactly one manifest row's member count
+    assert sum(r.n_members for r in manifest.values()) == len(chars)
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc_id in chars:
+        members[comp.get(doc_id, doc_id)].append(doc_id)
+    for c, docs in members.items():
+        m = manifest[c]
+        assert m.n_members == len(docs)
+        assert m.total_chars == sum(chars[d] for d in docs)
+        best = sorted(docs, key=lambda d: (-chars[d], d))[0]
+        assert m.rep_doc == best, c
+        assert m.rep_chars == chars[best]
+    # multi-member clusters exist in the duplicated synthetic corpus
+    assert any(r.n_members > 1 for r in manifest.values())
