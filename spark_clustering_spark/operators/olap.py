@@ -1798,3 +1798,83 @@ def q_olap_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_custkey",
         )
     )
+
+
+@query(
+    "q_olap_supplier_hhi",
+    oracle=f"""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             sum(cast(l.l_extendedprice AS DECIMAL(38,8))) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    nat AS (
+      SELECT s_nationkey, sum(r) AS tot, count(*) AS n_suppliers,
+             max(r) AS top_r
+      FROM rev GROUP BY s_nationkey
+    ),
+    sh AS (
+      SELECT rev.s_nationkey,
+             cast(
+               (cast(rev.r AS DOUBLE) / cast(nat.tot AS DOUBLE))
+               * (cast(rev.r AS DOUBLE) / cast(nat.tot AS DOUBLE))
+               AS DECIMAL(38,12)) AS s2
+      FROM rev JOIN nat USING (s_nationkey)
+    )
+    SELECT n.n_name AS nation,
+           nat.n_suppliers::BIGINT AS n_suppliers,
+           {sql_dround("cast(hhi.h AS DOUBLE)", 6)} AS hhi,
+           {sql_dround(
+             "cast(nat.top_r AS DOUBLE) / cast(nat.tot AS DOUBLE)", 6)}
+             AS top_share
+    FROM (SELECT s_nationkey, sum(s2) AS h FROM sh GROUP BY s_nationkey) hhi
+    JOIN nat USING (s_nationkey)
+    JOIN nation n ON n.n_nationkey = hhi.s_nationkey
+    """,
+)
+def q_olap_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per nation: the Herfindahl–Hirschman
+    index Σ share² of supplier revenue (1/n = perfect competition,
+    1.0 = monopoly) plus the single largest share — the supply-chain
+    risk metric procurement teams track per market.
+
+    Determinism: supplier revenues are exact decimal sums; each
+    squared share quantizes to DECIMAL(38,12) before the per-nation
+    sum, so supplier accumulation order can't flap bits.
+
+    Scale: one fact pass keyed (nation, supplier) with map-side
+    combine, then supplier-cardinality rows collapse per nation; the
+    25-row nation dimension broadcasts. No window, no driver state."""
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,8)")).alias("r")
+        )
+    )
+    nat = rev.groupBy("s_nationkey").agg(
+        F.sum("r").alias("tot"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.max("r").alias("top_r"),
+    )
+    share = F.col("r").cast("double") / F.col("tot").cast("double")
+    sh = rev.join(F.broadcast(nat.select("s_nationkey", "tot")), "s_nationkey").select(
+        "s_nationkey", (share * share).cast("decimal(38,12)").alias("s2")
+    )
+    hhi = sh.groupBy("s_nationkey").agg(F.sum("s2").alias("h"))
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        hhi.join(nat, "s_nationkey")
+        .join(F.broadcast(n), hhi["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            dround(F.col("h").cast("double"), 6).alias("hhi"),
+            dround(
+                F.col("top_r").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("top_share"),
+        )
+    )

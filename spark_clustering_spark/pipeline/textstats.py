@@ -1143,3 +1143,125 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pred_lang") == F.col("true_lang")).cast("int").alias("correct"),
         )
     )
+
+
+PMI_MIN_COUNT = 5  # bigram support floor (rare pairs have unstable PMI)
+PMI_TOPK = 50
+
+
+@query(
+    "q_text_collocations",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(ws) AS w FROM docs
+    ),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    tot AS (SELECT count(*) AS t FROM uni),
+    grams AS (
+      SELECT unnest([ws[i] || ' ' || ws[i+1]
+                     for i in range(1, greatest(len(ws), 1))]) AS bigram,
+             unnest([ws[i] for i in range(1, greatest(len(ws), 1))]) AS a,
+             unnest([ws[i+1] for i in range(1, greatest(len(ws), 1))]) AS b
+      FROM docs WHERE len(ws) >= 2
+    ),
+    bc AS (
+      SELECT bigram, a, b, count(*) AS cab
+      FROM grams GROUP BY bigram, a, b
+      HAVING count(*) >= {PMI_MIN_COUNT}
+    ),
+    btot AS (SELECT count(*) AS bt FROM grams),
+    pmi AS (
+      SELECT bc.bigram, bc.cab,
+             ln((bc.cab::DOUBLE * tot.t::DOUBLE * tot.t::DOUBLE)
+                / (btot.bt::DOUBLE * ca.c::DOUBLE * cb.c::DOUBLE)) AS p
+      FROM bc
+      JOIN uc ca ON ca.w = bc.a
+      JOIN uc cb ON cb.w = bc.b
+      CROSS JOIN tot CROSS JOIN btot
+    )
+    SELECT bigram, cab AS n, {sql_dround("p", 4)} AS pmi
+    FROM pmi ORDER BY p DESC, bigram LIMIT {PMI_TOPK}
+    """,
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-{PMI_TOPK} bigrams by pointwise
+    mutual information ln(p(ab)/(p(a)p(b))) with support ≥
+    {PMI_MIN_COUNT} — the classic phrase-discovery pass (Church &
+    Hanks) that surfaces multiword expressions a tokenizer or n-gram
+    LM should treat as units (complement to q_text_bigrams' raw
+    frequency ranking, which favors function-word pairs PMI
+    suppresses).
+
+    Determinism: all counts are exact integers; the PMI ratio is
+    assembled in ONE fixed-order double expression (products cast to
+    double BEFORE the ratio — no intermediate bigint overflow at any
+    corpus size) so both engines hand the same double to ln.
+
+    Scale: unigram and bigram counts are map-side-combined aggregates;
+    the PMI join attaches vocabulary-cardinality count tables (hash
+    joins AQE can broadcast); the two totals ride as one-row cross
+    joins; the final top-k is TakeOrderedAndProject, not a global
+    sort."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+        ).alias("ws"),
+    )
+    uni = d.select(F.explode("ws").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("t"))
+    pairs = (
+        d.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, F.size("ws") - 1),
+                    F.slice("ws", 2, F.size("ws") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    btot = pairs.agg(F.count(F.lit(1)).alias("bt"))
+    bc = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_COUNT)
+    )
+    ca = uc.select(F.col("w").alias("a"), F.col("c").alias("ca"))
+    cb = uc.select(F.col("w").alias("b"), F.col("c").alias("cb"))
+    pmi = (
+        bc.join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            F.col("cab"),
+            F.log(
+                (
+                    F.col("cab").cast("double")
+                    * F.col("t").cast("double")
+                    * F.col("t").cast("double")
+                )
+                / (
+                    F.col("bt").cast("double")
+                    * F.col("ca").cast("double")
+                    * F.col("cb").cast("double")
+                )
+            ).alias("p"),
+        )
+    )
+    return (
+        pmi.orderBy(F.desc("p"), "bigram")
+        .limit(PMI_TOPK)
+        .select("bigram", F.col("cab").alias("n"), dround("p", 4).alias("pmi"))
+    )

@@ -528,3 +528,66 @@ def test_canonical_rep_is_longest_member(spark):
         assert m.rep_chars == chars[best]
     # multi-member clusters exist in the duplicated synthetic corpus
     assert any(r.n_members > 1 for r in manifest.values())
+
+
+def test_supplier_hhi_matches_sequential(spark):
+    from collections import defaultdict
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.olap import q_olap_supplier_hhi
+
+    got = {r.nation: r for r in q_olap_supplier_hhi(spark, SF_SMALL).collect()}
+    sup = {
+        r.s_suppkey: r.s_nationkey
+        for r in table(spark, SF_SMALL, "supplier").collect()
+    }
+    nations = {
+        r.n_nationkey: r.n_name for r in table(spark, SF_SMALL, "nation").collect()
+    }
+    rev: dict = defaultdict(lambda: defaultdict(float))
+    for r in table(spark, SF_SMALL, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    ).collect():
+        rev[sup[r.l_suppkey]][r.l_suppkey] += float(r.l_extendedprice)
+    for nk, by_sup in rev.items():
+        g = got[nations[nk]]
+        tot = sum(by_sup.values())
+        hhi = sum((v / tot) ** 2 for v in by_sup.values())
+        assert g.n_suppliers == len(by_sup)
+        assert abs(g.hhi - hhi) < 1e-4
+        assert abs(g.top_share - max(by_sup.values()) / tot) < 1e-4
+        # HHI bounds: 1/n (uniform) .. 1 (monopoly)
+        assert 1.0 / len(by_sup) - 1e-9 <= g.hhi <= 1.0
+
+
+def test_collocations_pmi_matches_sequential(spark):
+    import math
+    from collections import Counter
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.textstats import (
+        PMI_MIN_COUNT,
+        q_text_collocations,
+    )
+
+    got = q_text_collocations(spark, SF_SMALL).collect()
+    assert got
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for r in table(spark, SF_SMALL, "documents").select("text").collect():
+        ws = [w for w in r.text.lower().split() if w]
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    T = sum(uni.values())
+    B = sum(big.values())
+    ref = {}
+    for (a, b), cab in big.items():
+        if cab >= PMI_MIN_COUNT:
+            ref[f"{a} {b}"] = math.log(cab * T * T / (B * uni[a] * uni[b]))
+    for r in got:
+        assert r.bigram in ref
+        assert r.n == big[tuple(r.bigram.split(" "))]
+        assert abs(r.pmi - ref[r.bigram]) < 1e-3
+    # the returned set is the true top-k by PMI
+    topk = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    assert {r.bigram for r in got} == {k for k, _ in topk}
