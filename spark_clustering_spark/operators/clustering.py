@@ -1290,3 +1290,123 @@ def q_ml_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("u2"),
     )
+
+
+CALIB_BINS = 10  # reliability-diagram resolution
+
+
+@query(
+    "q_ml_calibration",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+             ln(l_extendedprice / l_quantity) AS z
+      FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(cast(z AS DECIMAL(38,8))) AS sz,
+             sum(cast(z * z AS DECIMAL(38,8))) AS szz,
+             sum(cast(y - 0.5 AS DECIMAL(38,8))) AS g0,
+             sum(cast(z * (y - 0.5) AS DECIMAL(38,8))) AS g1
+      FROM pts
+    ),
+    beta AS (
+      SELECT 4.0 * (cast(szz AS DOUBLE) * cast(g0 AS DOUBLE)
+                    - cast(sz AS DOUBLE) * cast(g1 AS DOUBLE))
+                 / (n * cast(szz AS DOUBLE)
+                    - cast(sz AS DOUBLE) * cast(sz AS DOUBLE)) AS b0,
+             4.0 * (n * cast(g1 AS DOUBLE)
+                    - cast(sz AS DOUBLE) * cast(g0 AS DOUBLE))
+                 / (n * cast(szz AS DOUBLE)
+                    - cast(sz AS DOUBLE) * cast(sz AS DOUBLE)) AS b1
+      FROM s
+    ),
+    pred AS (
+      SELECT p.y, 1.0 / (1.0 + exp(-(b.b0 + b.b1 * p.z))) AS sigma
+      FROM pts p CROSS JOIN beta b
+    ),
+    binned AS (
+      SELECT least(floor(sigma * {CALIB_BINS}), {CALIB_BINS - 1})::INT
+               AS bin,
+             count(*) AS n,
+             cast(sum(cast(sigma AS DECIMAL(38,12))) AS DOUBLE) AS ssig,
+             sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS npos
+      FROM pred GROUP BY 1
+    )
+    SELECT bin, n,
+           {sql_dround("ssig / n", 6)} AS mean_predicted,
+           {sql_dround("npos / cast(n AS DOUBLE)", 6)} AS observed_rate
+    FROM binned
+    """,
+)
+def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration curve) for the one-step
+    logistic model of q_ml_logreg_step: bin the predicted
+    σ(β₀+β₁·ln unit price) into {CALIB_BINS} equal-width buckets and
+    report mean predicted probability vs observed positive rate per
+    bucket — the standard is-my-classifier-honest evaluation
+    (well-calibrated ⇔ the two columns track). The β solve inlines as
+    the same closed-form sufficient-statistics expression the logreg
+    step hash-verifies.
+
+    Determinism: β comes from exact decimal sums; σ is one
+    fixed-order double expression per row; predicted-probability sums
+    quantize to DECIMAL(38,12) before the per-bin division (bin
+    accumulation order can't flap bits); a bin-boundary flip would
+    need σ·{CALIB_BINS} to land exactly on an integer (measure-zero).
+
+    Scale: two map-side-combined passes (sufficient statistics, then
+    the binning aggregate with β inlined as plan literals via the
+    broadcast one-row cross join) collapsing to ≤{CALIB_BINS} rows —
+    the same two-pass shape as the logreg step itself."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    pts = li.select(
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("z"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("z").cast(DEC)).alias("sz"),
+        F.sum((F.col("z") * F.col("z")).cast(DEC)).alias("szz"),
+        F.sum((F.col("y") - 0.5).cast(DEC)).alias("g0"),
+        F.sum((F.col("z") * (F.col("y") - 0.5)).cast(DEC)).alias("g1"),
+    )
+    n = F.col("n")
+    sz, szz = F.col("sz").cast("double"), F.col("szz").cast("double")
+    g0, g1 = F.col("g0").cast("double"), F.col("g1").cast("double")
+    det = n * szz - sz * sz
+    beta = s.select(
+        (4.0 * (szz * g0 - sz * g1) / det).alias("b0"),
+        (4.0 * (n * g1 - sz * g0) / det).alias("b1"),
+    )
+    pred = pts.crossJoin(F.broadcast(beta)).select(
+        "y",
+        (
+            1.0
+            / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * F.col("z"))))
+        ).alias("sigma"),
+    )
+    binned = pred.groupBy(
+        F.least(
+            F.floor(F.col("sigma") * CALIB_BINS), F.lit(CALIB_BINS - 1)
+        )
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("sigma").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ssig"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("npos"),
+    )
+    return binned.select(
+        "bin",
+        "n",
+        dround(F.col("ssig") / F.col("n"), 6).alias("mean_predicted"),
+        dround(F.col("npos") / F.col("n").cast("double"), 6).alias(
+            "observed_rate"
+        ),
+    )

@@ -1379,3 +1379,76 @@ def q_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("x") > F.col("prev_x"))
         & (F.col("x") > F.col("next_x"))
     )
+
+
+MAD_K = 3.5      # modified z-score alarm threshold (Iglewicz–Hoaglin)
+MAD_C = 0.6745   # Φ⁻¹(0.75): scales MAD to σ under normality
+
+
+@query(
+    "q_ts_anomaly_mad",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {DAY_US} AS day_id,
+             {sql_dsum('value', 'x')}
+      FROM events GROUP BY 1
+    ),
+    med AS (SELECT median(x) AS m FROM daily),
+    mad AS (
+      SELECT {sql_dround("median(abs(x - med.m))", 4)} AS mad
+      FROM daily CROSS JOIN med
+    ),
+    scored AS (
+      SELECT day_id, x,
+             {sql_dround(f"{MAD_C} * (x - med.m) / mad.mad", 4)} AS mz
+      FROM daily CROSS JOIN med CROSS JOIN mad
+    )
+    SELECT day_id, x, mz
+    FROM scored WHERE abs(mz) > {MAD_K}
+    """,
+)
+def q_ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly detection on the daily series:
+    modified z-score 0.6745·(x−median)/MAD with the Iglewicz–Hoaglin
+    |mz| > {MAD_K} alarm — immune to the masking problem of
+    q_ts_anomaly's mean/σ score, where one huge spike inflates σ and
+    hides the next spike. Exact medians (DuckDB median ≡ sorted-middle
+    interpolation, mirrored below), not approximations.
+
+    Scale: the stream reduces to the bounded daily series first; both
+    medians compute on that series (here via a sorted-array fold — at
+    true scale the same two numbers come from
+    q_agg_quantiles_scalable's range-partition rank machinery, since
+    a median IS the p50 of a bounded-or-not series); the scoring pass
+    is a projection against two broadcast scalars."""
+    from spark_clustering_spark.functions.detagg import DEC
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .select(F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_id"), "value")
+        .groupBy("day_id")
+        .agg(dround(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("x"))
+    )
+
+    def _median(df, col, out):
+        arr = F.array_sort(F.collect_list(col))
+        n = F.size(arr)
+        lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+        return df.agg(((lo + hi) / 2.0).alias(out))
+
+    med = _median(daily, "x", "m")
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day_id", "x", "m", F.abs(F.col("x") - F.col("m")).alias("d")
+    )
+    mad = _median(dev, "d", "mad_raw").select(
+        dround("mad_raw", 4).alias("mad")
+    )
+    scored = dev.crossJoin(F.broadcast(mad)).select(
+        "day_id",
+        "x",
+        dround(
+            F.lit(MAD_C) * (F.col("x") - F.col("m")) / F.col("mad"), 4
+        ).alias("mz"),
+    )
+    return scored.filter(F.abs(F.col("mz")) > MAD_K)

