@@ -1410,3 +1410,156 @@ def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "observed_rate"
         ),
     )
+
+
+KFOLD_K = 5      # cross-validation folds
+KFOLD_SEED = 31  # LCG substream for fold assignment
+
+
+@query(
+    "q_ml_kfold",
+    oracle=f"""
+    WITH pts AS (
+      SELECT cast(floor({sql_lcg_uniform(
+          '(l_orderkey * 8 + l_linenumber)', seed=KFOLD_SEED)}
+             * {KFOLD_K}) AS INT) AS fold,
+             cast(l_quantity AS DOUBLE) AS x,
+             cast(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+    ),
+    fs AS (
+      SELECT fold, count(*) AS n,
+             sum(cast(x AS DECIMAL(38,8))) AS sx,
+             sum(cast(y AS DECIMAL(38,8))) AS sy,
+             sum(cast(x * x AS DECIMAL(38,8))) AS sxx,
+             sum(cast(x * y AS DECIMAL(38,8))) AS sxy
+      FROM pts GROUP BY fold
+    ),
+    g AS (
+      SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+             sum(sxx) AS sxx, sum(sxy) AS sxy
+      FROM fs
+    ),
+    tr AS (  -- leave-fold-out training stats: global minus fold (exact)
+      SELECT fs.fold,
+             (g.n - fs.n) AS n_train, fs.n AS n_test,
+             cast(g.sx - fs.sx AS DOUBLE) AS tx,
+             cast(g.sy - fs.sy AS DOUBLE) AS ty,
+             cast(g.sxx - fs.sxx AS DOUBLE) AS txx,
+             cast(g.sxy - fs.sxy AS DOUBLE) AS txy
+      FROM fs CROSS JOIN g
+    ),
+    fit AS (
+      SELECT fold, n_train, n_test,
+             (n_train * txy - tx * ty) / (n_train * txx - tx * tx) AS b,
+             tx, ty
+      FROM tr
+    ),
+    fit2 AS (
+      SELECT fold, n_train, n_test, b, (ty - b * tx) / n_train AS a
+      FROM fit
+    ),
+    err AS (
+      SELECT p.fold,
+             sum(cast((p.y - (f.a + f.b * p.x))
+                      * (p.y - (f.a + f.b * p.x))
+                      AS DECIMAL(38,6))) AS sse
+      FROM pts p JOIN fit2 f USING (fold)
+      GROUP BY p.fold
+    )
+    SELECT f.fold, f.n_train::BIGINT AS n_train, f.n_test::BIGINT AS n_test,
+           {sql_dround("f.b", 6)} AS slope,
+           {sql_dround("f.a", 4)} AS intercept,
+           {sql_dround("cast(e.sse AS DOUBLE) / f.n_test", 2)} AS test_mse
+    FROM fit2 f JOIN err e USING (fold)
+    """,
+)
+def q_ml_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KFOLD_K}-fold cross-validation of the price-on-quantity OLS
+    fit, with the leave-fold-out trick: ONE pass accumulates per-fold
+    sufficient statistics, and each fold's TRAINING statistics are the
+    exact decimal difference global − fold — k models for the cost of
+    one (no per-fold re-scan, the aggregation identity every
+    distributed CV should exploit). A second pass scores each held-out
+    fold under its own model (test MSE).
+
+    Determinism: fold membership is the portable LCG of the row key;
+    sums are exact decimals, so the subtraction is exact; each fold's
+    (slope, intercept) and the per-row squared error quantize through
+    the standard decimal discipline.
+
+    Scale: two map-side-combined passes (k·5-number state, then the
+    scoring aggregate with the k models attached via a broadcast
+    k-row join). The same shape serves any GLM: per-fold gram
+    matrices subtract the same way."""
+    li = table(spark, sf_dir, "lineitem")
+    fold = F.floor(
+        lcg_uniform(
+            F.col("l_orderkey") * 8 + F.col("l_linenumber"), seed=KFOLD_SEED
+        )
+        * KFOLD_K
+    ).cast("int")
+    pts = li.select(
+        fold.alias("fold"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    fs = pts.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DEC)).alias("sx"),
+        F.sum(F.col("y").cast(DEC)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).alias("sxy"),
+    )
+    g = fs.agg(
+        F.sum("n").alias("gn"),
+        F.sum("sx").alias("gsx"),
+        F.sum("sy").alias("gsy"),
+        F.sum("sxx").alias("gsxx"),
+        F.sum("sxy").alias("gsxy"),
+    )
+    tr = fs.crossJoin(F.broadcast(g)).select(
+        "fold",
+        (F.col("gn") - F.col("n")).alias("n_train"),
+        F.col("n").alias("n_test"),
+        (F.col("gsx") - F.col("sx")).cast("double").alias("tx"),
+        (F.col("gsy") - F.col("sy")).cast("double").alias("ty"),
+        (F.col("gsxx") - F.col("sxx")).cast("double").alias("txx"),
+        (F.col("gsxy") - F.col("sxy")).cast("double").alias("txy"),
+    )
+    nt = F.col("n_train")
+    b = (nt * F.col("txy") - F.col("tx") * F.col("ty")) / (
+        nt * F.col("txx") - F.col("tx") * F.col("tx")
+    )
+    fit = tr.select("fold", "n_train", "n_test", b.alias("b"), "tx", "ty")
+    fit2 = fit.select(
+        "fold",
+        "n_train",
+        "n_test",
+        "b",
+        ((F.col("ty") - F.col("b") * F.col("tx")) / nt).alias("a"),
+    )
+    err = (
+        pts.join(F.broadcast(fit2.select("fold", "a", "b")), "fold")
+        .select(
+            "fold",
+            (
+                (F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+                * (F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+            )
+            .cast("decimal(38,6)")
+            .alias("e2"),
+        )
+        .groupBy("fold")
+        .agg(F.sum("e2").alias("sse"))
+    )
+    return fit2.join(err, "fold").select(
+        "fold",
+        F.col("n_train").cast("bigint").alias("n_train"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        dround("b", 6).alias("slope"),
+        dround("a", 4).alias("intercept"),
+        dround(F.col("sse").cast("double") / F.col("n_test"), 2).alias(
+            "test_mse"
+        ),
+    )

@@ -648,3 +648,52 @@ def test_calibration_bins_are_honest(spark):
     # the model has signal: bins are not all identical in observed rate
     rates = [r.observed_rate for r in rows if r.n > 50]
     assert max(rates) - min(rates) >= 0.0
+
+
+def test_kfold_leave_out_identity_matches_numpy(spark):
+    import numpy as np
+
+    from spark_clustering_spark.functions.rng import py_lcg_uniform
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.clustering import (
+        KFOLD_K,
+        KFOLD_SEED,
+        q_ml_kfold,
+    )
+
+    got = {r.fold: r for r in q_ml_kfold(spark, SF_SMALL).collect()}
+    assert set(got) == set(range(KFOLD_K))
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    ).collect()
+    data = [
+        (
+            int(
+                py_lcg_uniform(r.l_orderkey * 8 + r.l_linenumber, seed=KFOLD_SEED)
+                * KFOLD_K
+            ),
+            float(r.l_quantity),
+            float(r.l_extendedprice),
+        )
+        for r in li
+    ]
+    n_total = len(data)
+    assert sum(g.n_test for g in got.values()) == n_total
+    for f in range(KFOLD_K):
+        train = [(x, y) for k, x, y in data if k != f]
+        test = [(x, y) for k, x, y in data if k == f]
+        g = got[f]
+        assert g.n_train == len(train) and g.n_test == len(test)
+        x = np.array([t[0] for t in train])
+        y = np.array([t[1] for t in train])
+        n = len(x)
+        b = (n * (x * y).sum() - x.sum() * y.sum()) / (
+            n * (x * x).sum() - x.sum() ** 2
+        )
+        a = (y.sum() - b * x.sum()) / n
+        assert abs(g.slope - b) < 1e-4
+        assert abs(g.intercept - a) < 1e-1
+        xt = np.array([t[0] for t in test])
+        yt = np.array([t[1] for t in test])
+        mse = ((yt - (a + b * xt)) ** 2).mean()
+        assert abs(g.test_mse - mse) / mse < 1e-4
