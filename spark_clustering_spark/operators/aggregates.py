@@ -1846,3 +1846,62 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_dev"),
         )
     )
+
+
+@query(
+    "q_agg_histogram_log2",
+    oracle="""
+    WITH cents AS (
+      SELECT cast(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+      WHERE o_totalprice > 0
+    ),
+    b AS (SELECT length(bin(c)) - 1 AS bucket, c FROM cents),
+    t AS (SELECT count(*) AS tot FROM cents)
+    SELECT bucket::INT AS bucket,
+           count(*) AS n,
+           min(c) AS min_cents, max(c) AS max_cents,
+           cast(round(cast(cast((count(*) / cast(t.tot AS DOUBLE))
+                AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS share
+    FROM b CROSS JOIN t
+    GROUP BY bucket, t.tot
+    """,
+)
+def q_agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-2 (log-scale) histogram of order values — the
+    heavy-tail profiler that equi-width histograms (q_agg_histogram)
+    flatten: bucket = floor(log2(cents)), so each bucket spans a
+    doubling. The bucket comes from the INTEGER bit length of the
+    exact cent amount (length of the base-2 digit string), never a
+    runtime log2 whose libm ulp could flip a value sitting exactly on
+    a power of two.
+
+    Scale: one map-side-combined aggregate to ~40 buckets; the total
+    rides back as a one-row cross join."""
+    cents = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c")
+        )
+    )
+    t = cents.agg(F.count(F.lit(1)).alias("tot"))
+    b = cents.select(
+        (F.length(F.conv(F.col("c"), 10, 2)) - 1).cast("int").alias("bucket"),
+        "c",
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .groupBy("bucket", "tot")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "min_cents",
+            "max_cents",
+            dround(F.col("n") / F.col("tot").cast("double"), 6).alias("share"),
+        )
+    )

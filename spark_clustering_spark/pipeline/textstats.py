@@ -1265,3 +1265,90 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PMI_TOPK)
         .select("bigram", F.col("cab").alias("n"), dround("p", 4).alias("pmi"))
     )
+
+
+BURST_TOPW = 50  # report the most frequent words' burstiness
+
+
+@query(
+    "q_text_burstiness",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM docs),
+    wc AS (
+      SELECT doc_id, unnest(ws) AS w FROM docs
+    ),
+    per_doc AS (
+      SELECT w, doc_id, count(*) AS c FROM wc GROUP BY w, doc_id
+    ),
+    stats AS (
+      SELECT w,
+             sum(c) AS total,
+             count(*) AS n_docs_with,
+             sum(c * c) AS scc
+      FROM per_doc GROUP BY w
+    )
+    SELECT w AS word, total::BIGINT AS total,
+           n_docs_with::BIGINT AS n_docs_with,
+           {sql_dround(
+             "((scc - total * total / cast(nd.n_docs AS DOUBLE))"
+             " / nd.n_docs) / (total / cast(nd.n_docs AS DOUBLE))", 4)}
+             AS fano
+    FROM stats CROSS JOIN nd
+    ORDER BY total DESC, w LIMIT {BURST_TOPW}
+    """,
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness: the Fano factor var/mean of per-document
+    counts (zeros included — a word absent from a doc counts 0) for
+    the {BURST_TOPW} most frequent words. Function words are Poisson-ish
+    (fano ≈ 1); topical/content words are bursty (fano ≫ 1) — the
+    Church/Gale dispersion diagnostic that tells a quality model which
+    frequent words actually carry content.
+
+    Determinism: totals and squared-count sums are exact integers
+    (absent docs contribute 0 to both, so the zero-inflated moments
+    come from the observed rows alone); the var/mean ratio is one
+    fixed-order double expression.
+
+    Scale: per-(word, doc) counts collapse map-side, then
+    vocabulary-cardinality rows aggregate once; the doc count rides as
+    a one-row cross join; top-k is TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias(
+            "ws"
+        ),
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        d.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = per_doc.groupBy("w").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n_docs_with"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    ndd = F.col("n_docs").cast("double")
+    mean = F.col("total") / ndd
+    var = (F.col("scc") - F.col("total") * F.col("total") / ndd) / F.col(
+        "n_docs"
+    )
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("w").alias("word"),
+            F.col("total").cast("bigint").alias("total"),
+            F.col("n_docs_with").cast("bigint").alias("n_docs_with"),
+            dround(var / mean, 4).alias("fano"),
+        )
+        .orderBy(F.desc("total"), "word")
+        .limit(BURST_TOPW)
+    )

@@ -697,3 +697,47 @@ def test_kfold_leave_out_identity_matches_numpy(spark):
         yt = np.array([t[1] for t in test])
         mse = ((yt - (a + b * xt)) ** 2).mean()
         assert abs(g.test_mse - mse) / mse < 1e-4
+
+
+def test_burstiness_fano_matches_sequential(spark):
+    from collections import Counter, defaultdict
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.textstats import q_text_burstiness
+
+    got = {r.word: r for r in q_text_burstiness(spark, SF_SMALL).collect()}
+    assert got
+    docs = table(spark, SF_SMALL, "documents").select("text").collect()
+    n_docs = len(docs)
+    per_word = defaultdict(list)
+    for r in docs:
+        c = Counter(w for w in r.text.lower().split() if w)
+        for w, k in c.items():
+            per_word[w].append(k)
+    for w, r in got.items():
+        counts = per_word[w] + [0] * (n_docs - len(per_word[w]))
+        mean = sum(counts) / n_docs
+        var = sum((c - mean) ** 2 for c in counts) / n_docs
+        assert r.total == sum(counts)
+        assert r.n_docs_with == len(per_word[w])
+        assert abs(r.fano - var / mean) < 1e-3, w
+
+
+def test_log2_histogram_buckets_are_exact(spark):
+    from collections import Counter
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.aggregates import q_agg_histogram_log2
+
+    got = {r.bucket: r for r in q_agg_histogram_log2(spark, SF_SMALL).collect()}
+    cents = [
+        round(float(r.o_totalprice) * 100)
+        for r in table(spark, SF_SMALL, "orders").select("o_totalprice").collect()
+        if r.o_totalprice > 0
+    ]
+    ref = Counter(c.bit_length() - 1 for c in cents)
+    assert {b: r.n for b, r in got.items()} == dict(ref)
+    tot = len(cents)
+    for b, r in got.items():
+        assert 2 ** b <= r.min_cents <= r.max_cents < 2 ** (b + 1)
+        assert abs(r.share - r.n / tot) < 1e-5
