@@ -1878,3 +1878,135 @@ def q_olap_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_share"),
         )
     )
+
+
+DECOMP_M0 = "1997-01-01"  # base month
+DECOMP_M1 = "1997-02-01"  # comparison month
+DECOMP_M2 = "1997-03-01"  # exclusive end
+
+
+@query(
+    "q_olap_revenue_decomp",
+    oracle=f"""
+    WITH base AS (
+      SELECT l.l_partkey AS pk,
+             sum(cast(l.l_quantity AS DECIMAL(38,8))) AS q,
+             sum(cast(l.l_extendedprice AS DECIMAL(38,8))) AS r
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '{DECOMP_M0}'
+        AND o.o_orderdate < TIMESTAMP '{DECOMP_M1}'
+      GROUP BY 1
+    ),
+    comp AS (
+      SELECT l.l_partkey AS pk,
+             sum(cast(l.l_quantity AS DECIMAL(38,8))) AS q,
+             sum(cast(l.l_extendedprice AS DECIMAL(38,8))) AS r
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '{DECOMP_M1}'
+        AND o.o_orderdate < TIMESTAMP '{DECOMP_M2}'
+      GROUP BY 1
+    ),
+    both_ AS (SELECT b.pk, b.q AS q0, b.r AS r0, c.q AS q1, c.r AS r1
+              FROM base b JOIN comp c USING (pk)),
+    eff AS (
+      SELECT
+        cast(sum(cast(
+          (cast(q1 AS DOUBLE) - cast(q0 AS DOUBLE))
+          * (cast(r0 AS DOUBLE) / cast(q0 AS DOUBLE))
+          AS DECIMAL(38,8))) AS DOUBLE) AS volume_effect,
+        cast(sum(cast(
+          (cast(r1 AS DOUBLE) / cast(q1 AS DOUBLE)
+           - cast(r0 AS DOUBLE) / cast(q0 AS DOUBLE))
+          * cast(q1 AS DOUBLE)
+          AS DECIMAL(38,8))) AS DOUBLE) AS price_effect,
+        count(*) AS n_common_parts,
+        cast(sum(r1) - sum(r0) AS DOUBLE) AS delta_common
+      FROM both_
+    ),
+    new_ AS (
+      SELECT coalesce(cast(sum(c.r) AS DOUBLE), 0.0) AS new_rev
+      FROM comp c LEFT JOIN base b USING (pk) WHERE b.pk IS NULL
+    ),
+    lost AS (
+      SELECT coalesce(cast(sum(b.r) AS DOUBLE), 0.0) AS lost_rev
+      FROM base b LEFT JOIN comp c USING (pk) WHERE c.pk IS NULL
+    )
+    SELECT eff.n_common_parts,
+           {sql_dround("eff.delta_common", 2)} AS delta_common,
+           {sql_dround("eff.volume_effect", 2)} AS volume_effect,
+           {sql_dround("eff.price_effect", 2)} AS price_effect,
+           {sql_dround("new_.new_rev", 2)} AS new_parts_rev,
+           {sql_dround("lost.lost_rev", 2)} AS lost_parts_rev
+    FROM eff CROSS JOIN new_ CROSS JOIN lost
+    """,
+)
+def q_olap_revenue_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue-change decomposition at the part
+    level: ΔR over common parts splits exactly into a VOLUME effect
+    Σ Δq·p₀ and a PRICE effect Σ Δp·q₁ (p = r/q the realized unit
+    price; the two terms telescope so volume+price ≡ Δcommon), plus
+    the revenue entering via new parts and leaving via lapsed parts —
+    the FP&A "why did revenue move" bridge.
+
+    Determinism: per-part decimal sums; each part's effect term is one
+    fixed-order double expression quantized to DECIMAL(38,8) before
+    the part-accumulation sum.
+
+    Scale: two date-pruned fact passes keyed partkey (the orderkey
+    join is co-partitioned), one partkey equi-join plus two anti-join
+    legs, everything collapsing to a one-row bridge. No window."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    def month(d0, d1):
+        j = li.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(d0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(d1).cast("timestamp"))
+            ),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        return j.groupBy(F.col("l_partkey").alias("pk")).agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,8)")).alias("q"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,8)")).alias("r"),
+        )
+
+    base = month(DECOMP_M0, DECOMP_M1)
+    comp = month(DECOMP_M1, DECOMP_M2)
+    b = base.select("pk", F.col("q").alias("q0"), F.col("r").alias("r0"))
+    c = comp.select("pk", F.col("q").alias("q1"), F.col("r").alias("r1"))
+    both = b.join(c, "pk")
+    q0d, q1d = F.col("q0").cast("double"), F.col("q1").cast("double")
+    r0d, r1d = F.col("r0").cast("double"), F.col("r1").cast("double")
+    eff = both.select(
+        "pk",
+        "r0",
+        "r1",
+        ((q1d - q0d) * (r0d / q0d)).cast("decimal(38,8)").alias("vol_t"),
+        ((r1d / q1d - r0d / q0d) * q1d).cast("decimal(38,8)").alias("prc_t"),
+    ).agg(
+        F.sum("vol_t").cast("double").alias("volume_effect"),
+        F.sum("prc_t").cast("double").alias("price_effect"),
+        F.count(F.lit(1)).alias("n_common_parts"),
+        (F.sum("r1") - F.sum("r0")).cast("double").alias("delta_common"),
+    )
+    new_ = c.join(b.select("pk"), "pk", "left_anti").agg(
+        F.coalesce(F.sum("r1").cast("double"), F.lit(0.0)).alias("new_rev")
+    )
+    lost = b.join(c.select("pk"), "pk", "left_anti").agg(
+        F.coalesce(F.sum("r0").cast("double"), F.lit(0.0)).alias("lost_rev")
+    )
+    return (
+        eff.crossJoin(F.broadcast(new_))
+        .crossJoin(F.broadcast(lost))
+        .select(
+            "n_common_parts",
+            dround("delta_common", 2).alias("delta_common"),
+            dround("volume_effect", 2).alias("volume_effect"),
+            dround("price_effect", 2).alias("price_effect"),
+            dround("new_rev", 2).alias("new_parts_rev"),
+            dround("lost_rev", 2).alias("lost_parts_rev"),
+        )
+    )

@@ -741,3 +741,14 @@ def test_log2_histogram_buckets_are_exact(spark):
     for b, r in got.items():
         assert 2 ** b <= r.min_cents <= r.max_cents < 2 ** (b + 1)
         assert abs(r.share - r.n / tot) < 1e-5
+
+
+def test_revenue_decomp_telescopes(spark):
+    from spark_clustering_spark.operators.olap import q_olap_revenue_decomp
+
+    r = q_olap_revenue_decomp(spark, SF_SMALL).collect()[0]
+    assert r.n_common_parts > 0
+    # the volume + price effects telescope to exactly the common-part
+    # revenue delta (up to the 2dp quantization of the three outputs)
+    assert abs((r.volume_effect + r.price_effect) - r.delta_common) < 0.5
+    assert r.new_parts_rev >= 0.0 and r.lost_parts_rev >= 0.0
