@@ -1563,3 +1563,278 @@ def q_ml_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "test_mse"
         ),
     )
+
+
+@query(
+    "q_ml_auc",
+    oracle="""
+    WITH g AS (
+      SELECT o_totalprice AS score, count(*) AS cnt,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos
+      FROM orders GROUP BY o_totalprice
+    ),
+    r AS (
+      SELECT pos,
+             2 * sum(cnt) OVER (ORDER BY score) - cnt + 1 AS m2
+      FROM g
+    ),
+    t AS (
+      SELECT sum(pos * m2) AS rs2, sum(pos) AS n1,
+             (SELECT count(*) FROM orders) AS n
+      FROM r
+    )
+    SELECT cast(round(cast(
+             (cast(rs2 AS DOUBLE) - cast(n1 AS DOUBLE) * (n1 + 1))
+               / (2.0 * n1 * (n - n1))
+             AS DECIMAL(38,12)), 6) AS DOUBLE) AS auc,
+           cast(n1 AS BIGINT) AS n_pos,
+           cast(n - n1 AS BIGINT) AS n_neg
+    FROM t
+    """,
+)
+def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of o_totalprice as a score for o_orderstatus = 'F',
+    via the Mann-Whitney rank-sum identity with midranks for ties:
+    AUC = (Σ_pos midrank − n₁(n₁+1)/2) / (n₁·n₀). The standard
+    classifier-evaluation aggregate the reference's metrics sink (R20)
+    never had — and the canonical "global rank without a global sort"
+    exercise.
+
+    Determinism: everything up to the final division is exact integer
+    arithmetic — 2·midrank = 2·cum − cnt + 1 is a BIGINT, the rank-sum
+    accumulates Σ pos·m2 in DECIMAL(38,0) (DuckDB promotes to
+    HUGEINT), so AUC is ONE double division in both engines, then
+    dround(6).
+
+    Scale: scores are first collapsed by groupBy (map-side combine);
+    the global cumulative count over distinct scores is served by
+    ``global_running_agg`` (range repartition + per-slice carry-in —
+    never a single-reducer Window.orderBy); the final agg is one
+    narrow pass to a single row."""
+    from spark_clustering_spark.operators.windows import global_running_agg
+
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_totalprice").alias("score")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("pos"),
+    )
+    r, _ = global_running_agg(
+        g, [F.col("score")], {"cum": ("sum", F.col("cnt"))}
+    )
+    m2 = 2 * F.col("cum") - F.col("cnt") + 1
+    t = r.select(
+        (F.col("pos") * m2).cast("decimal(38,0)").alias("pm2"),
+        "pos",
+        "cnt",
+    ).agg(
+        F.sum("pm2").alias("rs2"),
+        F.sum("pos").alias("n1"),
+        F.sum("cnt").alias("n"),
+    )
+    rs2 = F.col("rs2").cast("double")
+    n1, n = F.col("n1"), F.col("n")
+    return t.select(
+        dround(
+            (rs2 - n1.cast("double") * (n1 + 1)) / (2.0 * n1 * (n - n1)), 6
+        ).alias("auc"),
+        n1.cast("bigint").alias("n_pos"),
+        (n - n1).cast("bigint").alias("n_neg"),
+    )
+
+
+@query(
+    "q_ml_confusion",
+    oracle="""
+    WITH pts AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             ln(l_extendedprice / l_quantity) AS z
+      FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+    ),
+    thr AS (
+      SELECT cast(sum(cast(z AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS mz
+      FROM pts
+    ),
+    cm AS (
+      SELECT
+        sum(CASE WHEN y = 1 AND z >= mz THEN 1 ELSE 0 END) AS tp,
+        sum(CASE WHEN y = 0 AND z >= mz THEN 1 ELSE 0 END) AS fp,
+        sum(CASE WHEN y = 1 AND z < mz THEN 1 ELSE 0 END) AS fn,
+        sum(CASE WHEN y = 0 AND z < mz THEN 1 ELSE 0 END) AS tn
+      FROM pts CROSS JOIN thr
+    )
+    SELECT cast(tp AS BIGINT) AS tp, cast(fp AS BIGINT) AS fp,
+           cast(fn AS BIGINT) AS fn, cast(tn AS BIGINT) AS tn,
+           {PREC} AS precision_, {REC} AS recall_, {F1} AS f1
+    FROM cm
+    """.replace("{PREC}", sql_dround("tp / cast(tp + fp AS DOUBLE)", 6))
+    .replace("{REC}", sql_dround("tp / cast(tp + fn AS DOUBLE)", 6))
+    .replace(
+        "{F1}", sql_dround("2.0 * tp / cast(2 * tp + fp + fn AS DOUBLE)", 6)
+    ),
+)
+def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 for the mean-threshold
+    stump classifier pred = (z ≥ mean z) on the same ln-unit-price
+    feature / returnflag label as q_ml_logreg_step: the eval
+    counterpart to q_ml_calibration's reliability diagram. (The
+    one-step logistic's σ ≥ 0.5 point degenerates to all-negative on
+    this data — a 0-denominator precision — so the declared operating
+    point is the mean split, which always partitions the data.)
+
+    Determinism: the threshold is an exact DECIMAL(38,8) sum divided
+    once (the identical expression q_ml_calibration hash-verifies for
+    its β); the boundary compare is one double compare; tp/fp/fn/tn
+    are exact integers, so precision/recall/F1 are each ONE double
+    division (F1 uses the 2·tp/(2·tp+fp+fn) identity — no compounded
+    p·r/(p+r) rounding).
+
+    Scale: two map-side-combined passes (the threshold statistic, then
+    the confusion aggregate with the threshold inlined via a broadcast
+    one-row cross join) collapsing to a single row."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    pts = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("z"),
+    )
+    thr = pts.agg(
+        (
+            F.sum(F.col("z").cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("mz")
+    )
+    hit = F.col("z") >= F.col("mz")
+    cm = pts.crossJoin(F.broadcast(thr)).agg(
+        F.sum(F.when((F.col("y") == 1) & hit, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & hit, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & ~hit, 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((F.col("y") == 0) & ~hit, 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp")
+    fn, tn = F.col("fn"), F.col("tn")
+    return cm.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        dround(tp / (tp + fp), 6).alias("precision_"),
+        dround(tp / (tp + fn), 6).alias("recall_"),
+        dround(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1"),
+    )
+
+
+STUMP_BINS_PER_UNIT = 16  # ln-unit-price resolution: 1/16-nat bins
+
+
+@query(
+    "q_ml_decision_stump",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             ln(l_extendedprice / l_quantity) AS z
+      FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+    ),
+    b AS (
+      SELECT cast(floor(z * {STUMP_BINS_PER_UNIT}.0) AS BIGINT) AS bin,
+             count(*) AS cnt, sum(y) AS pos
+      FROM pts GROUP BY 1
+    ),
+    tot AS (SELECT sum(cnt) AS n, sum(pos) AS p FROM b),
+    r AS (
+      SELECT bin,
+             sum(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+             sum(pos) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl,
+             n, p
+      FROM b CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT bin, nl, pl, n - nl AS nr, p - pl AS pr,
+             cast(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE) / nl
+               + cast((p - pl) * (p - pl)
+                      + ((n - nl) - (p - pl)) * ((n - nl) - (p - pl))
+                      AS DOUBLE) / (n - nl) AS score
+      FROM r WHERE n - nl > 0
+    )
+    SELECT cast(bin AS INT) AS split_bin,
+           cast(nl AS BIGINT) AS n_left, cast(pl AS BIGINT) AS pos_left,
+           cast(nr AS BIGINT) AS n_right, cast(pr AS BIGINT) AS pos_right,
+           cast(round(cast(score AS DECIMAL(38,12)), 6) AS DOUBLE) AS score
+    FROM sc ORDER BY score DESC, bin LIMIT 1
+    """,
+)
+def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal 1-D decision stump: bin the ln-unit-price feature into
+    fixed-width 1/16-nat buckets, sweep every bin boundary as a split
+    candidate, and return the split maximizing Σ_side (pos² + neg²)/n
+    — the exact-rational equivalent of minimizing weighted Gini
+    impurity (weighted Gini = 1 − score/n). The single boosting-round
+    / tree-node primitive on the same (y, z) pair the logreg and
+    calibration queries model.
+
+    Determinism: per-bin counts are exact integers; the score is two
+    integer-exact squared-sum numerators each through ONE double
+    division, summed in fixed left+right order — bit-identical across
+    engines; the argmax tie-breaks on bin ASC, so even a bit-equal tie
+    resolves identically.
+
+    Scale: one map-side-combined groupBy collapses the fact table to
+    ≤ a few hundred occupied bins; the boundary sweep is a window over
+    that bounded bin table (provably tiny input — the documented
+    exception to the no-unpartitioned-window rule), and the argmax is
+    a LIMIT 1 over the same bounded set."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    pts = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("z"),
+    )
+    b = pts.groupBy(
+        F.floor(F.col("z") * float(STUMP_BINS_PER_UNIT))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos"))
+    tot = b.agg(F.sum("cnt").alias("n"), F.sum("pos").alias("p"))
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.sum("cnt").over(w).alias("nl"),
+            F.sum("pos").over(w).alias("pl"),
+            "n",
+            "p",
+        )
+        .filter(F.col("n") - F.col("nl") > 0)
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    nr, pr = F.col("n") - nl, F.col("p") - pl
+    score = (pl * pl + (nl - pl) * (nl - pl)).cast("double") / nl + (
+        pr * pr + (nr - pr) * (nr - pr)
+    ).cast("double") / nr
+    sc = r.select(
+        F.col("bin").cast("int").alias("split_bin"),
+        nl.cast("bigint").alias("n_left"),
+        pl.cast("bigint").alias("pos_left"),
+        nr.cast("bigint").alias("n_right"),
+        pr.cast("bigint").alias("pos_right"),
+        score.alias("_raw_score"),
+    )
+    return (
+        sc.orderBy(F.col("_raw_score").desc(), F.col("split_bin"))
+        .limit(1)
+        .select(
+            "split_bin",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            dround("_raw_score", 6).alias("score"),
+        )
+    )

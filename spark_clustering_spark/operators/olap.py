@@ -2010,3 +2010,98 @@ def q_olap_revenue_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround("lost_rev", 2).alias("lost_parts_rev"),
         )
     )
+
+
+SEQ_BRAND_A = "Brand#1"  # antecedent purchase
+SEQ_BRAND_B = "Brand#2"  # consequent purchase
+
+
+@query(
+    "q_olap_purchase_sequence",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT o.o_custkey,
+             min(CASE WHEN p.p_brand = '{SEQ_BRAND_A}'
+                      THEN o.o_orderdate END) AS first_a,
+             min(CASE WHEN p.p_brand = '{SEQ_BRAND_B}'
+                      THEN o.o_orderdate END) AS first_b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand IN ('{SEQ_BRAND_A}', '{SEQ_BRAND_B}')
+      GROUP BY o.o_custkey
+    )
+    SELECT n.n_name AS nation,
+           sum(CASE WHEN first_a IS NOT NULL AND first_b IS NOT NULL
+                     AND first_a < first_b THEN 1 ELSE 0 END)::BIGINT
+             AS n_a_then_b,
+           sum(CASE WHEN first_a IS NOT NULL AND first_b IS NOT NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_both,
+           sum(CASE WHEN first_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_bought_a,
+           sum(CASE WHEN first_b IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_bought_b
+    FROM firsts f
+    JOIN customer c ON f.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_olap_purchase_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining primitive: per nation, how many
+    customers first bought {SEQ_BRAND_A} and only LATER {SEQ_BRAND_B}
+    (strict first-purchase-date order), alongside the unordered
+    both/either counts — the A-then-B cohort every
+    recommendation/causal funnel starts from, and a shape plain
+    basket affinity (q_olap_basket_affinity) can't express because it
+    needs per-entity ORDER, not co-occurrence.
+
+    Determinism: min over dates and integer counts only.
+
+    Scale: the brand filter hits the part dimension BEFORE the fact
+    join (two brands ≈ 2/|brands| of part — broadcastable), so the
+    fact table is pruned by a broadcast hash join; first-purchase
+    dates reduce by customer key with map-side combine; the nation
+    rollup joins two dimensions broadcast-side."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(SEQ_BRAND_A, SEQ_BRAND_B)
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    firsts = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.when(F.col("p_brand") == SEQ_BRAND_A, F.col("o_orderdate"))
+            ).alias("first_a"),
+            F.min(
+                F.when(F.col("p_brand") == SEQ_BRAND_B, F.col("o_orderdate"))
+            ).alias("first_b"),
+        )
+    )
+    a, b = F.col("first_a"), F.col("first_b")
+    return (
+        firsts.join(c, firsts["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.when(a.isNotNull() & b.isNotNull() & (a < b), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_a_then_b"),
+            F.sum(F.when(a.isNotNull() & b.isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_both"),
+            F.sum(F.when(a.isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bought_a"),
+            F.sum(F.when(b.isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bought_b"),
+        )
+    )

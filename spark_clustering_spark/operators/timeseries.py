@@ -1452,3 +1452,104 @@ def q_ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mz"),
     )
     return scored.filter(F.abs(F.col("mz")) > MAD_K)
+
+
+@query(
+    "q_ts_interval_merge",
+    oracle="""
+    WITH ivl AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + cast(floor(value * 60000000.0) AS BIGINT) AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ivl
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, count(*) AS n_events,
+             min(s) AS m_start, max(e) AS m_end
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_intervals,
+           sum(m_end - m_start)::BIGINT AS covered_us,
+           sum(n_events)::BIGINT AS n_events
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval union: each event opens an interval
+    [ts, ts + value minutes]; per user, overlapping intervals merge
+    into islands (a row starts a new island iff its start exceeds the
+    running max end of every earlier interval), and the query reports
+    per-user merged-interval count, total covered time, and event
+    count — the classic machine-utilization / billable-time operator
+    that plain groupBy can't express (union length ≠ sum of lengths
+    when intervals overlap).
+
+    Determinism: all interval math is integer microseconds
+    (``unix_micros`` ≡ ``epoch_us``; the duration double product goes
+    through an explicit floor before the BIGINT cast because Spark
+    truncates and DuckDB rounds on double→int casts); outputs are pure
+    integers — nothing to hash-flap.
+
+    Scale: both windows PARTITION BY user_id — per-key sorted state,
+    never a global single-reducer sort; the island merge is one
+    groupBy(user, island) with map-side combine. Skewed users are
+    bounded by per-user event counts, the same envelope every
+    sessionize query already carries."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.floor(F.col("value") * 60000000.0).cast("bigint")
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = e.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("is_new"),
+        "event_id",
+    )
+    w2 = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    isl = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("is_new")
+        .over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    merged = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("s").alias("m_start"),
+        F.max("e").alias("m_end"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("m_end") - F.col("m_start"))
+        .cast("bigint")
+        .alias("covered_us"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )

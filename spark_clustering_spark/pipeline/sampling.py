@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_clustering_spark.functions.detagg import dround, sql_dround
 from spark_clustering_spark.functions.porthash import sql_hex_int
@@ -656,4 +657,56 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sqrt((sxx - sx * sx / n) / (n - 1) / n), 4).alias(
             "se_analytic"
         ),
+    )
+
+
+RESERVOIR_K = 500  # fixed-size uniform sample
+
+
+@query(
+    "q_sample_reservoir",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, source, md5(concat('rsv', doc_id)) AS hx
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (ORDER BY {sql_hex_int('hx')}, doc_id)
+               AS draw
+      FROM h
+    )
+    SELECT doc_id, lang, source, draw::INT AS draw
+    FROM k WHERE draw <= {RESERVOIR_K}
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform corpus sample (k={RESERVOIR_K}) — the
+    deterministic equivalent of reservoir sampling: every row draws a
+    seeded portable hash and the k smallest win, which is exactly a
+    uniform k-subset (order statistics of a uniform key) but
+    rerun-stable and engine-portable, unlike an RNG reservoir whose
+    result depends on encounter order.
+
+    Scale: THE textbook distributed top-k — Spark plans orderBy+limit
+    as TakeOrderedAndProject: each partition keeps a bounded k-heap,
+    the driver merges P·k candidates, no global sort and no full
+    shuffle ever materializes. The draw index over the k winners is a
+    k-row window (bounded), and text columns never move — only
+    (doc_id, lang, source, 8-byte hash)."""
+    from spark_clustering_spark.functions.porthash import md5_int32
+
+    d = table(spark, sf_dir, "documents")
+    h = md5_int32(F.concat(F.lit("rsv"), F.col("doc_id").cast("string")))
+    top = (
+        d.select("doc_id", "lang", "source", h.alias("_h"))
+        .orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+        .limit(RESERVOIR_K)
+    )
+    w = Window.orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number().over(w).cast("int").alias("draw"),
     )

@@ -1,0 +1,226 @@
+"""Round-5e operators: rank-sum AUC, confusion metrics, decision
+stump, interval merge, purchase sequence, reservoir sample.
+
+Each test recomputes the operator's answer independently (brute-force
+Python over the sf0.001 tables) — the same
+oracle-beside-the-implementation strategy as the rest of the suite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+from tests.conftest import SF_SMALL
+
+
+def test_auc_matches_brute_force_pairwise(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.clustering import q_ml_auc
+
+    got = q_ml_auc(spark, SF_SMALL).collect()[0]
+    rows = table(spark, SF_SMALL, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    ).collect()
+    pos = [float(r.o_totalprice) for r in rows if r.o_orderstatus == "F"]
+    neg = [float(r.o_totalprice) for r in rows if r.o_orderstatus != "F"]
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(got.auc - auc) < 1e-6
+    assert 0.0 <= got.auc <= 1.0
+
+
+def test_confusion_matches_mean_split(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.clustering import q_ml_confusion
+
+    got = q_ml_confusion(spark, SF_SMALL).collect()[0]
+    rows = table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    pts = [
+        (
+            1 if r.l_returnflag == "R" else 0,
+            math.log(float(r.l_extendedprice) / float(r.l_quantity)),
+        )
+        for r in rows
+        if r.l_quantity > 0 and r.l_extendedprice > 0
+    ]
+    mz = sum(z for _, z in pts) / len(pts)
+    tp = sum(1 for y, z in pts if y == 1 and z >= mz)
+    fp = sum(1 for y, z in pts if y == 0 and z >= mz)
+    fn = sum(1 for y, z in pts if y == 1 and z < mz)
+    tn = sum(1 for y, z in pts if y == 0 and z < mz)
+    # mz accumulates in float here vs exact decimal in the query — rows
+    # exactly at the boundary could flip, so allow a tiny count slack
+    assert abs(got.tp - tp) <= 1
+    assert abs(got.fp - fp) <= 1
+    assert abs(got.fn - fn) <= 1
+    assert abs(got.tn - tn) <= 1
+    assert got.tp + got.fp + got.fn + got.tn == len(pts)
+    assert abs(got.precision_ - got.tp / (got.tp + got.fp)) < 1e-6
+    assert abs(got.recall_ - got.tp / (got.tp + got.fn)) < 1e-6
+    assert (
+        abs(got.f1 - 2 * got.tp / (2 * got.tp + got.fp + got.fn)) < 1e-6
+    )
+
+
+def test_decision_stump_is_argmax_over_all_boundaries(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.clustering import (
+        STUMP_BINS_PER_UNIT,
+        q_ml_decision_stump,
+    )
+
+    got = q_ml_decision_stump(spark, SF_SMALL).collect()[0]
+    rows = table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    bins: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for r in rows:
+        if r.l_quantity > 0 and r.l_extendedprice > 0:
+            z = math.log(float(r.l_extendedprice) / float(r.l_quantity))
+            b = math.floor(z * STUMP_BINS_PER_UNIT)
+            bins[b][0] += 1
+            bins[b][1] += 1 if r.l_returnflag == "R" else 0
+    n = sum(c for c, _ in bins.values())
+    p = sum(q for _, q in bins.values())
+    best = None
+    nl = pl = 0
+    for b in sorted(bins):
+        nl += bins[b][0]
+        pl += bins[b][1]
+        nr, pr = n - nl, p - pl
+        if nr == 0:
+            break
+        score = (pl * pl + (nl - pl) ** 2) / nl + (
+            pr * pr + (nr - pr) ** 2
+        ) / nr
+        if best is None or score > best[0]:
+            best = (score, b, nl, pl, nr, pr)
+    assert got.split_bin == best[1]
+    assert (got.n_left, got.pos_left) == (best[2], best[3])
+    assert (got.n_right, got.pos_right) == (best[4], best[5])
+    assert abs(got.score - best[0]) < 1e-5
+    # sanity: the winning split actually improves on the no-split score
+    assert best[0] > (p * p + (n - p) ** 2) / n
+
+
+def test_interval_merge_matches_sequential_sweep(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.timeseries import (
+        q_ts_interval_merge,
+    )
+
+    got = {
+        r.user_id: r for r in q_ts_interval_merge(spark, SF_SMALL).collect()
+    }
+    ev = table(spark, SF_SMALL, "events").selectExpr(
+        "user_id", "unix_micros(ts) AS s", "value"
+    ).collect()
+    per_user: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for r in ev:
+        s = int(r.s)
+        per_user[r.user_id].append((s, s + math.floor(r.value * 60000000.0)))
+    assert set(got) == set(per_user)
+    for uid, ivls in per_user.items():
+        ivls.sort()
+        islands = []
+        for s, e in ivls:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        g = got[uid]
+        assert g.n_intervals == len(islands)
+        assert g.covered_us == sum(e - s for s, e in islands)
+        assert g.n_events == len(ivls)
+        # union can never exceed the sum of the raw lengths
+        assert g.covered_us <= sum(e - s for s, e in ivls)
+
+
+def test_purchase_sequence_matches_dict_replay(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.olap import (
+        SEQ_BRAND_A,
+        SEQ_BRAND_B,
+        q_olap_purchase_sequence,
+    )
+
+    got = {
+        r.nation: r for r in q_olap_purchase_sequence(spark, SF_SMALL).collect()
+    }
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    orders = {
+        r.o_orderkey: (r.o_custkey, r.o_orderdate)
+        for r in table(spark, SF_SMALL, "orders").collect()
+    }
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in table(spark, SF_SMALL, "part").collect()
+    }
+    nation_of = {}
+    nname = {
+        r.n_nationkey: r.n_name
+        for r in table(spark, SF_SMALL, "nation").collect()
+    }
+    for r in table(spark, SF_SMALL, "customer").collect():
+        nation_of[r.c_custkey] = nname[r.c_nationkey]
+    first: dict[int, list] = defaultdict(lambda: [None, None])
+    for r in li:
+        b = brand.get(r.l_partkey)
+        if b not in (SEQ_BRAND_A, SEQ_BRAND_B):
+            continue
+        cust, dt = orders[r.l_orderkey]
+        idx = 0 if b == SEQ_BRAND_A else 1
+        cur = first[cust][idx]
+        if cur is None or dt < cur:
+            first[cust][idx] = dt
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for cust, (fa, fb) in first.items():
+        a = agg[nation_of[cust]]
+        if fa is not None and fb is not None and fa < fb:
+            a[0] += 1
+        if fa is not None and fb is not None:
+            a[1] += 1
+        if fa is not None:
+            a[2] += 1
+        if fb is not None:
+            a[3] += 1
+    assert set(got) == set(agg)
+    for nat, (ab, both, na, nb) in agg.items():
+        g = got[nat]
+        assert (g.n_a_then_b, g.n_both, g.n_bought_a, g.n_bought_b) == (
+            ab,
+            both,
+            na,
+            nb,
+        )
+
+
+def test_reservoir_is_k_smallest_hashes(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.sampling import (
+        RESERVOIR_K,
+        q_sample_reservoir,
+    )
+
+    res = q_sample_reservoir(spark, SF_SMALL).collect()
+    doc_ids = [
+        r.doc_id
+        for r in table(spark, SF_SMALL, "documents").select("doc_id").collect()
+    ]
+    k = min(RESERVOIR_K, len(doc_ids))
+    assert len(res) == k
+
+    def h(d: int) -> int:
+        return int(hashlib.md5(f"rsv{d}".encode()).hexdigest()[:8], 16)
+
+    expect = sorted(doc_ids, key=lambda d: (h(d), d))[:k]
+    assert [r.doc_id for r in sorted(res, key=lambda r: r.draw)] == expect
+    assert sorted(r.draw for r in res) == list(range(1, k + 1))
