@@ -1905,3 +1905,99 @@ def q_agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("n") / F.col("tot").cast("double"), 6).alias("share"),
         )
     )
+
+
+IQR_FENCE = 1.5  # Tukey fence multiplier
+
+
+@query(
+    "q_dq_iqr_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    ),
+    f AS (
+      SELECT q1, q3,
+             q1 - {IQR_FENCE} * (q3 - q1) AS lo,
+             q3 + {IQR_FENCE} * (q3 - q1) AS hi
+      FROM q
+    )
+    SELECT cast(round(cast(cast((f.q1) AS VARCHAR) AS DECIMAL(38,12)), 4)
+             AS DOUBLE) AS q1,
+           cast(round(cast(cast((f.q3) AS VARCHAR) AS DECIMAL(38,12)), 4)
+             AS DOUBLE) AS q3,
+           cast(round(cast(cast((f.lo) AS VARCHAR) AS DECIMAL(38,12)), 4)
+             AS DOUBLE) AS fence_lo,
+           cast(round(cast(cast((f.hi) AS VARCHAR) AS DECIMAL(38,12)), 4)
+             AS DOUBLE) AS fence_hi,
+           sum(CASE WHEN o.o_totalprice < f.lo THEN 1 ELSE 0 END)::BIGINT
+             AS n_below,
+           sum(CASE WHEN o.o_totalprice > f.hi THEN 1 ELSE 0 END)::BIGINT
+             AS n_above,
+           count(*)::BIGINT AS n_rows
+    FROM orders o CROSS JOIN f
+    GROUP BY f.q1, f.q3, f.lo, f.hi
+    """,
+)
+def q_dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier screen on order totals: exact
+    interpolated Q1/Q3, fences at ±1.5·IQR, and the count of rows
+    outside each fence — the distribution-free outlier profile every
+    ingest gate runs before trusting a numeric column (complements
+    q_ts_anomaly_mad's time-indexed robust screen with a static one).
+
+    Determinism: Spark ``percentile`` ≡ DuckDB ``quantile_cont``
+    (identical sort + linear interpolation ⇒ bit-identical doubles);
+    the fence arithmetic is one fixed-order double expression; counts
+    are exact integers against strict inequalities.
+
+    Scale: pass 1 buffers the value multiset for the exact percentile
+    pair (one shared array-percentile buffer); pass 2 is a
+    map-side-combined count with the fences inlined via a broadcast
+    one-row cross join. At 100 TB pass 1 swaps to approx_percentile
+    (q_agg_approx_percentile's sketch) with the same tail."""
+    o = table(spark, sf_dir, "orders")
+    q = o.agg(
+        F.percentile(
+            "o_totalprice", F.array(F.lit(0.25), F.lit(0.75))
+        ).alias("qs")
+    ).select(
+        F.col("qs")[0].alias("q1"),
+        F.col("qs")[1].alias("q3"),
+    )
+    f = q.select(
+        "q1",
+        "q3",
+        (F.col("q1") - IQR_FENCE * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + IQR_FENCE * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    from spark_clustering_spark.functions.detagg import dround
+
+    return (
+        o.crossJoin(F.broadcast(f))
+        .groupBy("q1", "q3", "lo", "hi")
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_below"),
+            F.sum(
+                F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_above"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            dround("q1").alias("q1"),
+            dround("q3").alias("q3"),
+            dround("lo").alias("fence_lo"),
+            dround("hi").alias("fence_hi"),
+            "n_below",
+            "n_above",
+            "n_rows",
+        )
+    )

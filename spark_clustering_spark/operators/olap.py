@@ -2105,3 +2105,88 @@ def q_olap_purchase_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_bought_b"),
         )
     )
+
+
+TREND_EPOCH = 1995 * 12  # month-index origin: Jan 1995 -> 1
+
+
+@query(
+    "q_olap_spend_trend",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_custkey,
+             (year(o_orderdate) * 12 + month(o_orderdate) - {TREND_EPOCH}) AS mx,
+             sum(cast(cast(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS sc
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT o_custkey, count(*) AS n,
+             sum(mx) AS sx, sum(mx * mx) AS sxx,
+             sum(sc) AS syc, sum(mx * sc) AS sxyc
+      FROM m GROUP BY 1
+    )
+    SELECT o_custkey, n::INT AS n_months,
+           {sql_dround(
+               "cast(n * sxyc - sx * syc AS DOUBLE)"
+               " / (cast(n * sxx - sx * sx AS DOUBLE) * 100.0)",
+               6,
+           )} AS slope
+    FROM s WHERE n >= 2
+    """,
+)
+def q_olap_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend trend: OLS slope of monthly spend against a
+    linear month index, for every customer active in ≥2 distinct
+    months — the churn-risk / growth-account screen (negative slope =
+    declining spend) that turns the warehouse into a per-entity model
+    fleet: one closed-form regression per customer from sufficient
+    statistics, no iteration.
+
+    Determinism: the month index is an exact SMALL integer — centered
+    at the Jan-1995 epoch, because an uncentered year·12 index (~24e3)
+    puts ~3 digits of catastrophic cancellation into n·Σxy − Σx·Σy and
+    the two engines' last-ulp differences then surface at 6dp (measured
+    before centering); monthly spend and the x·y cross-products
+    are INTEGER CENTS (each total quantized once to DECIMAL(18,2),
+    then ×100 → BIGINT), so numerator and denominator are exact
+    integers and the slope is ONE double division — nothing left to
+    flap (the decimal-sufficient-statistics version still flapped a
+    6dp boundary at sf0.1 through the cancellation-amplified ulp).
+
+    Scale: two stacked map-side-combined groupBys, both keyed (or
+    prefix-keyed) by o_custkey — one shuffle total since the second
+    groupBy is a prefix of the first's key; no window, no driver
+    state. Skew = orders per customer per month, naturally bounded."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - TREND_EPOCH
+        ).alias("mx"),
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        ).alias("sc")
+    )
+    s = m.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("sx"),
+        F.sum(F.col("mx") * F.col("mx")).alias("sxx"),
+        F.sum("sc").alias("syc"),
+        F.sum(F.col("mx") * F.col("sc")).alias("sxyc"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx"), F.col("sxx")
+    syc, sxyc = F.col("syc"), F.col("sxyc")
+    return s.filter(n >= 2).select(
+        "o_custkey",
+        n.cast("int").alias("n_months"),
+        dround(
+            (n * sxyc - sx * syc).cast("double")
+            / ((n * sxx - sx * sx).cast("double") * 100.0),
+            6,
+        ).alias("slope"),
+    )

@@ -1594,3 +1594,149 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(TOP_K))
         ).alias("recall"),
     )
+
+
+@query(
+    "q_ml_knn_classify",
+    oracle=f"""
+    WITH ve AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    unn_all AS (
+      SELECT vec_id, unnest(vec) AS v, generate_subscripts(vec, 1) AS pos
+      FROM ve
+    ),
+    unn_sub AS (
+      SELECT vec_id, v, pos FROM unn_all WHERE vec_id % {KNN_MOD} = 0
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(cast(sum(cast(v * v AS DECIMAL(38,8))) AS DOUBLE)) AS nrm
+      FROM unn_all GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS DOUBLE) AS dot
+      FROM unn_sub a JOIN unn_all b
+        ON a.pos = b.pos AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.src, d.dst, d.dot / (na.nrm * nb.nrm) AS cos
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.src
+      JOIN norms nb ON nb.vec_id = d.dst
+    ),
+    topk AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos DESC, dst) AS rn
+      FROM scored QUALIFY rn <= {KNN_K}
+    ),
+    votes AS (
+      SELECT t.src, v.label AS lbl, count(*) AS nv
+      FROM topk t JOIN ve v ON v.vec_id = t.dst
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT src, lbl,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY nv DESC, lbl) AS pr
+      FROM votes QUALIFY pr = 1
+    )
+    SELECT v.label AS label,
+           count(*)::BIGINT AS n_vecs,
+           sum(CASE WHEN p.lbl = v.label THEN 1 ELSE 0 END)::BIGINT
+             AS n_correct,
+           cast(round(cast(
+             sum(CASE WHEN p.lbl = v.label THEN 1 ELSE 0 END)
+               / cast(count(*) AS DOUBLE)
+             AS DECIMAL(38,12)), 6) AS DOUBLE) AS accuracy
+    FROM pred p JOIN ve v ON v.vec_id = p.src
+    GROUP BY v.label
+    """,
+)
+def q_ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN classification accuracy per class: every
+    subset vector (vec_id ≡ 0 mod {KNN_MOD}) is classified by the
+    majority label of its {KNN_K} nearest neighbours in the FULL
+    corpus (self excluded), and the query reports per-true-label
+    n / n_correct / accuracy — the standard embedding-quality probe
+    (is the label structure recoverable from the metric?) that
+    complements q_sim_ivf_recall's index-quality probe.
+
+    Determinism: exact-decimal dot products; neighbour ranking
+    tie-breaks on dst, the vote argmax on (votes DESC, label ASC);
+    accuracy is exact integers through ONE double division.
+
+    Scale: query side is the bounded subset, corpus side broadcasts
+    exactly like q_sim_topk_cosine (probe×corpus partitioned dot
+    products, per-src top-k window — never global); at 100 TB the
+    candidate generation swaps to the IVF/LSH routing in this module
+    and the vote tail is unchanged. The vote and accuracy aggregates
+    reduce to |labels|-bounded rows with map-side combine."""
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("vec")
+    )
+    n = ve.select(
+        "vec_id",
+        "label",
+        "vec",
+        F.sqrt(dot_dec(F.col("vec"), F.col("vec")).cast("double")).alias(
+            "nrm"
+        ),
+    )
+    sub = n.filter(F.col("vec_id") % KNN_MOD == 0).select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("true_label"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    corpus = n.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("lbl"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scored = (
+        sub.repartition(width)
+        .crossJoin(F.broadcast(corpus))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "true_label",
+            "dst",
+            "lbl",
+            (
+                dot_dec(F.col("va"), F.col("vb")).cast("double")
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    topk = scored.select(
+        "src", "true_label", "lbl", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= KNN_K)
+    votes = topk.groupBy("src", "true_label", "lbl").agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    wv = Window.partitionBy("src").orderBy(
+        F.col("nv").desc(), F.col("lbl")
+    )
+    pred = votes.select(
+        "src", "true_label", "lbl", F.row_number().over(wv).alias("pr")
+    ).filter(F.col("pr") == 1)
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("lbl") == F.col("true_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        dround(
+            F.sum(
+                F.when(F.col("lbl") == F.col("true_label"), 1).otherwise(0)
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("accuracy"),
+    )

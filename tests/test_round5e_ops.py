@@ -224,3 +224,96 @@ def test_reservoir_is_k_smallest_hashes(spark):
     expect = sorted(doc_ids, key=lambda d: (h(d), d))[:k]
     assert [r.doc_id for r in sorted(res, key=lambda r: r.draw)] == expect
     assert sorted(r.draw for r in res) == list(range(1, k + 1))
+
+
+def test_knn_classify_matches_numpy_vote(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.similarity import (
+        KNN_K,
+        KNN_MOD,
+        q_ml_knn_classify,
+    )
+
+    got = {r.label: r for r in q_ml_knn_classify(spark, SF_SMALL).collect()}
+    rows = table(spark, SF_SMALL, "embeddings").collect()
+    ids = np.array([r.vec_id for r in rows])
+    labels = np.array([r.label for r in rows])
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = mat @ mat.T
+    agg: dict[int, list[int]] = {}
+    for i in np.where(ids % KNN_MOD == 0)[0]:
+        order = sorted(
+            (j for j in range(len(ids)) if j != i),
+            key=lambda j: (-cos[i, j], ids[j]),
+        )[:KNN_K]
+        votes: dict[int, int] = {}
+        for j in order:
+            votes[labels[j]] = votes.get(labels[j], 0) + 1
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        a = agg.setdefault(labels[i], [0, 0])
+        a[0] += 1
+        a[1] += 1 if pred == labels[i] else 0
+    assert set(got) == set(agg)
+    for lbl, (nv, nc) in agg.items():
+        g = got[lbl]
+        assert (g.n_vecs, g.n_correct) == (nv, nc)
+        assert abs(g.accuracy - nc / nv) < 1e-6
+
+
+def test_iqr_outliers_matches_numpy(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.aggregates import (
+        IQR_FENCE,
+        q_dq_iqr_outliers,
+    )
+
+    got = q_dq_iqr_outliers(spark, SF_SMALL).collect()[0]
+    vals = np.array(
+        [
+            float(r.o_totalprice)
+            for r in table(spark, SF_SMALL, "orders")
+            .select("o_totalprice")
+            .collect()
+        ]
+    )
+    q1, q3 = np.percentile(vals, [25, 75])  # linear interpolation
+    assert abs(got.q1 - q1) < 1e-2
+    assert abs(got.q3 - q3) < 1e-2
+    lo = q1 - IQR_FENCE * (q3 - q1)
+    hi = q3 + IQR_FENCE * (q3 - q1)
+    assert got.n_below == int((vals < lo).sum())
+    assert got.n_above == int((vals > hi).sum())
+    assert got.n_rows == len(vals)
+    assert got.fence_lo < got.q1 < got.q3 < got.fence_hi
+
+
+def test_spend_trend_matches_numpy_ols(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.olap import (
+        TREND_EPOCH,
+        q_olap_spend_trend,
+    )
+
+    got = {r.o_custkey: r for r in q_olap_spend_trend(spark, SF_SMALL).collect()}
+    orders = table(spark, SF_SMALL, "orders").collect()
+    per: dict[int, dict[int, float]] = {}
+    for r in orders:
+        mx = r.o_orderdate.year * 12 + r.o_orderdate.month - TREND_EPOCH
+        per.setdefault(r.o_custkey, {}).setdefault(mx, 0.0)
+        per[r.o_custkey][mx] += round(float(r.o_totalprice), 2)
+    expect = {c: m for c, m in per.items() if len(m) >= 2}
+    assert set(got) == set(expect)
+    for c, months in list(expect.items())[:200]:
+        x = np.array(sorted(months))
+        y = np.array([months[i] for i in sorted(months)])
+        slope = np.polyfit(x, y, 1)[0]
+        g = got[c]
+        assert g.n_months == len(x)
+        assert abs(g.slope - slope) < max(1e-4, abs(slope) * 1e-6)
