@@ -95,3 +95,16 @@ def q_fit_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = fit_gmm(spark, points_df(spark, sf_dir), k=8, num_iter=3, sigma2=4.0)
     return res.metrics
+
+
+@query("fit_kmeans_stream")  # rows-only: true streaming, validated by replay test
+def q_fit_kmeans_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mini-batch k-means: the embeddings corpus replayed as
+    a vec_id-ordered file stream, one Lloyd assignment pass per
+    micro-batch (the SAME kernel the batch fit uses), decay-weighted
+    center folds on O(k·d) driver state. decay=1.0 ⇒ one cumulative
+    Lloyd half-step over the stream — asserted against a numpy replay
+    in tests/test_streaming.py."""
+    from spark_clustering_spark.streaming.kmeans import fit_kmeans_stream
+
+    return fit_kmeans_stream(spark, sf_dir, k=8, n_chunks=4, decay=1.0)

@@ -178,3 +178,56 @@ def test_stream_topk_matches_batch(spark):
         for r in e.queries()["q_stream_topk"](spark, SF_SMALL).collect()
     }
     assert streamed == batch
+
+
+def test_stream_kmeans_matches_numpy_replay(spark):
+    import numpy as np
+
+    from spark_clustering_spark.operators.clustering import points_df
+    from spark_clustering_spark.streaming.kmeans import fit_kmeans_stream
+
+    sf = "/root/testdata/sf0.001"
+    k, n_chunks, decay = 8, 4, 1.0
+    got = {
+        r.cluster_id: r
+        for r in fit_kmeans_stream(
+            spark, sf, k=k, n_chunks=n_chunks, decay=decay
+        ).collect()
+    }
+    pts = sorted(
+        (r.vec_id, np.array(list(r.vec), dtype=np.float64))
+        for r in points_df(spark, sf).collect()
+    )
+    ids = np.array([i for i, _ in pts])
+    mat = np.stack([v for _, v in pts])
+    centers = mat[:k].copy()  # init: k lowest vec_ids
+    weights = np.zeros(k)
+    n = int(ids.max()) + 1
+    chunk = max(1, n // n_chunks + (n % n_chunks > 0))
+    batches = 0
+    for lo in range(0, n, chunk):
+        m = (ids >= lo) & (ids < lo + chunk)
+        if not m.any():
+            continue
+        V = mat[m]
+        d = ((V[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for c in range(k):
+            sel = lab == c
+            nb = float(sel.sum())
+            if not nb:
+                continue
+            n_eff = weights[c] * decay
+            centers[c] = (centers[c] * n_eff + V[sel].sum(axis=0)) / (
+                n_eff + nb
+            )
+            weights[c] = n_eff + nb
+        batches += 1
+    assert set(got) == set(range(k))
+    total = sum(r.n_weight for r in got.values())
+    assert abs(total - len(ids)) < 1e-9  # decay=1: every point counted once
+    for c in range(k):
+        g = got[c]
+        assert g.n_batches == batches
+        assert abs(g.n_weight - weights[c]) < 1e-9
+        assert np.allclose(np.array(list(g.center)), centers[c], atol=1e-8)
