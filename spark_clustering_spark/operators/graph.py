@@ -919,3 +919,133 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+@query(
+    "q_graph_adamic_adar",
+    oracle="""
+    WITH lp0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    small AS (SELECT o FROM lp0 GROUP BY o HAVING count(*) <= 5),
+    lp AS (SELECT lp0.o, lp0.p FROM lp0 JOIN small USING (o)),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM e
+      UNION ALL SELECT v AS node, u AS nbr FROM e
+    ),
+    deg AS (
+      SELECT node, count(*) AS d,
+             cast(round(cast(1.0 / ln(count(*)) AS DECIMAL(38,12)), 6)
+               AS DECIMAL(38,6)) AS w
+      FROM adj GROUP BY node
+    ),
+    wedge AS (
+      SELECT a.nbr AS u, b.nbr AS v,
+             count(*) AS common, sum(g.w) AS aa_dec
+      FROM adj a
+      JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+      JOIN deg g ON g.node = a.node
+      GROUP BY a.nbr, b.nbr
+    ),
+    cand AS (
+      SELECT w.u, w.v, w.common, w.aa_dec
+      FROM wedge w
+      LEFT JOIN e ON e.u = w.u AND e.v = w.v
+      WHERE e.u IS NULL AND w.common >= 2
+    )
+    SELECT u, v, common,
+           cast(aa_dec AS DOUBLE) AS adamic_adar
+    FROM cand
+    ORDER BY adamic_adar DESC, u, v
+    LIMIT 50
+    """,
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the focused-basket co-purchase
+    graph: score(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — the
+    common-neighbor score that DOWN-WEIGHTS promiscuous hubs, which is
+    exactly what plain common-neighbor counting (and Jaccard, its
+    sibling q_graph_jaccard_linkpred) gets wrong on co-purchase graphs
+    where one popular part neighbors everything. Same candidate rules:
+    non-adjacent pairs, ≥2 common neighbors, top-50.
+
+    Determinism: 1/ln(d) is a libm-sensitive double, so each DISTINCT
+    weight quantizes to a 6-dp DECIMAL before the order-ambiguous
+    per-pair sum (the q_text_unigram_logprob discipline — JVM and libm
+    ln disagree in the last ulp); a wedge center always has deg ≥ 2,
+    so ln never sees 1. Ranking ties break on (u, v).
+
+    Scale: identical shape to q_graph_jaccard_linkpred — per-center
+    wedge enumeration with count-derived shuffle width, weight carried
+    on the broadcast-sized degree table, anti-join edge filter,
+    TakeOrderedAndProject top-50."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    small = li.groupBy("o").agg(F.count(F.lit(1)).alias("bsz")).filter(
+        F.col("bsz") <= 5
+    )
+    lp = li.join(small.select("o"), "o")
+    a = lp.select("o", F.col("p").alias("u"))
+    b = lp.select("o", F.col("p").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)  # pin: adj, deg, and anti-join reuse it
+    )
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.round(
+            (F.lit(1.0) / F.log(F.count(F.lit(1)).cast("double"))).cast(
+                "decimal(38,12)"
+            ),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("w"),
+    )
+    n_wedges = (
+        deg.agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("w2")
+        ).collect()[0]["w2"]
+        or 0
+    )
+    width = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        -(-int(n_wedges) // 1_000_000),  # ceil: ~1M wedge rows per task
+    )
+    wa = adj.select("node", F.col("nbr").alias("u"))
+    wb = adj.select("node", F.col("nbr").alias("v"))
+    wedge = (
+        wa.join(wb, "node")
+        .filter(F.col("u") < F.col("v"))
+        .join(F.broadcast(deg.select("node", "w")), "node")
+        .repartition(width, "u", "v")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum("w").alias("aa_dec"),
+        )
+    )
+    cand = wedge.join(e, ["u", "v"], "left_anti").filter(
+        F.col("common") >= 2
+    )
+    return (
+        cand.select(
+            "u",
+            "v",
+            "common",
+            F.col("aa_dec").cast("double").alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), "u", "v")
+        .limit(50)
+    )

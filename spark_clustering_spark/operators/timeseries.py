@@ -1553,3 +1553,93 @@ def q_ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("covered_us"),
         F.sum("n_events").cast("bigint").alias("n_events"),
     )
+
+
+FCST_LAG_DAYS = 7  # seasonal-naive horizon: same weekday last week
+
+
+@query(
+    "q_ts_forecast_error",
+    oracle=f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // {DAY_US} AS day_id,
+             cast(sum(cast(value AS DECIMAL(38,8))) AS DOUBLE) AS actual
+      FROM events GROUP BY 1
+    ),
+    j AS (
+      SELECT a.day_id, a.actual, f.actual AS fcst
+      FROM d a JOIN d f ON f.day_id = a.day_id - {FCST_LAG_DAYS}
+    ),
+    e AS (
+      SELECT count(*) AS n_days,
+             cast(sum(cast(abs(actual - fcst) AS DECIMAL(38,8)))
+               AS DOUBLE) AS sae,
+             cast(sum(cast(abs(actual - fcst) / abs(actual)
+               AS DECIMAL(38,12))) AS DOUBLE) AS sape,
+             cast(sum(cast(fcst - actual AS DECIMAL(38,8)))
+               AS DOUBLE) AS sdiff,
+             cast(sum(cast(abs(actual) AS DECIMAL(38,8)))
+               AS DOUBLE) AS saa
+      FROM j
+    )
+    SELECT n_days::BIGINT AS n_days,
+           {sql_dround('sae / saa', 6)} AS wape,
+           {sql_dround('sape / n_days', 6)} AS mape,
+           {sql_dround('sdiff / saa', 6)} AS bias
+    FROM e
+    """,
+)
+def q_ts_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scorecard for the seasonal-naive baseline
+    (forecast(day) = actual(day − 7)) on the daily value series:
+    WAPE, MAPE, and relative bias over every day with a
+    week-earlier observation — the eval harness every forecasting
+    pipeline runs BEFORE trusting a fancier model, and the natural
+    consumer of q_olap_forecast_revenue / q_ts_seasonality's outputs.
+
+    Determinism: daily actuals are exact decimal sums cast once to
+    double (identical in both engines); per-day error terms are
+    fixed-order double expressions re-quantized to DECIMAL before the
+    cross-day accumulation (the detagg discipline); each metric is one
+    final double division.
+
+    Scale: one map-side-combined groupBy collapses events to the
+    bounded day series; the lag alignment is a day-keyed self-join of
+    that bounded table (broadcast-sized); the scorecard is a single
+    narrow aggregate."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_id")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(38,8)"))
+        .cast("double")
+        .alias("actual")
+    )
+    a = d.alias("a")
+    f_ = d.select(
+        (F.col("day_id") + FCST_LAG_DAYS).alias("day_id"),
+        F.col("actual").alias("fcst"),
+    ).alias("f")
+    j = a.join(f_, "day_id")
+    err = F.col("actual") - F.col("fcst")
+    e = j.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(err).cast("decimal(38,8)")).cast("double").alias("sae"),
+        F.sum(
+            (F.abs(err) / F.abs(F.col("actual"))).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("sape"),
+        F.sum((F.col("fcst") - F.col("actual")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sdiff"),
+        F.sum(F.abs(F.col("actual")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("saa"),
+    )
+    return e.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        dround(F.col("sae") / F.col("saa"), 6).alias("wape"),
+        dround(F.col("sape") / F.col("n_days"), 6).alias("mape"),
+        dround(F.col("sdiff") / F.col("saa"), 6).alias("bias"),
+    )

@@ -317,3 +317,83 @@ def test_spend_trend_matches_numpy_ols(spark):
         g = got[c]
         assert g.n_months == len(x)
         assert abs(g.slope - slope) < max(1e-4, abs(slope) * 1e-6)
+
+
+def test_forecast_error_matches_python_replay(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.timeseries import (
+        DAY_US,
+        FCST_LAG_DAYS,
+        q_ts_forecast_error,
+    )
+
+    got = q_ts_forecast_error(spark, SF_SMALL).collect()[0]
+    ev = table(spark, SF_SMALL, "events").selectExpr(
+        f"unix_micros(ts) div {DAY_US} AS day_id", "value"
+    ).collect()
+    daily: dict[int, float] = defaultdict(float)
+    for r in ev:
+        daily[r.day_id] += float(r.value)
+    pairs = [
+        (daily[d], daily[d - FCST_LAG_DAYS])
+        for d in daily
+        if d - FCST_LAG_DAYS in daily
+    ]
+    assert got.n_days == len(pairs)
+    sae = sum(abs(a - f) for a, f in pairs)
+    saa = sum(abs(a) for a, f in pairs)
+    sape = sum(abs(a - f) / abs(a) for a, f in pairs)
+    sdiff = sum(f - a for a, f in pairs)
+    assert abs(got.wape - sae / saa) < 1e-5
+    assert abs(got.mape - sape / len(pairs)) < 1e-5
+    assert abs(got.bias - sdiff / saa) < 1e-5
+    assert got.wape >= abs(got.bias) - 1e-9  # |Σe| <= Σ|e|
+
+
+def test_adamic_adar_matches_python_graph(spark):
+    import math as _math
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.graph import q_graph_adamic_adar
+
+    got = q_graph_adamic_adar(spark, SF_SMALL).collect()
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    baskets: dict[int, set[int]] = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    edges: set[tuple[int, int]] = set()
+    for parts in baskets.values():
+        if len(parts) > 5:
+            continue
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    w = {n: round(1.0 / _math.log(len(s)), 6) for n, s in nbrs.items() if len(s) >= 2}
+    scores: dict[tuple[int, int], tuple[int, float]] = {}
+    for c, s in nbrs.items():
+        if len(s) < 2:
+            continue
+        ss = sorted(s)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                key = (ss[i], ss[j])
+                cnt, acc = scores.get(key, (0, 0.0))
+                scores[key] = (cnt + 1, acc + w[c])
+    cand = [
+        (u, v, cnt, round(acc, 6))
+        for (u, v), (cnt, acc) in scores.items()
+        if cnt >= 2 and (u, v) not in edges
+    ]
+    cand.sort(key=lambda t: (-t[3], t[0], t[1]))
+    expect = cand[:50]
+    assert len(got) == min(50, len(cand))
+    for g, (u, v, cnt, aa) in zip(got, expect):
+        assert (g.u, g.v, g.common) == (u, v, cnt)
+        assert abs(g.adamic_adar - aa) < 1e-5
