@@ -2001,3 +2001,156 @@ def q_dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH g AS (
+      SELECT l_extendedprice AS v, sum(cast(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT v, sum(w) OVER (ORDER BY v) AS cum,
+             (SELECT sum(w) FROM g) AS tot
+      FROM g
+    )
+    SELECT cast(round(cast(cast(
+             (min(CASE WHEN 2 * cum >= tot THEN v END))
+             AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS w_median,
+           cast(max(tot) AS BIGINT) AS total_weight
+    FROM r
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted (lower) median of extended price: the
+    smallest value whose cumulative weight reaches half the total —
+    the inventory-weighted "typical unit" statistic that plain
+    percentile (row-weighted) misstates whenever weights are skewed.
+
+    Determinism: weights are exact integers (quantities are integral),
+    so the pick condition 2·cum ≥ total compares exact integers; the
+    winning value is one min over identical doubles.
+
+    Scale: the value multiset collapses by groupBy first (map-side
+    combine); the cumulative weight over distinct values runs through
+    ``global_running_agg`` (range repartition + per-slice carry-in —
+    never a single-reducer Window.orderBy), and the exact grand total
+    rides back with the same per-slice partials instead of a second
+    data-wide pass — the q_window_ntile_scalable machinery serving an
+    order statistic."""
+    from spark_clustering_spark.functions.detagg import dround
+    from spark_clustering_spark.operators.windows import global_running_agg
+
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("w")
+    )
+    r, totals = global_running_agg(g, [F.col("v")], {"cum": ("sum", F.col("w"))})
+    tot = int(totals["cum"])
+    return (
+        r.filter(2 * F.col("cum") >= F.lit(tot))
+        .agg(F.min("v").alias("_m"))
+        .select(
+            dround("_m").alias("w_median"),
+            F.lit(tot).cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, count(*) AS n,
+             sum(cast(l_quantity AS BIGINT)) AS s1,
+             sum(cast(l_quantity * l_quantity AS BIGINT)) AS s2,
+             sum(cast(l_quantity * l_quantity * l_quantity AS BIGINT)) AS s3,
+             sum(cast(l_quantity * l_quantity * l_quantity * l_quantity
+               AS BIGINT)) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n,
+             cast(s1 AS DOUBLE) / n AS m1,
+             cast(s2 AS DOUBLE) / n AS m2r,
+             cast(s3 AS DOUBLE) / n AS m3r,
+             cast(s4 AS DOUBLE) / n AS m4r
+      FROM s
+    ),
+    c AS (
+      SELECT l_returnflag, n, m1,
+             m2r - m1 * m1 AS mu2,
+             m3r - 3.0 * m1 * m2r + 2.0 * m1 * m1 * m1 AS mu3,
+             m4r - 4.0 * m1 * m3r + 6.0 * m1 * m1 * m2r
+                 - 3.0 * m1 * m1 * m1 * m1 AS mu4
+      FROM m
+    )
+    SELECT l_returnflag, n::BIGINT AS n,
+           cast(round(cast(cast((m1) AS VARCHAR) AS DECIMAL(38,12)), 6)
+             AS DOUBLE) AS mean_qty,
+           cast(round(cast(cast((mu3 / (mu2 * sqrt(mu2)))
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS skewness,
+           cast(round(cast(cast((mu4 / (mu2 * mu2) - 3.0)
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS kurtosis_ex
+    FROM c
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher distribution moments per return flag: population
+    skewness μ₃/μ₂^1.5 and excess kurtosis μ₄/μ₂² − 3 from raw power
+    sums — the shape diagnostics q_agg_stats (mean/stddev/corr) stops
+    short of, and the screen that catches heavy-tailed or clipped
+    columns whose mean/variance look healthy.
+
+    Determinism: quantities are small exact integers, so Σq..Σq⁴ are
+    exact BIGINTs (q⁴ ≤ 6.25e6 — no overflow this side of 1.5e12
+    rows/group; DuckDB promotes to HUGEINT regardless); the central-
+    moment conversion is one fixed-order double expression per group
+    (the native skewness/kurtosis aggregates are online and
+    order-sensitive — unverifiable cross-engine, same reason
+    q_agg_stats avoids stddev()).
+
+    Scale: ONE map-side-combined shuffle of 5 integer partials per
+    group — the textbook moment-sketch shape."""
+    from spark_clustering_spark.functions.detagg import dround
+
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("bigint")).alias("s1"),
+        F.sum((q * q).cast("bigint")).alias("s2"),
+        F.sum((q * q * q).cast("bigint")).alias("s3"),
+        F.sum((q * q * q * q).cast("bigint")).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2r = F.col("s2").cast("double") / n
+    m3r = F.col("s3").cast("double") / n
+    m4r = F.col("s4").cast("double") / n
+    m = s.select("l_returnflag", "n", m1.alias("m1"), m2r.alias("m2r"),
+                 m3r.alias("m3r"), m4r.alias("m4r"))
+    m1, m2r = F.col("m1"), F.col("m2r")
+    m3r, m4r = F.col("m3r"), F.col("m4r")
+    c = m.select(
+        "l_returnflag",
+        "n",
+        m1.alias("m1"),
+        (m2r - m1 * m1).alias("mu2"),
+        (m3r - 3.0 * m1 * m2r + 2.0 * m1 * m1 * m1).alias("mu3"),
+        (
+            m4r
+            - 4.0 * m1 * m3r
+            + 6.0 * m1 * m1 * m2r
+            - 3.0 * m1 * m1 * m1 * m1
+        ).alias("mu4"),
+    )
+    mu2 = F.col("mu2")
+    return c.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        dround("m1", 6).alias("mean_qty"),
+        dround(F.col("mu3") / (mu2 * F.sqrt(mu2)), 6).alias("skewness"),
+        dround(F.col("mu4") / (mu2 * mu2) - 3.0, 6).alias("kurtosis_ex"),
+    )

@@ -397,3 +397,55 @@ def test_adamic_adar_matches_python_graph(spark):
     for g, (u, v, cnt, aa) in zip(got, expect):
         assert (g.u, g.v, g.common) == (u, v, cnt)
         assert abs(g.adamic_adar - aa) < 1e-5
+
+
+def test_weighted_median_matches_python(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.aggregates import (
+        q_agg_weighted_median,
+    )
+
+    got = q_agg_weighted_median(spark, SF_SMALL).collect()[0]
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    ).collect()
+    pairs = sorted((float(r.l_extendedprice), int(r.l_quantity)) for r in li)
+    tot = sum(w for _, w in pairs)
+    assert got.total_weight == tot
+    cum = 0
+    for v, w in pairs:
+        cum += w
+        if 2 * cum >= tot:
+            assert abs(got.w_median - v) < 1e-4
+            break
+    # weighted median must live inside the value range
+    assert pairs[0][0] <= got.w_median <= pairs[-1][0]
+
+
+def test_moments_match_scipy_style_formulas(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.aggregates import q_agg_moments
+
+    got = {r.l_returnflag: r for r in q_agg_moments(spark, SF_SMALL).collect()}
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    ).collect()
+    groups: dict[str, list[float]] = defaultdict(list)
+    for r in li:
+        groups[r.l_returnflag].append(float(r.l_quantity))
+    assert set(got) == set(groups)
+    for flag, xs in groups.items():
+        a = np.array(xs)
+        mu = a.mean()
+        mu2 = ((a - mu) ** 2).mean()
+        mu3 = ((a - mu) ** 3).mean()
+        mu4 = ((a - mu) ** 4).mean()
+        g = got[flag]
+        assert g.n == len(xs)
+        assert abs(g.mean_qty - mu) < 1e-5
+        assert abs(g.skewness - mu3 / mu2**1.5) < 1e-4
+        assert abs(g.kurtosis_ex - (mu4 / mu2**2 - 3.0)) < 1e-4
+        # uniform-ish quantity ⇒ platykurtic (negative excess kurtosis)
+        assert g.kurtosis_ex < 0
