@@ -23,6 +23,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 MEDIA_SCHEMA = (
     "item_id BIGINT, modality STRING, payload BINARY, "
@@ -840,4 +841,116 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pb, "item_b")
         .select("item_a", "item_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= PHASH_HAM_MAX)
+    )
+
+
+SCENE_FRAME_BYTES = 64   # stub frame: 64 payload bytes
+SCENE_DELTA = 4.0        # mean-luminance jump declaring a cut
+
+
+@query(
+    "q_multimodal_scene_change",
+    # the stub "frame decode" reads payload bytes as 8-bit luminance;
+    # per-frame byte sums are exact integers and the cut test
+    # cross-multiplies to stay in integers, so the whole temporal
+    # pipeline is hash-verified (a real codec would be rows-only here)
+    oracle=f"""
+    WITH video AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT doc_id, i AS fno,
+             substr(text, i * {SCENE_FRAME_BYTES} + 1,
+                    {SCENE_FRAME_BYTES}) AS chunk
+      FROM video CROSS JOIN unnest(
+        range(0, (len(text) + {SCENE_FRAME_BYTES - 1})
+                   // {SCENE_FRAME_BYTES})) AS t(i)
+    ),
+    st AS (
+      SELECT doc_id, fno, len(chunk) AS n,
+             list_sum([ascii(chunk[j])
+                       for j in range(1, len(chunk) + 1)]) AS s
+      FROM frames
+    ),
+    lagd AS (
+      SELECT doc_id, fno, n, s,
+             lag(n) OVER w AS pn, lag(s) OVER w AS ps
+      FROM st WINDOW w AS (PARTITION BY doc_id ORDER BY fno)
+    )
+    SELECT doc_id AS item_id,
+           count(*)::INT AS n_frames,
+           sum(CASE WHEN pn IS NOT NULL
+                     AND abs(s * pn - ps * n) > {SCENE_DELTA} * n * pn
+                    THEN 1 ELSE 0 END)::BIGINT AS n_scene_changes
+    FROM lagd GROUP BY doc_id
+    """,
+)
+def q_multimodal_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change (shot-boundary) detection over the video payloads:
+    frame the payload into {SCENE_FRAME_BYTES}-byte stub frames, take
+    each frame's mean luminance (byte mean), and count cuts where the
+    mean jumps by more than {SCENE_DELTA} — the keyframe-selection
+    primitive a video training pipeline runs to sample diverse frames
+    instead of near-duplicates (q_multimodal_frames picks offsets
+    blindly; this picks where content CHANGES).
+
+    Determinism: per-frame byte sums are exact integers, and the cut
+    test compares |s·n_prev − s_prev·n| > {SCENE_DELTA}·n·n_prev —
+    integer cross-multiplication against one exactly-representable
+    constant product, so no division ever happens.
+
+    Scale: framing is one mapInPandas pass (row multiplication stays
+    inside the Arrow batch, no shuffle — the audio-RMS shape); the
+    temporal lag windows PARTITION BY item — per-video sorted state,
+    bounded by frames-per-video, never a global sort."""
+    video = synthetic_media(spark, sf_dir).filter(F.col("modality") == "video")
+
+    def kernel(batches) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fnos, ns, ss = [], [], [], []
+            for item_id, b in zip(pdf["item_id"], pdf["payload"]):
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                for fno, start in enumerate(
+                    range(0, len(arr), SCENE_FRAME_BYTES)
+                ):
+                    fr = arr[start : start + SCENE_FRAME_BYTES]
+                    ids.append(item_id)
+                    fnos.append(fno)
+                    ns.append(len(fr))
+                    ss.append(int(fr.sum()))
+            yield pd.DataFrame(
+                {
+                    "item_id": pd.Series(ids, dtype="int64"),
+                    "fno": pd.Series(fnos, dtype="int32"),
+                    "n": pd.Series(ns, dtype="int64"),
+                    "s": pd.Series(ss, dtype="int64"),
+                }
+            )
+
+    st = video.mapInPandas(
+        kernel, "item_id BIGINT, fno INT, n BIGINT, s BIGINT"
+    )
+    w = Window.partitionBy("item_id").orderBy("fno")
+    lagd = st.select(
+        "item_id",
+        "n",
+        "s",
+        F.lag("n").over(w).alias("pn"),
+        F.lag("s").over(w).alias("ps"),
+    )
+    cut = (
+        F.col("pn").isNotNull()
+        & (
+            F.abs(F.col("s") * F.col("pn") - F.col("ps") * F.col("n"))
+            > F.lit(SCENE_DELTA) * F.col("n") * F.col("pn")
+        )
+    )
+    return lagd.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.sum(F.when(cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_scene_changes"),
     )

@@ -449,3 +449,39 @@ def test_moments_match_scipy_style_formulas(spark):
         assert abs(g.kurtosis_ex - (mu4 / mu2**2 - 3.0)) < 1e-4
         # uniform-ish quantity ⇒ platykurtic (negative excess kurtosis)
         assert g.kurtosis_ex < 0
+
+
+def test_scene_change_matches_python_replay(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.sources.multimodal import (
+        SCENE_DELTA,
+        SCENE_FRAME_BYTES,
+        q_multimodal_scene_change,
+    )
+
+    got = {
+        r.item_id: r
+        for r in q_multimodal_scene_change(spark, SF_SMALL).collect()
+    }
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    expect = {}
+    for r in docs:
+        if r.doc_id % 3 != 2:
+            continue
+        b = r.text.encode("utf-8")
+        frames = [
+            b[i : i + SCENE_FRAME_BYTES]
+            for i in range(0, len(b), SCENE_FRAME_BYTES)
+        ]
+        sums = [(sum(fr), len(fr)) for fr in frames]
+        cuts = sum(
+            1
+            for (ps, pn), (s, n) in zip(sums, sums[1:])
+            if abs(s * pn - ps * n) > SCENE_DELTA * n * pn
+        )
+        expect[r.doc_id] = (len(frames), cuts)
+    assert set(got) == set(expect)
+    for i, (nf, nc) in expect.items():
+        g = got[i]
+        assert (g.n_frames, g.n_scene_changes) == (nf, nc)
+        assert 0 <= g.n_scene_changes < g.n_frames
