@@ -1049,3 +1049,120 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("adamic_adar"), "u", "v")
         .limit(50)
     )
+
+
+@query(
+    "q_graph_clustering_coeff",
+    oracle="""
+    WITH lp0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    small AS (SELECT o FROM lp0 GROUP BY o HAVING count(*) <= 5),
+    lp AS (SELECT lp0.o, lp0.p FROM lp0 JOIN small USING (o)),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM e
+      UNION ALL SELECT v AS node, u AS nbr FROM e
+    ),
+    deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+    wedge AS (
+      SELECT a.node AS center, a.nbr AS u, b.nbr AS v
+      FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+    ),
+    tri AS (
+      SELECT w.center, count(*) AS t
+      FROM wedge w JOIN e ON e.u = w.u AND e.v = w.v
+      GROUP BY w.center
+    ),
+    lcc AS (
+      SELECT g.node, g.d, coalesce(t.t, 0) AS t,
+             CASE WHEN g.d >= 2
+                  THEN 2.0 * coalesce(t.t, 0) / (g.d * (g.d - 1))
+                  ELSE 0.0 END AS c
+      FROM deg g LEFT JOIN tri t ON t.center = g.node
+      WHERE g.d >= 2
+    )
+    SELECT node, cast(d AS BIGINT) AS degree, cast(t AS BIGINT) AS triangles,
+           cast(round(cast(cast((c) AS VARCHAR) AS DECIMAL(38,12)), 6)
+             AS DOUBLE) AS lcc
+    FROM lcc
+    ORDER BY lcc DESC, t DESC, node
+    LIMIT 50
+    """,
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node on the focused-basket
+    co-purchase graph: lcc(v) = 2·T(v)/(d(v)·(d(v)−1)), where T(v)
+    counts triangles THROUGH v — the node-level cohesion score
+    (q_graph_triangles' global count localized), top-50 by
+    (lcc DESC, triangles DESC, node). High-lcc parts sit in tight
+    co-purchase cliques — the community-seed signal modularity-based
+    clustering starts from.
+
+    Determinism: T and d are exact integers; lcc is ONE double
+    division per node; ordering tie-breaks through (t, node).
+
+    Scale: per-center wedge enumeration joined against the edge set on
+    the (u,v) pair key — Σd² wedge rows hash-partitioned, never a
+    single reducer; degrees and the wedge-closure probe reuse the
+    pinned edge checkpoint; the top-50 is TakeOrderedAndProject."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    small = li.groupBy("o").agg(F.count(F.lit(1)).alias("bsz")).filter(
+        F.col("bsz") <= 5
+    )
+    lp = li.join(small.select("o"), "o")
+    a = lp.select("o", F.col("p").alias("u"))
+    b = lp.select("o", F.col("p").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)  # pin: adj + closure probe reuse it
+    )
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    wa = adj.select(F.col("node").alias("center"), F.col("nbr").alias("u"))
+    wb = adj.select(F.col("node").alias("center"), F.col("nbr").alias("v"))
+    wedge = wa.join(wb, "center").filter(F.col("u") < F.col("v"))
+    tri = (
+        wedge.join(e, ["u", "v"])
+        .groupBy("center")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    lcc = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, deg["node"] == tri["center"], "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+        )
+        .select(
+            "node",
+            "d",
+            "t",
+            (
+                2.0
+                * F.col("t").cast("double")
+                / (F.col("d") * (F.col("d") - 1))
+            ).alias("c"),
+        )
+    )
+    return (
+        lcc.select(
+            "node",
+            F.col("d").cast("bigint").alias("degree"),
+            F.col("t").cast("bigint").alias("triangles"),
+            dround("c", 6).alias("lcc"),
+        )
+        .orderBy(F.desc("lcc"), F.desc("triangles"), "node")
+        .limit(50)
+    )

@@ -1643,3 +1643,142 @@ def q_ts_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("sape") / F.col("n_days"), 6).alias("mape"),
         dround(F.col("sdiff") / F.col("saa"), 6).alias("bias"),
     )
+
+
+SPECTRAL_PERIODS = list(range(2, 15))  # candidate cycles, days
+# 6dp trig literals inlined into BOTH engines at build time — no
+# runtime libm cos/sin whose last-ulp could diverge cross-engine
+import math as _math  # noqa: E402
+
+_COS_W = [
+    [round(_math.cos(2.0 * _math.pi * k / p), 6) for k in range(p)]
+    for p in SPECTRAL_PERIODS
+]
+_SIN_W = [
+    [round(_math.sin(2.0 * _math.pi * k / p), 6) for k in range(p)]
+    for p in SPECTRAL_PERIODS
+]
+
+
+def _sql_nested(arrs: list[list[float]]) -> str:
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(x) for x in a) + "]" for a in arrs
+        )
+        + "]"
+    )
+
+
+@query(
+    "q_ts_spectral_peak",
+    oracle=f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // {DAY_US} AS day_id,
+             cast(sum(cast(value AS DECIMAL(38,8))) AS DOUBLE) AS actual
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT cast(sum(cast(actual AS DECIMAL(38,8))) AS DOUBLE)
+               / count(*) AS mn
+      FROM d
+    ),
+    x AS (
+      SELECT p, day_id, (actual - mn) AS a,
+             (day_id % p)::INT AS phase
+      FROM d CROSS JOIN tot
+      CROSS JOIN unnest([{", ".join(str(p) for p in SPECTRAL_PERIODS)}])
+        AS t(p)
+    ),
+    terms AS (
+      SELECT p,
+             cast(a * {_sql_nested(_COS_W)}[p - 1][phase + 1]
+               AS DECIMAL(38,10)) AS ct,
+             cast(a * {_sql_nested(_SIN_W)}[p - 1][phase + 1]
+               AS DECIMAL(38,10)) AS st
+      FROM x
+    ),
+    pw AS (
+      SELECT p, cast(sum(ct) AS DOUBLE) AS cs,
+             cast(sum(st) AS DOUBLE) AS sn
+      FROM terms GROUP BY p
+    )
+    SELECT p::INT AS period_days,
+           {sql_dround('cs * cs + sn * sn', 4)} AS power
+    FROM pw
+    """,
+)
+def q_ts_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-frequency periodogram of the daily value series: for each
+    candidate cycle length p ∈ [2, 14] days, spectral power
+    (Σ aᵈ·cos(2πd/p))² + (Σ aᵈ·sin(2πd/p))² of the mean-centered
+    dailies — the which-cycle-actually-dominates screen behind
+    q_ts_seasonality's fixed weekly profile (a weekly-seasonal series
+    peaks at p=7; an unexpected peak at p=2 means aliasing/batching
+    artifacts in ingest).
+
+    Determinism: the trig weights are 6-dp literals baked into BOTH
+    plans at build time (the q_agg_histogram_log2 no-runtime-libm
+    discipline) and selected by integer phase = day mod p; per-row
+    products quantize to DECIMAL(38,10) before the order-ambiguous
+    cross-day sums; power is one fixed-order double expression.
+
+    Scale: one map-side-combined groupBy to the bounded day series,
+    then a 13×-row explode of that bounded table — the heavy table is
+    touched exactly once."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_id")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(38,8)"))
+        .cast("double")
+        .alias("actual")
+    )
+    tot = d.agg(
+        (
+            F.sum(F.col("actual").cast("decimal(38,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mn")
+    )
+    periods = F.array(*[F.lit(p) for p in SPECTRAL_PERIODS])
+    cosw = F.array(
+        *[F.array(*[F.lit(w) for w in row]) for row in _COS_W]
+    )
+    sinw = F.array(
+        *[F.array(*[F.lit(w) for w in row]) for row in _SIN_W]
+    )
+    x = (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("actual") - F.col("mn")).alias("a"),
+            "day_id",
+            F.explode(periods).alias("p"),
+        )
+        .select(
+            "p",
+            "a",
+            (F.col("day_id") % F.col("p")).cast("int").alias("phase"),
+        )
+    )
+    ct = (
+        F.col("a")
+        * F.element_at(
+            F.element_at(cosw, F.col("p") - 1), F.col("phase") + 1
+        )
+    ).cast("decimal(38,10)")
+    st = (
+        F.col("a")
+        * F.element_at(
+            F.element_at(sinw, F.col("p") - 1), F.col("phase") + 1
+        )
+    ).cast("decimal(38,10)")
+    pw = x.select("p", ct.alias("ct"), st.alias("st")).groupBy("p").agg(
+        F.sum("ct").cast("double").alias("cs"),
+        F.sum("st").cast("double").alias("sn"),
+    )
+    return pw.select(
+        F.col("p").cast("int").alias("period_days"),
+        dround(
+            F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn"), 4
+        ).alias("power"),
+    )

@@ -485,3 +485,85 @@ def test_scene_change_matches_python_replay(spark):
         g = got[i]
         assert (g.n_frames, g.n_scene_changes) == (nf, nc)
         assert 0 <= g.n_scene_changes < g.n_frames
+
+
+def test_clustering_coeff_matches_python_graph(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.graph import (
+        q_graph_clustering_coeff,
+    )
+
+    got = q_graph_clustering_coeff(spark, SF_SMALL).collect()
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    baskets: dict[int, set[int]] = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for parts in baskets.values():
+        if len(parts) > 5:
+            continue
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                nbrs[ps[i]].add(ps[j])
+                nbrs[ps[j]].add(ps[i])
+    rows = []
+    for v, s in nbrs.items():
+        d = len(s)
+        if d < 2:
+            continue
+        ss = sorted(s)
+        t = sum(
+            1
+            for i in range(len(ss))
+            for j in range(i + 1, len(ss))
+            if ss[j] in nbrs[ss[i]]
+        )
+        rows.append((v, d, t, round(2.0 * t / (d * (d - 1)), 6)))
+    rows.sort(key=lambda r: (-r[3], -r[2], r[0]))
+    expect = rows[:50]
+    assert len(got) == min(50, len(rows))
+    for g, (v, d, t, c) in zip(got, expect):
+        assert (g.node, g.degree, g.triangles) == (v, d, t)
+        assert abs(g.lcc - c) < 1e-6
+        assert 0.0 <= g.lcc <= 1.0
+
+
+def test_spectral_peak_is_weekly(spark):
+    import math as _math
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.timeseries import (
+        DAY_US,
+        SPECTRAL_PERIODS,
+        q_ts_spectral_peak,
+    )
+
+    got = {
+        r.period_days: r.power
+        for r in q_ts_spectral_peak(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(SPECTRAL_PERIODS)
+    assert all(p >= 0 for p in got.values())
+    # independent replay with full-precision trig (weights in the
+    # query are 6dp-quantized, so compare loosely)
+    ev = table(spark, SF_SMALL, "events").selectExpr(
+        f"unix_micros(ts) div {DAY_US} AS day_id", "value"
+    ).collect()
+    daily: dict[int, float] = defaultdict(float)
+    for r in ev:
+        daily[r.day_id] += float(r.value)
+    mn = sum(daily.values()) / len(daily)
+    for p in SPECTRAL_PERIODS:
+        cs = sum(
+            (a - mn) * _math.cos(2 * _math.pi * (d % p) / p)
+            for d, a in daily.items()
+        )
+        sn = sum(
+            (a - mn) * _math.sin(2 * _math.pi * (d % p) / p)
+            for d, a in daily.items()
+        )
+        ref = cs * cs + sn * sn
+        assert abs(got[p] - ref) < max(1.0, abs(ref) * 1e-3)
