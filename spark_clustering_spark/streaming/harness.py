@@ -275,3 +275,73 @@ def stream_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
             "rn",
         )
     )
+
+
+def stream_upsert(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 6
+) -> DataFrame:
+    """Real streaming CDC-apply: replay the event changelog as a file
+    stream and fold each micro-batch into a copy-on-write parquet
+    state table by LAST-WRITER-WINS on (ts, event_id) — the streaming
+    twin of q_cdc_apply_changelog (and of the batch CoW sink
+    q_sink_upsert). Because last-writer-wins is associative and the
+    tiebreak is a total order, the final state is independent of how
+    the changelog is chunked into batches — which is exactly why the
+    declared surface can hash-verify a true foreachBatch run against
+    the batch oracle.
+
+    Scale: per batch, ONE key-partitioned reduction over
+    (state ∪ batch) and one state rewrite — the merge-on-read
+    compaction loop; state is one row per live key, and on a real
+    lakehouse the rewrite narrows to the key-partitions the batch
+    touched (Hudi/Delta merge semantics). Alternating state dirs
+    avoid read-overwrite races."""
+    import tempfile as _tf
+
+    from pyspark.sql.window import Window
+
+    replay = replay_dir(spark, sf_dir, n_chunks=n_chunks)
+    base = _tf.mkdtemp(prefix="stream_upsert_")
+    dirs = [os.path.join(base, "a"), os.path.join(base, "b")]
+    state = {"cur": None, "flip": 0}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        if state["cur"] is not None:
+            new = new.unionByName(spark.read.parquet(state["cur"]))
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        merged = (
+            new.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        nxt = dirs[state["flip"]]
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+        state["flip"] = 1 - state["flip"]
+
+    q = (
+        _read_stream(spark, replay)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", _tf.mkdtemp(prefix="stream_upsert_ck_")
+        )
+        .start()
+    )
+    q.awaitTermination(300)
+    final = spark.read.parquet(state["cur"])
+    return final.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("k").alias("last_k"),
+    )

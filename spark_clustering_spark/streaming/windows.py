@@ -368,3 +368,36 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@query(
+    "q_stream_upsert",
+    # TRUE streaming surface: a foreachBatch copy-on-write merge whose
+    # final state provably equals the batch changelog collapse — the
+    # same oracle as q_cdc_apply_changelog
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_type,
+             json_extract_string(props, '$.k')::BIGINT AS k,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_type AS last_type, k AS last_k
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply (REAL Structured Streaming, not a batch
+    twin): the changelog replays as a file stream; each micro-batch
+    merges into copy-on-write parquet state by last-writer-wins on the
+    (ts, event_id) total order; tombstones ('error') drop at read.
+    Associativity of the merge makes the final state chunking-
+    invariant, so this genuine foreachBatch run hash-verifies against
+    the one-shot batch oracle — see streaming/harness.py:stream_upsert
+    for the loop and the scale notes."""
+    from spark_clustering_spark.streaming.harness import stream_upsert
+
+    return stream_upsert(spark, sf_dir, n_chunks=6)

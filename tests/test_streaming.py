@@ -231,3 +231,30 @@ def test_stream_kmeans_matches_numpy_replay(spark):
         assert g.n_batches == batches
         assert abs(g.n_weight - weights[c]) < 1e-9
         assert np.allclose(np.array(list(g.center)), centers[c], atol=1e-8)
+
+
+def test_stream_upsert_matches_batch_collapse(spark):
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.operators.scans import (
+        q_cdc_apply_changelog,
+    )
+    from spark_clustering_spark.streaming.harness import stream_upsert
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.user_id: (r.last_ts, r.last_type, r.last_k)
+        for r in stream_upsert(spark, sf, n_chunks=5).collect()
+    }
+    ref = {
+        r.user_id: (r.last_ts, r.last_type, r.last_k)
+        for r in q_cdc_apply_changelog(spark, sf).collect()
+    }
+    assert got == ref  # chunking-invariant last-writer-wins
+
+    # different chunking, same final state (associativity)
+    got3 = {
+        r.user_id: (r.last_ts, r.last_type, r.last_k)
+        for r in stream_upsert(spark, sf, n_chunks=3).collect()
+    }
+    assert got3 == ref
