@@ -1740,3 +1740,158 @@ def q_ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+TRUNC_DIM = 16  # Matryoshka truncation audit: keep the first 16 dims
+
+
+@query(
+    "q_sim_truncation_recall",
+    oracle=f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    unn AS (
+      SELECT vec_id, unnest(vec) AS v, generate_subscripts(vec, 1) AS pos
+      FROM ve
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(cast(sum(cast(v * v AS DECIMAL(38,8))) AS DOUBLE)) AS nrm,
+             sqrt(cast(sum(cast(CASE WHEN pos <= {TRUNC_DIM}
+                                     THEN v * v ELSE 0 END
+                  AS DECIMAL(38,8))) AS DOUBLE)) AS nrm_t
+      FROM unn GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+             cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS DOUBLE) AS dot,
+             cast(sum(cast(CASE WHEN a.pos <= {TRUNC_DIM}
+                                THEN a.v * b.v ELSE 0 END
+                  AS DECIMAL(38,8))) AS DOUBLE) AS dot_t
+      FROM unn a JOIN unn b ON a.pos = b.pos
+      WHERE a.vec_id < {N_PROBES} AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.probe_id, d.cand_id,
+             d.dot / (na.nrm * nb.nrm) AS cos,
+             d.dot_t / (na.nrm_t * nb.nrm_t) AS cos_t
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.probe_id
+      JOIN norms nb ON nb.vec_id = d.cand_id
+    ),
+    full_k AS (
+      SELECT probe_id, cand_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, cand_id) AS rn
+      FROM scored QUALIFY rn <= {TOP_K}
+    ),
+    trunc_k AS (
+      SELECT probe_id, cand_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_t DESC, cand_id) AS rn
+      FROM scored QUALIFY rn <= {TOP_K}
+    )
+    SELECT f.probe_id,
+           count(t.cand_id)::BIGINT AS n_hits,
+           cast(round(cast(
+             count(t.cand_id) / {TOP_K}.0
+             AS DECIMAL(38,12)), 4) AS DOUBLE) AS recall
+    FROM full_k f
+    LEFT JOIN trunc_k t
+      ON t.probe_id = f.probe_id AND t.cand_id = f.cand_id
+    GROUP BY f.probe_id
+    """,
+)
+def q_sim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: recall@{TOP_K} of cosine search on
+    the FIRST {TRUNC_DIM} dims against full-{64}-dim ground truth, per
+    probe — the measure-before-you-truncate check every
+    embedding-storage downsize runs (MRL-style truncation keeps
+    prefix dims; if recall holds, the index shrinks 4× for free, the
+    same trade q_sim_pq_adc_topk makes with codes).
+
+    Determinism: both scores are exact-decimal dots through one
+    double division; both rankings tie-break on cand_id; recall is an
+    integer count over {TOP_K}.
+
+    Scale: probe-side bounded, corpus broadcast — identical shape to
+    q_sim_topk_cosine, computing BOTH scores in the same pair pass
+    (the truncated dot is a prefix slice, not a second scan); per-probe
+    top-k windows partition by probe."""
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    n = ve.select(
+        "vec_id",
+        "vec",
+        F.sqrt(dot_dec(F.col("vec"), F.col("vec")).cast("double")).alias(
+            "nrm"
+        ),
+        F.sqrt(
+            dot_dec(
+                F.slice(F.col("vec"), 1, TRUNC_DIM),
+                F.slice(F.col("vec"), 1, TRUNC_DIM),
+            ).cast("double")
+        ).alias("nrm_t"),
+    )
+    probes = n.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("vec").alias("pv"),
+        F.col("nrm").alias("pn"),
+        F.col("nrm_t").alias("pn_t"),
+    )
+    corpus = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("nrm_t").alias("cn_t"),
+    )
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scored = (
+        corpus.repartition(width)
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            (
+                dot_dec(F.col("pv"), F.col("cv")).cast("double")
+                / (F.col("pn") * F.col("cn"))
+            ).alias("cos"),
+            (
+                dot_dec(
+                    F.slice(F.col("pv"), 1, TRUNC_DIM),
+                    F.slice(F.col("cv"), 1, TRUNC_DIM),
+                ).cast("double")
+                / (F.col("pn_t") * F.col("cn_t"))
+            ).alias("cos_t"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    wt = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_t").desc(), F.col("cand_id")
+    )
+    full_k = scored.select(
+        "probe_id", "cand_id", F.row_number().over(wf).alias("rn")
+    ).filter(F.col("rn") <= TOP_K)
+    trunc_k = scored.select(
+        "probe_id",
+        "cand_id",
+        F.row_number().over(wt).alias("rn"),
+    ).filter(F.col("rn") <= TOP_K)
+    joined = full_k.alias("f").join(
+        trunc_k.alias("t"),
+        (F.col("f.probe_id") == F.col("t.probe_id"))
+        & (F.col("f.cand_id") == F.col("t.cand_id")),
+        "left",
+    )
+    return joined.groupBy(F.col("f.probe_id").alias("probe_id")).agg(
+        F.count(F.col("t.cand_id")).cast("bigint").alias("n_hits"),
+        dround(
+            F.count(F.col("t.cand_id")) / float(TOP_K), 4
+        ).alias("recall"),
+    )

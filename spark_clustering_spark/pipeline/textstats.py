@@ -1352,3 +1352,95 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total"), "word")
         .limit(BURST_TOPW)
     )
+
+
+CODE_SYM_PATTERN = r"[{}();=\[\]<>]"  # code-ish punctuation class
+CODE_SYM_DENSITY = 0.02               # is-code gate: >=2% symbol chars
+CODE_INDENT_HITS = 3                  # ... or >=3 indented lines
+
+
+@query(
+    "q_text_code_detect",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, len(text) AS n_chars,
+             len(text) - len(regexp_replace(text,
+               '{CODE_SYM_PATTERN}', '', 'g')) AS n_sym,
+             (len(text) - len(replace(text, chr(10) || '  ', ''))) // 3
+               + (len(text) - len(replace(text, chr(10) || chr(9), ''))) // 2
+               AS n_indent
+      FROM documents WHERE len(text) > 0
+    ),
+    f AS (
+      SELECT source, n_chars, n_sym, n_indent,
+             cast(n_sym AS DOUBLE) / n_chars AS sym_density,
+             CASE WHEN cast(n_sym AS DOUBLE) / n_chars >= {CODE_SYM_DENSITY}
+                    OR n_indent >= {CODE_INDENT_HITS}
+                  THEN 1 ELSE 0 END AS is_code
+      FROM d
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(is_code)::BIGINT AS n_code,
+           cast(round(cast(
+             sum(is_code) / cast(count(*) AS DOUBLE)
+             AS DECIMAL(38,12)), 6) AS DOUBLE) AS code_share,
+           cast(round(cast(cast(
+             sum(cast(sym_density AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+             AS DECIMAL(38,12)), 6) AS DOUBLE) AS avg_sym_density
+    FROM f GROUP BY source
+    """,
+)
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection per source: a document is flagged as
+    code when its code-punctuation density ({{}}();=[]<> as a share of
+    chars) reaches {CODE_SYM_DENSITY} or it has ≥{CODE_INDENT_HITS}
+    indented lines — the cheap structural gate every pretraining
+    corpus runs to ROUTE code into a separate mixture bucket (code
+    wants different dedup/quality thresholds than prose; see
+    q_sample_mixture for the bucket weights it feeds).
+
+    Determinism: symbol and indent counts are exact integers from
+    replace-length arithmetic (regexp_replace is all-occurrences in
+    both engines — Spark by default, DuckDB via the 'g' flag); the
+    density is one double division; per-source density averages
+    quantize to decimal before the order-ambiguous sum.
+
+    Scale: stateless per-row expressions (no UDF, whole-stage codegen)
+    into one map-side-combined groupBy over |sources| rows."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chars = F.length("text")
+    n_sym = n_chars - F.length(
+        F.regexp_replace(F.col("text"), CODE_SYM_PATTERN, "")
+    )
+    n_indent = (
+        (n_chars - F.length(F.regexp_replace(F.col("text"), r"\n  ", "")))
+        / F.lit(3)
+    ).cast("bigint") + (
+        (n_chars - F.length(F.regexp_replace(F.col("text"), r"\n\t", "")))
+        / F.lit(2)
+    ).cast("bigint")
+    sym_density = n_sym.cast("double") / n_chars
+    is_code = F.when(
+        (sym_density >= CODE_SYM_DENSITY) | (n_indent >= CODE_INDENT_HITS),
+        1,
+    ).otherwise(0)
+    f = d.select(
+        "source",
+        sym_density.alias("sym_density"),
+        is_code.alias("is_code"),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_code").cast("bigint").alias("n_code"),
+        dround(
+            F.sum("is_code") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("code_share"),
+        dround(
+            F.sum(F.col("sym_density").cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_sym_density"),
+    )

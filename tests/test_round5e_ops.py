@@ -567,3 +567,79 @@ def test_spectral_peak_is_weekly(spark):
         )
         ref = cs * cs + sn * sn
         assert abs(got[p] - ref) < max(1.0, abs(ref) * 1e-3)
+
+
+def test_truncation_recall_matches_numpy(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.similarity import (
+        N_PROBES,
+        TOP_K,
+        TRUNC_DIM,
+        q_sim_truncation_recall,
+    )
+
+    got = {
+        r.probe_id: r
+        for r in q_sim_truncation_recall(spark, SF_SMALL).collect()
+    }
+    rows = table(spark, SF_SMALL, "embeddings").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+
+    def topk(m):
+        mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = mm @ mm.T
+        out = {}
+        for i in np.where(ids < N_PROBES)[0]:
+            order = sorted(
+                (j for j in range(len(ids)) if j != i),
+                key=lambda j: (-cos[i, j], ids[j]),
+            )[:TOP_K]
+            out[ids[i]] = {ids[j] for j in order}
+        return out
+
+    full = topk(mat)
+    trunc = topk(mat[:, :TRUNC_DIM])
+    assert set(got) == set(full)
+    for pid in full:
+        hits = len(full[pid] & trunc[pid])
+        g = got[pid]
+        assert g.n_hits == hits
+        assert abs(g.recall - hits / TOP_K) < 1e-6
+        assert 0 <= g.n_hits <= TOP_K
+
+
+def test_code_detect_matches_python(spark):
+    import re
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.textstats import (
+        CODE_INDENT_HITS,
+        CODE_SYM_DENSITY,
+        CODE_SYM_PATTERN,
+        q_text_code_detect,
+    )
+
+    got = {r.source: r for r in q_text_code_detect(spark, SF_SMALL).collect()}
+    docs = table(spark, SF_SMALL, "documents").select("source", "text").collect()
+    agg: dict[str, list[float]] = {}
+    for r in docs:
+        t = r.text
+        if not t:
+            continue
+        n_sym = len(re.findall(CODE_SYM_PATTERN, t))
+        n_indent = t.count("\n  ") + t.count("\n\t")
+        dens = n_sym / len(t)
+        is_code = dens >= CODE_SYM_DENSITY or n_indent >= CODE_INDENT_HITS
+        a = agg.setdefault(r.source, [0, 0, 0.0])
+        a[0] += 1
+        a[1] += 1 if is_code else 0
+        a[2] += dens
+    assert set(got) == set(agg)
+    for src, (n, nc, sd) in agg.items():
+        g = got[src]
+        assert (g.n_docs, g.n_code) == (n, nc)
+        assert abs(g.code_share - nc / n) < 1e-6
+        assert abs(g.avg_sym_density - sd / n) < 1e-5
