@@ -655,3 +655,72 @@ def test_linkpred_anti_join_and_no_cartesian(spark, qs):
     assert "CartesianProduct" not in tree.replace("BroadcastNestedLoopJoin", ""), tree
     assert "LeftAnti" in plan, plan[:1500]
     assert "TakeOrderedAndProject" in plan, "top-50 must be a heap, not a sort"
+
+
+def _no_unpartitioned_ordered_window(plan: str) -> bool:
+    """True iff no Window/Sort consumes a SinglePartition exchange —
+    the data-proportional one-reducer pattern. A SinglePartition feeding
+    a final one-row HashAggregate is bounded state and allowed."""
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        tail = plan[m.end() : m.end() + 400]
+        # the consumer appears just above in formatted plans; check the
+        # preceding operator lines instead
+        head = plan[max(0, m.start() - 400) : m.start()]
+        if "Window" in head or re.search(r"\bSort\b", head):
+            return False
+        del tail
+    return True
+
+
+def test_ml_auc_no_data_wide_single_reducer(spark, qs):
+    """AUC's global cumulative count must ride global_running_agg's
+    range repartition — the only SinglePartition allowed is the final
+    one-row aggregate of k partials, never a Sort/Window funnel."""
+    plan = formatted_plan(qs["q_ml_auc"](spark, SF_SMALL))
+    assert _no_unpartitioned_ordered_window(plan), plan[:1200]
+
+
+def test_weighted_median_no_data_wide_single_reducer(spark, qs):
+    plan = formatted_plan(qs["q_agg_weighted_median"](spark, SF_SMALL))
+    assert _no_unpartitioned_ordered_window(plan), plan[:1200]
+
+
+def test_sample_reservoir_uses_heap_not_global_sort(spark, qs):
+    """The k-smallest-hash draw must plan as TakeOrderedAndProject
+    (bounded per-partition heaps), not a data-wide global sort."""
+    plan = formatted_plan(qs["q_sample_reservoir"](spark, SF_SMALL))
+    assert has_node(plan, "TakeOrderedAndProject"), plan[:800]
+
+
+def test_purchase_sequence_broadcasts_brand_filter(spark, qs):
+    """The 2-brand part slice must reach lineitem as a broadcast hash
+    join — shuffling the fact table against a 2-brand dim is waste."""
+    plan = formatted_plan(qs["q_olap_purchase_sequence"](spark, SF_SMALL))
+    assert has_node(plan, "BroadcastHashJoin"), plan[:800]
+
+
+def test_interval_merge_windows_are_user_partitioned(spark, qs):
+    """Gaps-and-islands must never run an unpartitioned ordered
+    window: both the running-max-end and the island cumsum partition
+    by user_id."""
+    plan = formatted_plan(qs["q_ts_interval_merge"](spark, SF_SMALL))
+    assert "SinglePartition" not in plan, plan[:800]
+
+
+def test_scene_change_framing_has_no_shuffle_before_window(spark, qs):
+    """Stub framing multiplies rows inside the Arrow batch; the only
+    exchanges allowed are the per-item window/group shuffles (hash on
+    item_id), never a SinglePartition funnel."""
+    plan = formatted_plan(qs["q_multimodal_scene_change"](spark, SF_SMALL))
+    assert "SinglePartition" not in plan, plan[:800]
+
+
+def test_knn_classify_broadcasts_corpus(spark, qs):
+    """The classify pair pass broadcasts the corpus exactly like
+    q_sim_topk_cosine — a shuffled n×n join would be the wrong plan."""
+    plan = formatted_plan(qs["q_ml_knn_classify"](spark, SF_SMALL))
+    assert has_node(plan, "BroadcastNestedLoopJoin") or has_node(
+        plan, "BroadcastHashJoin"
+    ), plan[:800]
