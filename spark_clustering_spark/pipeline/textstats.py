@@ -1444,3 +1444,69 @@ def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_sym_density"),
     )
+
+
+BPE_TOP = 20  # merge candidates emitted per round
+
+
+@query(
+    "q_text_bpe_merge",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ),
+    wf AS (
+      SELECT word, count(*) AS f FROM w WHERE len(word) >= 2
+      GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair, f
+      FROM wf CROSS JOIN unnest(range(1, len(word))) AS t(i)
+    ),
+    agg AS (SELECT pair, sum(f) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, cnt::BIGINT AS cnt
+    FROM agg ORDER BY cnt DESC, pair LIMIT {BPE_TOP}
+    """,
+)
+def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round over the corpus: count every adjacent
+    character pair inside every word, weighted by word frequency, and
+    emit the top-{BPE_TOP} merge candidates — the inner loop of
+    byte-pair-encoding tokenizer training (each training round merges
+    the argmax pair and recounts; this query IS that round, and the
+    production loop re-runs it on the re-segmented vocabulary).
+
+    The key scale trick: pairs are counted over the DISTINCT-WORD
+    table weighted by frequency, not over raw tokens — the vocabulary
+    is orders of magnitude smaller than the corpus, which is exactly
+    how real BPE trainers (and word-level Zipf fits like q_text_zipf)
+    avoid corpus-sized inner loops.
+
+    Determinism: pure integer counts; ranking tie-breaks on pair ASC.
+
+    Scale: one corpus pass to word counts (map-side combined), then
+    a ≤(maxlen−1)×-row explode of the bounded vocabulary; the top-k is
+    TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    ).filter(F.length("word") >= 2)
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(BPE_TOP)
+    )

@@ -643,3 +643,31 @@ def test_code_detect_matches_python(spark):
         assert (g.n_docs, g.n_code) == (n, nc)
         assert abs(g.code_share - nc / n) < 1e-6
         assert abs(g.avg_sym_density - sd / n) < 1e-5
+
+
+def test_bpe_merge_matches_python_counts(spark):
+    import re
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.textstats import (
+        BPE_TOP,
+        q_text_bpe_merge,
+    )
+
+    got = q_text_bpe_merge(spark, SF_SMALL).collect()
+    docs = table(spark, SF_SMALL, "documents").select("text").collect()
+    wf: dict[str, int] = defaultdict(int)
+    for r in docs:
+        for w in re.findall(r"[a-z]+", r.text.lower()):
+            if len(w) >= 2:
+                wf[w] += 1
+    cnt: dict[str, int] = defaultdict(int)
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            cnt[w[i : i + 2]] += f
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP]
+    assert len(got) == min(BPE_TOP, len(cnt))
+    for g, (pair, c) in zip(got, expect):
+        assert (g.pair, g.cnt) == (pair, c)
+    # counting over the distinct-word table must equal corpus counting
+    assert all(len(g.pair) == 2 for g in got)
