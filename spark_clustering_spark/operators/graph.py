@@ -23,6 +23,48 @@ PR_DAMPING = 0.85
 PR_ITERS = 2  # unrolled steps in the declared query
 
 
+_EDGE_CACHE: dict = {}
+
+
+def basket_edges(spark: SparkSession, sf_dir: str, cap: int | None = None):
+    """DISTINCT part co-purchase edges (u < v): parts adjacent iff some
+    order contains both; ``cap`` keeps only baskets with ≤cap distinct
+    parts (the focused-basket rule of q_graph_jaccard_linkpred) or None
+    for the full graph. Cached per (application, sf_dir, cap) as an
+    EAGER localCheckpoint: seven graph operators share the exact same
+    fact-sized edge build, so per session it runs once — the same
+    fixture-reuse discipline as sources/bucketed.py (keyed by sf_dir so
+    two scales never alias) — and every consumer starts from the pinned
+    shuffle output instead of re-scanning lineitem."""
+    key = (spark.sparkContext.applicationId, sf_dir, cap)
+    hit = _EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    if cap is not None:
+        small = (
+            li.groupBy("o")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= cap)
+        )
+        li = li.join(small.select("o"), "o")
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select("o", F.col("p").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _EDGE_CACHE[key] = e
+    return e
+
+
 def _pagerank_sql() -> str:
     d = PR_DAMPING
     steps = []
@@ -223,20 +265,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     width (tools/triangle_growth.py). AQE can only coalesce, never
     split, so the width must come from the data. Output is one audit
     row (counts + coefficient)."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = li.select("o", F.col("p").alias("u"))
-    b = li.select("o", F.col("p").alias("v"))
-    e = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)  # pin: reused by deg + 3 join sides
-    )
+    e = basket_edges(spark, sf_dir)  # cached pin, reused by deg + 3 join sides
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -528,19 +557,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-sized pass); the degree join is node-cardinality broadcast-
     able state; the stub aggregate is map-side combined. One audit
     row out."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = li.select("o", F.col("p").alias("u"))
-    b = li.select("o", F.col("p").alias("v"))
-    e = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    e = basket_edges(spark, sf_dir)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -637,20 +654,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and the alive filter is two node-keyed semi joins — at
     1000 executors the node table broadcasts while edges stay
     partitioned."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = li.select("o", F.col("p").alias("u"))
-    b = li.select("o", F.col("p").alias("v"))
-    e = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)  # reused by every peel round
-    )
+    e = basket_edges(spark, sf_dir)  # cached pin, reused by every peel round
     out = None
     for t in range(1, KCORE_ROUNDS + 1):
         deg = (
@@ -734,24 +738,7 @@ def q_graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     out via a shuffle anti-join keyed (u,v); degrees broadcast; the
     final top-50 is TakeOrderedAndProject (per-partition heaps), not
     a global sort."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    small = li.groupBy("o").agg(F.count(F.lit(1)).alias("bsz")).filter(
-        F.col("bsz") <= 5
-    )
-    lp = li.join(small.select("o"), "o")
-    a = lp.select("o", F.col("p").alias("u"))
-    b = lp.select("o", F.col("p").alias("v"))
-    e = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)  # pin: adj, deg, and anti-join reuse it
-    )
+    e = basket_edges(spark, sf_dir, cap=5)  # cached pin, shared build
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
@@ -857,27 +844,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     community (≤ |brands| rows). No window, no single reducer, text
     never shuffles. A Louvain implementation iterates exactly this
     plan with updated labels."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    small = (
-        li.groupBy("o")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") <= MODULARITY_BASKET_CAP)
-        .select("o")
-    )
-    lp = li.join(small, "o")
-    a = lp.select("o", F.col("p").alias("u"))
-    b = lp.select("o", F.col("p").alias("v"))
-    e = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)  # pin: labeled twice + degree stream
-    )
+    e = basket_edges(spark, sf_dir, cap=MODULARITY_BASKET_CAP)  # cached pin
     lab = table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), F.col("p_brand").alias("com")
     )
@@ -981,24 +948,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge enumeration with count-derived shuffle width, weight carried
     on the broadcast-sized degree table, anti-join edge filter,
     TakeOrderedAndProject top-50."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    small = li.groupBy("o").agg(F.count(F.lit(1)).alias("bsz")).filter(
-        F.col("bsz") <= 5
-    )
-    lp = li.join(small.select("o"), "o")
-    a = lp.select("o", F.col("p").alias("u"))
-    b = lp.select("o", F.col("p").alias("v"))
-    e = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)  # pin: adj, deg, and anti-join reuse it
-    )
+    e = basket_edges(spark, sf_dir, cap=5)  # cached pin, shared build
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
@@ -1107,24 +1057,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (u,v) pair key — Σd² wedge rows hash-partitioned, never a
     single reducer; degrees and the wedge-closure probe reuse the
     pinned edge checkpoint; the top-50 is TakeOrderedAndProject."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    small = li.groupBy("o").agg(F.count(F.lit(1)).alias("bsz")).filter(
-        F.col("bsz") <= 5
-    )
-    lp = li.join(small.select("o"), "o")
-    a = lp.select("o", F.col("p").alias("u"))
-    b = lp.select("o", F.col("p").alias("v"))
-    e = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)  # pin: adj + closure probe reuse it
-    )
+    e = basket_edges(spark, sf_dir, cap=5)  # cached pin, shared build
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
