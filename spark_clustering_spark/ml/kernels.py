@@ -405,3 +405,67 @@ def gka_reassign(
 
     schema = GKA_ASSIGN_STATS_SCHEMA if emit_partials else GKA_ASSIGN_SCHEMA
     return points.mapInPandas(kernel, schema)
+
+
+GMM_STATS_SCHEMA = (
+    "cid INT, rsum DOUBLE, wx ARRAY<DOUBLE>, llp DOUBLE"
+)
+
+
+def gmm_soft_stats(
+    points: DataFrame,
+    centers: np.ndarray,
+    weights: np.ndarray,
+    sigma2: float,
+) -> tuple[dict[int, tuple[float, np.ndarray]], float]:
+    """One spherical-GMM EM half-iteration, kernel-side: per
+    partition, compute likelihoods l_ic = w_c·exp(−|x−μ_c|²/2σ²) in
+    one BLAS distance matrix, reduce to k partial rows of
+    (Σᵢ r_ic, Σᵢ r_ic·xᵢ) plus the partition's observed-data
+    log-likelihood Σᵢ ln Σ_c l_ic (carried on the cid=0 row) — the
+    R19 inversion applied to soft assignment: only k·(d+2) floats per
+    partition ever shuffle, the points never move.
+
+    Returns ({cid: (rsum, wx_vector)}, loglik) combined driver-side in
+    collect (partition) order — same determinism envelope as
+    ``lloyd_iteration``. The hash-verified single-step surfaces
+    (q_ml_gmm_estep/_mstep/_loglik, operators/clustering.py) keep the
+    decimal-exact expression path; this kernel is the production fit
+    loop (ml/gmm.py), the SemDeDup-style oracle-path/scale-path
+    split."""
+    k, d = centers.shape
+    sc = points.sparkSession.sparkContext
+    bc = sc.broadcast((centers, np.asarray(weights, dtype=np.float64)))
+
+    def kernel(batches) -> Iterator:
+        import pandas as pd
+
+        C, W = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["vec"]), dtype=np.float64)
+            D = _dist_matrix(V, C)
+            L = W[None, :] * np.exp(-(D * D) / (2.0 * sigma2))
+            z = L.sum(axis=1)
+            ll = float(np.log(z).sum())
+            R = L / z[:, None]
+            rsum = R.sum(axis=0)
+            WX = R.T @ V  # (k, d) responsibility-weighted sums
+            yield pd.DataFrame(
+                {
+                    "cid": np.arange(k, dtype=np.int32),
+                    "rsum": rsum,
+                    "wx": [row.tolist() for row in WX],
+                    "llp": [ll] + [0.0] * (k - 1),
+                }
+            )
+
+    partial = points.mapInPandas(kernel, GMM_STATS_SCHEMA)
+    acc = _driver_combine(partial, ("cid",), ("rsum", "llp"), "wx")
+    stats: dict[int, tuple[float, np.ndarray]] = {}
+    loglik = 0.0
+    for (cid,), (rs, llp, wx) in sorted(acc.items()):
+        stats[cid] = (float(rs), wx)
+        loglik += float(llp)
+    return stats, loglik
