@@ -1782,3 +1782,101 @@ def q_ts_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cs") * F.col("cs") + F.col("sn") * F.col("sn"), 4
         ).alias("power"),
     )
+
+
+WAU_DAYS, MAU_DAYS = 7, 28  # trailing engagement windows
+
+
+@query(
+    "q_ts_active_users",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // {DAY_US} AS day_id, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day_id FROM du),
+    wau AS (
+      SELECT d.day_id, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN du u
+        ON u.day_id BETWEEN d.day_id - {WAU_DAYS - 1} AND d.day_id
+      GROUP BY d.day_id
+    ),
+    mau AS (
+      SELECT d.day_id, count(DISTINCT u.user_id) AS mau
+      FROM days d JOIN du u
+        ON u.day_id BETWEEN d.day_id - {MAU_DAYS - 1} AND d.day_id
+      GROUP BY d.day_id
+    ),
+    dau AS (
+      SELECT day_id, count(*) AS dau FROM du GROUP BY day_id
+    )
+    SELECT dau.day_id,
+           dau.dau::BIGINT AS dau, wau.wau::BIGINT AS wau,
+           mau.mau::BIGINT AS mau,
+           {sql_dround('dau.dau / cast(mau.mau AS DOUBLE)', 6)}
+             AS stickiness
+    FROM dau JOIN wau ON wau.day_id = dau.day_id
+             JOIN mau ON mau.day_id = dau.day_id
+    """,
+)
+def q_ts_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement surface: per active day, DAU plus trailing
+    {WAU_DAYS}-day WAU and {MAU_DAYS}-day MAU distinct-user counts and
+    the DAU/MAU stickiness ratio — the product-health dashboard every
+    event pipeline serves, and the canonical SLIDING COUNT DISTINCT
+    (a windowed count over a frame can't dedup users across rows, so
+    the window idiom is wrong here; the day-offset expansion is the
+    right relational form).
+
+    Determinism: pure integer distinct counts; stickiness is one
+    double division.
+
+    Scale: raw events collapse ONCE to distinct (day, user) pairs
+    (map-side combine) — everything after operates on that bounded
+    pair table; the trailing windows expand pairs ×{WAU_DAYS}/×
+    {MAU_DAYS} via an offset explode joined to active days (shuffle on
+    day keys, never a global sort). At 100 TB the pair table is
+    users×days — already the smallest exact representation of the
+    problem."""
+    ev = table(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_id"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # pin: reused by dau/wau/mau
+    )
+    days = du.select("day_id").distinct()
+
+    def trailing(n_days: int, out: str):
+        expanded = du.select(
+            F.explode(
+                F.sequence(
+                    F.col("day_id"), F.col("day_id") + (n_days - 1)
+                )
+            ).alias("day_id"),
+            "user_id",
+        )
+        return (
+            expanded.join(days, "day_id")
+            .groupBy("day_id")
+            .agg(F.countDistinct("user_id").alias(out))
+        )
+
+    dau = du.groupBy("day_id").agg(F.count(F.lit(1)).alias("dau"))
+    wau = trailing(WAU_DAYS, "wau")
+    mau = trailing(MAU_DAYS, "mau")
+    return (
+        dau.join(wau, "day_id")
+        .join(mau, "day_id")
+        .select(
+            "day_id",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            dround(
+                F.col("dau") / F.col("mau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )

@@ -1895,3 +1895,104 @@ def q_sim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.col("t.cand_id")) / float(TOP_K), 4
         ).alias("recall"),
     )
+
+
+@query(
+    "q_ml_ncm_classify",
+    oracle="""
+    WITH ve AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    unn AS (
+      SELECT vec_id, label, unnest(vec) AS v,
+             generate_subscripts(vec, 1) AS pos
+      FROM ve
+    ),
+    mu AS (
+      SELECT label AS cid, pos,
+             cast(sum(cast(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+      FROM unn GROUP BY label, pos
+    ),
+    d2 AS (
+      SELECT u.vec_id, u.label, mu.cid,
+             cast(sum(cast((u.v - mu.m) * (u.v - mu.m) AS DECIMAL(38,12)))
+               AS DOUBLE) AS dist2
+      FROM unn u JOIN mu ON mu.pos = u.pos
+      GROUP BY u.vec_id, u.label, mu.cid
+    ),
+    pred AS (
+      SELECT vec_id, label, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, cid) AS rn
+      FROM d2 QUALIFY rn = 1
+    )
+    SELECT label,
+           count(*)::BIGINT AS n_vecs,
+           sum(CASE WHEN cid = label THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+           cast(round(cast(
+             sum(CASE WHEN cid = label THEN 1 ELSE 0 END)
+               / cast(count(*) AS DOUBLE)
+             AS DECIMAL(38,12)), 6) AS DOUBLE) AS accuracy
+    FROM pred GROUP BY label
+    """,
+)
+def q_ml_ncm_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean classification accuracy per label: compute
+    each label's centroid (per-dim decimal-exact means), assign every
+    vector to its nearest centroid, report per-true-label accuracy —
+    the LINEAR prototype probe beside q_ml_knn_classify's local one
+    (NCM ≫ kNN gap = clusters are non-convex; NCM ≈ kNN = labels are
+    linearly recoverable and the cheap classifier suffices). This is
+    also exactly the reference's assignment kernel (R4) with label
+    means as the centroid table.
+
+    Determinism: per-dim means are exact decimal sums through one
+    double division; squared distances re-quantize per-dim terms to
+    decimal before the cross-dim sum; the argmin tie-breaks on label.
+
+    Scale: the label-centroid table is |labels|·d rows (broadcast
+    state); assignment is the R4 broadcast-argmin shape — one narrow
+    pass, no window over data, map-side-combined accuracy rollup.
+    (The declared form uses the exploded pos-join so the oracle can
+    replay the identical decimal sums; the kernel twin is
+    ml/kernels.lloyd_partial_stats.)"""
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("vec")
+    )
+    unn = ve.select(
+        "vec_id", "label", F.posexplode("vec").alias("pos0", "v")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "v")
+    mu = unn.groupBy(F.col("label").alias("cid"), "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    d2 = (
+        unn.join(F.broadcast(mu), "pos")
+        .select(
+            "vec_id",
+            "label",
+            "cid",
+            ((F.col("v") - F.col("m")) * (F.col("v") - F.col("m"))).cast(
+                "decimal(38,12)"
+            ).alias("t"),
+        )
+        .groupBy("vec_id", "label", "cid")
+        .agg(F.sum("t").cast("double").alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    pred = d2.select(
+        "vec_id", "label", "cid", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("cid") == F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        dround(
+            F.sum(F.when(F.col("cid") == F.col("label"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("accuracy"),
+    )

@@ -671,3 +671,57 @@ def test_bpe_merge_matches_python_counts(spark):
         assert (g.pair, g.cnt) == (pair, c)
     # counting over the distinct-word table must equal corpus counting
     assert all(len(g.pair) == 2 for g in got)
+
+
+def test_ncm_classify_matches_numpy(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.similarity import q_ml_ncm_classify
+
+    got = {r.label: r for r in q_ml_ncm_classify(spark, SF_SMALL).collect()}
+    rows = table(spark, SF_SMALL, "embeddings").collect()
+    labels = np.array([r.label for r in rows])
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    classes = sorted(set(labels))
+    mus = np.stack([mat[labels == c].mean(axis=0) for c in classes])
+    d2 = ((mat[:, None, :] - mus[None, :, :]) ** 2).sum(axis=2)
+    pred = np.array(classes)[d2.argmin(axis=1)]
+    assert set(got) == set(classes)
+    for ci, c in enumerate(classes):
+        sel = labels == c
+        nc = int((pred[sel] == c).sum())
+        g = got[c]
+        assert g.n_vecs == int(sel.sum())
+        assert g.n_correct == nc
+        assert abs(g.accuracy - nc / sel.sum()) < 1e-6
+
+
+def test_active_users_matches_python(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.timeseries import (
+        DAY_US,
+        MAU_DAYS,
+        WAU_DAYS,
+        q_ts_active_users,
+    )
+
+    got = {r.day_id: r for r in q_ts_active_users(spark, SF_SMALL).collect()}
+    ev = table(spark, SF_SMALL, "events").selectExpr(
+        f"unix_micros(ts) div {DAY_US} AS day_id", "user_id"
+    ).collect()
+    by_day: dict[int, set[int]] = defaultdict(set)
+    for r in ev:
+        by_day[r.day_id].add(r.user_id)
+    assert set(got) == set(by_day)
+    for d, users in by_day.items():
+        wau = set().union(
+            *(by_day.get(d - i, set()) for i in range(WAU_DAYS))
+        )
+        mau = set().union(
+            *(by_day.get(d - i, set()) for i in range(MAU_DAYS))
+        )
+        g = got[d]
+        assert (g.dau, g.wau, g.mau) == (len(users), len(wau), len(mau))
+        assert g.dau <= g.wau <= g.mau  # nesting invariant
+        assert abs(g.stickiness - len(users) / len(mau)) < 1e-6
