@@ -211,6 +211,48 @@ NOTES = {
         "min(struct) champion groupBy; winners join back on the digest; "
         "the manifest re-aggregates per doc — three narrow exchanges."
     ),
+    "q_ml_auc": (
+        "rank-sum AUC: scores collapse in a partial/final HashAggregate "
+        "pair, the cumulative count rides global_running_agg's range "
+        "repartition (no SinglePartition Sort anywhere), and the only "
+        "one-partition exchange feeds the final one-row aggregate of "
+        "k partials — bounded state, not data."
+    ),
+    "q_agg_weighted_median": (
+        "weighted median as an order statistic over "
+        "global_running_agg: distinct values groupBy first (map-side "
+        "combine), range shuffle into sorted slices, per-slice window, "
+        "then a one-row min — the exact grand total rides back with the "
+        "per-slice partials instead of a second data-wide pass."
+    ),
+    "q_sample_reservoir": (
+        "deterministic reservoir = k smallest portable hashes: planned "
+        "as TakeOrderedAndProject — each partition keeps a bounded "
+        "k-heap, the driver merges P·k candidates, no global sort ever "
+        "materializes."
+    ),
+    "q_graph_adamic_adar": (
+        "per-center wedge enumeration with the 6dp-quantized 1/ln(deg) "
+        "weight broadcast on the degree table; wedge rows repartition "
+        "on the count-derived width; existing edges drop via a shuffled "
+        "anti-join; top-50 is TakeOrderedAndProject."
+    ),
+    "q_ts_interval_merge": (
+        "gaps-and-islands: both ordered windows PARTITION BY user_id "
+        "(per-key sorted state, no SinglePartition), and the island "
+        "merge + per-user rollup reuse the same user hash partitioning."
+    ),
+    "q_multimodal_scene_change": (
+        "stub framing multiplies rows inside the Arrow batch "
+        "(mapInPandas, no shuffle); the temporal lag window and the cut "
+        "rollup both hash-partition by item_id."
+    ),
+    "q_ml_knn_classify": (
+        "bounded probe subset crossJoins the BROADCAST corpus (one "
+        "narrow pair pass, dot products as per-row codegen folds); "
+        "per-src top-k windows partition by probe; the vote and "
+        "accuracy aggregates reduce to |labels| rows map-side."
+    ),
 }
 
 
