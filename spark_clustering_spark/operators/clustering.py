@@ -1838,3 +1838,106 @@ def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround("_raw_score", 6).alias("score"),
         )
     )
+
+
+GAINS_DECILES = 10  # gains/lift curve resolution
+
+
+@query(
+    "q_ml_gains_curve",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderkey, o_totalprice AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    d AS (
+      SELECT y, ntile({GAINS_DECILES}) OVER (ORDER BY score DESC,
+                                             o_orderkey) AS decile
+      FROM s
+    ),
+    g AS (
+      SELECT decile, count(*) AS n, sum(y) AS np
+      FROM d GROUP BY decile
+    ),
+    c AS (
+      SELECT decile, n, np,
+             sum(n) OVER (ORDER BY decile) AS cn,
+             sum(np) OVER (ORDER BY decile) AS cnp,
+             (SELECT sum(y) FROM s) AS tp,
+             (SELECT count(*) FROM s) AS tn
+      FROM g
+    )
+    SELECT decile::INT AS decile, n::BIGINT AS n, np::BIGINT AS n_pos,
+           {{CUM}} AS cum_pos_share, {{LIFT}} AS lift
+    FROM c
+    """.replace(
+        "{CUM}", sql_dround("cast(cnp AS DOUBLE) / tp", 6)
+    ).replace(
+        "{LIFT}",
+        sql_dround("cast(cnp * tn AS DOUBLE) / (cast(cn AS DOUBLE) * tp)", 6),
+    ),
+)
+def q_ml_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift curve for the o_totalprice →
+    orderstatus-F score (the q_ml_auc pair): rank all rows by score
+    descending into {GAINS_DECILES} exact deciles, then per decile the
+    cumulative share of positives captured and the lift over random
+    targeting — with AUC, calibration, and the confusion matrix this
+    completes the standard binary-classifier eval suite (gains is the
+    business-facing one: 'the top 20% of the list holds X% of the
+    actives').
+
+    Determinism: deciles come from the exact ntile machinery
+    (hash-verified by q_window_ntile); counts are exact integers; each
+    share/lift is one fixed-order double expression on exact integer
+    products.
+
+    Scale: the decile assignment runs through ``ntile_scalable``
+    (range repartition + carry-in ranks — never a single-reducer
+    ORDER BY over the data); everything after operates on
+    {GAINS_DECILES} rows."""
+    from spark_clustering_spark.operators.windows import ntile_scalable
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    d = ntile_scalable(
+        o,
+        [F.col("score").desc(), F.col("o_orderkey")],
+        n_tiles=GAINS_DECILES,
+        out_col="decile",
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"), F.sum("np").alias("tp")
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "np",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("np").over(w).alias("cnp"),
+        "tn",
+        "tp",
+    )
+    return c.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("np").cast("bigint").alias("n_pos"),
+        dround(F.col("cnp").cast("double") / F.col("tp"), 6).alias(
+            "cum_pos_share"
+        ),
+        dround(
+            (F.col("cnp") * F.col("tn")).cast("double")
+            / (F.col("cn").cast("double") * F.col("tp")),
+            6,
+        ).alias("lift"),
+    )

@@ -1880,3 +1880,61 @@ def q_ts_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@query(
+    "q_ts_user_streaks",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {DAY_US} AS day_id
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, day_id,
+             day_id - row_number() OVER (PARTITION BY user_id
+                                         ORDER BY day_id) AS grp
+      FROM du
+    ),
+    streaks AS (
+      SELECT user_id, grp, count(*) AS len
+      FROM r GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           max(len)::INT AS longest_streak,
+           count(*)::BIGINT AS n_streaks,
+           sum(len)::BIGINT AS active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q_ts_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus streak
+    count and total active days) via the classic day_id − row_number
+    island trick: consecutive days share a constant difference, so the
+    groupBy collapses each run — the engagement-loop metric (Duolingo
+    streaks, DAU habit analysis) that q_ts_active_users' window counts
+    can't express.
+
+    Determinism: pure integer arithmetic end to end.
+
+    Scale: events collapse once to distinct (user, day) pairs; the
+    ranking window PARTITIONS BY user (bounded per-key state, no
+    global sort); both rollups reuse the user hash partitioning."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_id"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_id")
+    r = du.select(
+        "user_id",
+        "day_id",
+        (F.col("day_id") - F.row_number().over(w)).alias("grp"),
+    )
+    streaks = r.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("int").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )

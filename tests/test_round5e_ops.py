@@ -725,3 +725,68 @@ def test_active_users_matches_python(spark):
         assert (g.dau, g.wau, g.mau) == (len(users), len(wau), len(mau))
         assert g.dau <= g.wau <= g.mau  # nesting invariant
         assert abs(g.stickiness - len(users) / len(mau)) < 1e-6
+
+
+def test_user_streaks_matches_python(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.timeseries import (
+        DAY_US,
+        q_ts_user_streaks,
+    )
+
+    got = {r.user_id: r for r in q_ts_user_streaks(spark, SF_SMALL).collect()}
+    ev = table(spark, SF_SMALL, "events").selectExpr(
+        "user_id", f"unix_micros(ts) div {DAY_US} AS day_id"
+    ).collect()
+    days: dict[int, set[int]] = defaultdict(set)
+    for r in ev:
+        days[r.user_id].add(r.day_id)
+    assert set(got) == set(days)
+    for uid, ds in days.items():
+        sd = sorted(ds)
+        streaks, cur = [], 1
+        for a, b in zip(sd, sd[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        g = got[uid]
+        assert g.longest_streak == max(streaks)
+        assert g.n_streaks == len(streaks)
+        assert g.active_days == len(ds)
+        assert g.longest_streak <= g.active_days
+
+
+def test_gains_curve_matches_python(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.clustering import (
+        GAINS_DECILES,
+        q_ml_gains_curve,
+    )
+
+    got = {r.decile: r for r in q_ml_gains_curve(spark, SF_SMALL).collect()}
+    rows = table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).collect()
+    ranked = sorted(
+        rows, key=lambda r: (-float(r.o_totalprice), r.o_orderkey)
+    )
+    n = len(ranked)
+    base, rem = divmod(n, GAINS_DECILES)
+    sizes = [base + (1 if i < rem else 0) for i in range(GAINS_DECILES)]
+    tp = sum(1 for r in ranked if r.o_orderstatus == "F")
+    idx, cum_n, cum_p = 0, 0, 0
+    for dec, sz in enumerate(sizes, start=1):
+        chunk = ranked[idx : idx + sz]
+        idx += sz
+        np_ = sum(1 for r in chunk if r.o_orderstatus == "F")
+        cum_n += sz
+        cum_p += np_
+        g = got[dec]
+        assert (g.n, g.n_pos) == (sz, np_)
+        assert abs(g.cum_pos_share - cum_p / tp) < 1e-6
+        assert abs(g.lift - (cum_p * n) / (cum_n * tp)) < 1e-6
+    assert abs(got[GAINS_DECILES].cum_pos_share - 1.0) < 1e-9
+    assert abs(got[GAINS_DECILES].lift - 1.0) < 1e-9
