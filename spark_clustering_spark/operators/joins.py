@@ -608,3 +608,62 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_seconds",
         )
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    WITH m AS (
+      SELECT e.event_id, min(o.o_orderdate) AS next_date
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+      GROUP BY e.event_id
+    )
+    SELECT m.event_id, strftime(m.next_date, '%Y-%m-%d') AS next_date,
+           min(o.o_orderkey) AS next_orderkey
+    FROM m
+    JOIN events e ON e.event_id = m.event_id
+    JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate = m.next_date
+    GROUP BY m.event_id, m.next_date
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: per event, the user's NEXT order at or
+    after the event time (ties on date break to min orderkey) —
+    the what-happened-after alignment (conversion attribution,
+    label-after-feature joins in training data, where a BACKWARD
+    as-of would leak the future into features). Completes the as-of
+    family: q_join_asof (backward), q_join_asof_nearest (either
+    side), and this.
+
+    Determinism: min aggregations over exact dates/keys.
+
+    Scale: same contract as q_join_asof — this join+min formulation
+    is the oracle-parity surface; the production path is the shared
+    partition-by-user sort-merge (asof_join_sorted with the time
+    order reversed), one user-keyed shuffle."""
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    m = (
+        e.join(
+            o,
+            (o.o_custkey == e.user_id) & (o.o_orderdate >= e.ts),
+        )
+        .groupBy("event_id")
+        .agg(F.min("o_orderdate").alias("next_date"))
+    )
+    e2 = table(spark, sf_dir, "events").select("event_id", "user_id")
+    o2 = table(spark, sf_dir, "orders")
+    return (
+        m.join(e2, "event_id")
+        .join(
+            o2,
+            (o2.o_custkey == e2.user_id)
+            & (o2.o_orderdate == F.col("next_date")),
+        )
+        .groupBy(
+            "event_id",
+            F.date_format("next_date", "yyyy-MM-dd").alias("next_date"),
+        )
+        .agg(F.min("o_orderkey").alias("next_orderkey"))
+    )

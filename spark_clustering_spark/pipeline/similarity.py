@@ -1996,3 +1996,93 @@ def q_ml_ncm_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+@query(
+    "q_vec_norm_profile",
+    oracle="""
+    WITH ve AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    unn AS (
+      SELECT vec_id, label, unnest(vec) AS v FROM ve
+    ),
+    n AS (
+      SELECT vec_id, label,
+             sqrt(cast(sum(cast(v * v AS DECIMAL(38,8))) AS DOUBLE))
+               AS nrm,
+             cast(sum(cast(v AS DECIMAL(38,8))) AS DOUBLE) AS sv
+      FROM unn GROUP BY vec_id, label
+    )
+    SELECT label,
+           count(*)::BIGINT AS n_vecs,
+           cast(round(cast(cast(
+             sum(cast(nrm AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+             AS DECIMAL(38,12)), 6) AS DOUBLE) AS mean_norm,
+           cast(round(cast(cast((
+             sqrt(greatest(
+               cast(sum(cast(nrm * nrm AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*)
+               - (cast(sum(cast(nrm AS DECIMAL(38,12))) AS DOUBLE)
+                  / count(*))
+                 * (cast(sum(cast(nrm AS DECIMAL(38,12))) AS DOUBLE)
+                    / count(*)),
+               0.0))
+             ) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS std_norm,
+           cast(round(cast(cast(
+             sum(cast(sv AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+             AS DECIMAL(38,12)), 6) AS DOUBLE) AS mean_coord_sum
+    FROM n GROUP BY label
+    """,
+)
+def q_vec_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health profile per label: mean and std of L2 norms
+    plus the mean coordinate sum (a cheap anisotropy proxy — a healthy
+    isotropic embedding has coordinate sums near 0; a collapsed or
+    un-centered one drifts) — the monitoring probe run on every new
+    embedding snapshot BEFORE ANN indexes are rebuilt on it
+    (norm collapse silently destroys cosine ranking quality).
+
+    Determinism: per-vector norm and coordinate sum are exact-decimal
+    folds cast once to double; cross-vector moments re-quantize to
+    decimal before the order-ambiguous sums; std is one
+    fixed-order expression with a greatest(·,0) guard against
+    negative-zero variance.
+
+    Scale: one narrow pass to per-vector scalars (no explode crosses
+    an exchange — the fold is per-row codegen in the declared Spark
+    form), then a |labels|-row map-side-combined aggregate."""
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("vec")
+    )
+    n = ve.select(
+        "label",
+        F.sqrt(dot_dec(F.col("vec"), F.col("vec")).cast("double")).alias(
+            "nrm"
+        ),
+        F.aggregate(
+            F.col("vec"),
+            F.lit(0).cast(DEC),
+            lambda acc, x: (acc + x.cast(DEC)).cast(DEC),
+        )
+        .cast("double")
+        .alias("sv"),
+    )
+    g = n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("nrm").cast("decimal(38,12)")).cast("double").alias("s1"),
+        F.sum((F.col("nrm") * F.col("nrm")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s2"),
+        F.sum(F.col("sv").cast("decimal(38,12)")).cast("double").alias("sc"),
+    )
+    cnt = F.col("cnt")
+    mean = F.col("s1") / cnt
+    var = F.greatest(F.col("s2") / cnt - mean * mean, F.lit(0.0))
+    return g.select(
+        "label",
+        cnt.cast("bigint").alias("n_vecs"),
+        dround(mean, 6).alias("mean_norm"),
+        dround(F.sqrt(var), 6).alias("std_norm"),
+        dround(F.col("sc") / cnt, 6).alias("mean_coord_sum"),
+    )

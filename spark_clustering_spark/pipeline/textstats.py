@@ -1510,3 +1510,91 @@ def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "pair")
         .limit(BPE_TOP)
     )
+
+
+@query(
+    "q_text_readability",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '')) AS words,
+             greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+               AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS syllables
+      FROM documents WHERE len(text) > 0
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(words)::BIGINT AS n_words,
+           {{WPS}} AS words_per_sentence,
+           {{SPW}} AS syllables_per_word,
+           {{FLESCH}} AS flesch
+    FROM d GROUP BY lang
+    """.replace(
+        "{WPS}",
+        sql_dround("cast(sum(words) AS DOUBLE) / sum(sentences)", 6),
+    )
+    .replace(
+        "{SPW}",
+        sql_dround("cast(sum(syllables) AS DOUBLE) / sum(words)", 6),
+    )
+    .replace(
+        "{FLESCH}",
+        sql_dround(
+            "206.835 - 1.015 * (cast(sum(words) AS DOUBLE) / sum(sentences))"
+            " - 84.6 * (cast(sum(syllables) AS DOUBLE) / sum(words))",
+            4,
+        ),
+    ),
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per language over corpus-level ratios
+    (words/sentence from [.!?] terminators, syllables/word from vowel
+    groups — the standard cheap approximation): the
+    audience-difficulty quality signal Gopher/CCNet-style gates don't
+    carry, used to bucket corpora by register (legalese vs chat) before
+    mixing.
+
+    Determinism: all three counts are exact integers (split /
+    regexp_extract_all lengths agree across engines); the ratios and
+    the Flesch formula are fixed-order double expressions on exact
+    integer sums (ratio-of-sums, not mean-of-ratios — order-proof by
+    construction).
+
+    Scale: stateless per-row counting (whole-stage codegen, no UDF)
+    into one |langs|-row map-side-combined aggregate."""
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]"), 0)), F.lit(1)
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"[aeiouy]+"), 0)
+    )
+    g = d.select(
+        "lang",
+        words.alias("w"),
+        sentences.alias("s"),
+        syllables.alias("y"),
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").alias("sw"),
+        F.sum("s").alias("ss"),
+        F.sum("y").alias("sy"),
+    )
+    sw, ss, sy = F.col("sw"), F.col("ss"), F.col("sy")
+    return g.select(
+        "lang",
+        "n_docs",
+        sw.cast("bigint").alias("n_words"),
+        dround(sw.cast("double") / ss, 6).alias("words_per_sentence"),
+        dround(sy.cast("double") / sw, 6).alias("syllables_per_word"),
+        dround(
+            206.835
+            - 1.015 * (sw.cast("double") / ss)
+            - 84.6 * (sy.cast("double") / sw),
+            4,
+        ).alias("flesch"),
+    )

@@ -790,3 +790,79 @@ def test_gains_curve_matches_python(spark):
         assert abs(g.lift - (cum_p * n) / (cum_n * tp)) < 1e-6
     assert abs(got[GAINS_DECILES].cum_pos_share - 1.0) < 1e-9
     assert abs(got[GAINS_DECILES].lift - 1.0) < 1e-9
+
+
+def test_asof_forward_matches_python(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.joins import q_join_asof_forward
+
+    got = {
+        r.event_id: (r.next_date, r.next_orderkey)
+        for r in q_join_asof_forward(spark, SF_SMALL).collect()
+    }
+    orders = [
+        (r.o_custkey, r.o_orderdate, r.o_orderkey)
+        for r in table(spark, SF_SMALL, "orders").collect()
+    ]
+    by_user: dict[int, list] = defaultdict(list)
+    for c, d, k in orders:
+        by_user[c].append((d, k))
+    expect = {}
+    for e in table(spark, SF_SMALL, "events").collect():
+        cands = [(d, k) for d, k in by_user.get(e.user_id, []) if d >= e.ts]
+        if cands:
+            dmin = min(d for d, _ in cands)
+            kmin = min(k for d, k in cands if d == dmin)
+            expect[e.event_id] = (dmin.strftime("%Y-%m-%d"), kmin)
+    assert got == expect
+
+
+def test_readability_matches_python(spark):
+    import re
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.textstats import q_text_readability
+
+    got = {r.lang: r for r in q_text_readability(spark, SF_SMALL).collect()}
+    docs = table(spark, SF_SMALL, "documents").select("lang", "text").collect()
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs:
+        if not r.text:
+            continue
+        w = len([t for t in re.split(r"\s+", r.text) if t])
+        s = max(len(re.findall(r"[.!?]", r.text)), 1)
+        y = len(re.findall(r"[aeiouy]+", r.text.lower()))
+        a = agg[r.lang]
+        a[0] += 1
+        a[1] += w
+        a[2] += s
+        a[3] += y
+    assert set(got) == set(agg)
+    for lang, (n, w, s, y) in agg.items():
+        g = got[lang]
+        assert (g.n_docs, g.n_words) == (n, w)
+        assert abs(g.words_per_sentence - w / s) < 1e-5
+        assert abs(g.syllables_per_word - y / w) < 1e-5
+        assert abs(g.flesch - (206.835 - 1.015 * w / s - 84.6 * y / w)) < 1e-3
+
+
+def test_norm_profile_matches_numpy(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.similarity import q_vec_norm_profile
+
+    got = {r.label: r for r in q_vec_norm_profile(spark, SF_SMALL).collect()}
+    rows = table(spark, SF_SMALL, "embeddings").collect()
+    labels = np.array([r.label for r in rows])
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    assert set(got) == set(np.unique(labels))
+    for c in np.unique(labels):
+        sel = labels == c
+        g = got[int(c)]
+        assert g.n_vecs == int(sel.sum())
+        assert abs(g.mean_norm - nrm[sel].mean()) < 1e-4
+        assert abs(g.std_norm - nrm[sel].std()) < 1e-4
+        assert abs(g.mean_coord_sum - mat[sel].sum(axis=1).mean()) < 1e-4
+        assert g.std_norm >= 0
