@@ -866,3 +866,30 @@ def test_norm_profile_matches_numpy(spark):
         assert abs(g.std_norm - nrm[sel].std()) < 1e-4
         assert abs(g.mean_coord_sum - mat[sel].sum(axis=1).mean()) < 1e-4
         assert g.std_norm >= 0
+
+
+def test_dedup_profile_matches_python(spark):
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.dedup import q_dedup_profile
+
+    got = q_dedup_profile(spark, SF_SMALL).collect()[0]
+    docs = table(spark, SF_SMALL, "documents").select("text").collect()
+    from collections import Counter
+
+    df = Counter()
+    for r in docs:
+        ws = [t for t in r.text.lower().split()] if r.text else []
+        grams = {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        } if len(ws) >= 3 else set()
+        for g in grams:
+            if g:
+                df[g] += 1
+    total = sum(df.values())
+    dup = sum(c for c in df.values() if c >= 2)
+    assert got.n_doc_shingles == total
+    assert got.n_distinct == len(df)
+    assert got.n_duplicated == dup
+    assert abs(got.dup_share - dup / total) < 1e-6
+    assert got.max_doc_freq == max(df.values())
+    assert 0.0 <= got.dup_share <= 1.0
