@@ -2154,3 +2154,105 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("mu3") / (mu2 * F.sqrt(mu2)), 6).alias("skewness"),
         dround(F.col("mu4") / (mu2 * mu2) - 3.0, 6).alias("kurtosis_ex"),
     )
+
+
+@query(
+    "q_ml_psi_drift",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderkey % 2 AS half,
+             length(bin(cast(round(o_totalprice * 100) AS BIGINT))) - 1
+               AS bucket
+      FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (
+      SELECT bucket,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ne,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS na
+      FROM cents GROUP BY bucket
+    ),
+    tot AS (SELECT sum(ne) AS te, sum(na) AS ta FROM g),
+    terms AS (
+      SELECT g.bucket, g.ne, g.na,
+             cast(g.ne AS DOUBLE) / t.te AS pe,
+             cast(g.na AS DOUBLE) / t.ta AS pa
+      FROM g CROSS JOIN tot t
+      WHERE g.ne > 0 AND g.na > 0
+    ),
+    s AS (
+      SELECT count(*) AS n_buckets,
+             cast(sum(cast(
+               (pa - pe) * cast(round(cast(ln(pa / pe) AS DECIMAL(38,12)), 6)
+                                AS DECIMAL(38,6)) AS DECIMAL(38,12))
+             ) AS DOUBLE) AS psi_raw
+      FROM terms
+    )
+    SELECT n_buckets::BIGINT AS n_buckets, psi_raw,
+           cast(round(cast(cast((psi_raw) AS VARCHAR) AS DECIMAL(38,12)), 6)
+             AS DOUBLE) AS psi
+    FROM s
+    """,
+)
+def q_ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the even- and odd-orderkey
+    halves of the order-value distribution: PSI = Σ_b (p_a − p_e)·
+    ln(p_a/p_e) over shared power-of-2 value buckets — the standard
+    scoring-feature drift monitor (PSI < 0.1 stable, > 0.25 retrain);
+    here the halves are a deterministic A/A split, so the expected
+    reading is ≈0 (which is itself the useful audit — a big PSI on an
+    A/A split means the BUCKETING is broken, not the data).
+
+    Determinism: buckets come from integer bit length (the
+    q_agg_histogram_log2 no-runtime-log2 discipline); bucket counts
+    are exact integers; each ln ratio quantizes to a 6-dp DECIMAL
+    before the order-ambiguous term sum (the JVM-vs-libm ln ulp rule);
+    zero-count buckets on either side drop (the standard PSI
+    convention) so ln never sees 0.
+
+    Scale: one map-side-combined aggregate to ~40 buckets; everything
+    after is bounded-row arithmetic."""
+    from spark_clustering_spark.functions.detagg import dround
+
+    cents = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            (F.col("o_orderkey") % 2).alias("half"),
+            (
+                F.length(
+                    F.conv(
+                        F.round(F.col("o_totalprice") * 100, 0).cast(
+                            "bigint"
+                        ),
+                        10,
+                        2,
+                    )
+                )
+                - 1
+            ).cast("int").alias("bucket"),
+        )
+    )
+    g = cents.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ne"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("na"),
+    )
+    tot = g.agg(F.sum("ne").alias("te"), F.sum("na").alias("ta"))
+    terms = (
+        g.crossJoin(F.broadcast(tot))
+        .filter((F.col("ne") > 0) & (F.col("na") > 0))
+        .select(
+            (F.col("ne").cast("double") / F.col("te")).alias("pe"),
+            (F.col("na").cast("double") / F.col("ta")).alias("pa"),
+        )
+    )
+    lnq = (
+        F.round(
+            F.log(F.col("pa") / F.col("pe")).cast("decimal(38,12)"), 6
+        ).cast("decimal(38,6)")
+    )
+    term = ((F.col("pa") - F.col("pe")) * lnq).cast("decimal(38,12)")
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(term).cast("double").alias("psi_raw"),
+        dround(F.sum(term).cast("double"), 6).alias("psi"),
+    )

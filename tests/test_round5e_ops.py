@@ -893,3 +893,35 @@ def test_dedup_profile_matches_python(spark):
     assert abs(got.dup_share - dup / total) < 1e-6
     assert got.max_doc_freq == max(df.values())
     assert 0.0 <= got.dup_share <= 1.0
+
+
+def test_psi_drift_matches_python(spark):
+    import math as _math
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.aggregates import q_ml_psi_drift
+
+    got = q_ml_psi_drift(spark, SF_SMALL).collect()[0]
+    rows = table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    halves: dict[int, dict[int, int]] = {0: defaultdict(int), 1: defaultdict(int)}
+    for r in rows:
+        if r.o_totalprice <= 0:
+            continue
+        c = int(round(float(r.o_totalprice) * 100))
+        bucket = c.bit_length() - 1
+        halves[r.o_orderkey % 2][bucket] += 1
+    te, ta = sum(halves[0].values()), sum(halves[1].values())
+    psi, nb = 0.0, 0
+    for b in set(halves[0]) | set(halves[1]):
+        ne, na = halves[0].get(b, 0), halves[1].get(b, 0)
+        if ne == 0 or na == 0:
+            continue
+        pe, pa = ne / te, na / ta
+        psi += (pa - pe) * round(_math.log(pa / pe), 6)
+        nb += 1
+    assert got.n_buckets == nb
+    assert abs(got.psi_raw - psi) < 1e-9
+    # A/A split on the same distribution: PSI must read ~stable
+    assert got.psi < 0.1
