@@ -2086,3 +2086,190 @@ def q_vec_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sqrt(var), 6).alias("std_norm"),
         dround(F.col("sc") / cnt, 6).alias("mean_coord_sum"),
     )
+
+
+RRF_K = 60       # the standard RRF damping constant
+RRF_OUT = 5      # fused results per probe
+
+
+@query(
+    "q_sim_rrf_fusion",
+    oracle=f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    unn AS (
+      SELECT vec_id, unnest(vec) AS v, generate_subscripts(vec, 1) AS pos
+      FROM ve
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(cast(sum(cast(v * v AS DECIMAL(38,8))) AS DOUBLE)) AS nrm,
+             sqrt(cast(sum(cast(CASE WHEN pos <= {TRUNC_DIM}
+                                     THEN v * v ELSE 0 END
+                  AS DECIMAL(38,8))) AS DOUBLE)) AS nrm_t
+      FROM unn GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+             cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS DOUBLE) AS dot,
+             cast(sum(cast(CASE WHEN a.pos <= {TRUNC_DIM}
+                                THEN a.v * b.v ELSE 0 END
+                  AS DECIMAL(38,8))) AS DOUBLE) AS dot_t
+      FROM unn a JOIN unn b ON a.pos = b.pos
+      WHERE a.vec_id < {N_PROBES} AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.probe_id, d.cand_id,
+             d.dot / (na.nrm * nb.nrm) AS cos,
+             d.dot_t / (na.nrm_t * nb.nrm_t) AS cos_t
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.probe_id
+      JOIN norms nb ON nb.vec_id = d.cand_id
+    ),
+    full_k AS (
+      SELECT probe_id, cand_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, cand_id) AS rn
+      FROM scored QUALIFY rn <= {TOP_K}
+    ),
+    trunc_k AS (
+      SELECT probe_id, cand_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_t DESC, cand_id) AS rn
+      FROM scored QUALIFY rn <= {TOP_K}
+    ),
+    fused AS (
+      SELECT coalesce(f.probe_id, t.probe_id) AS probe_id,
+             coalesce(f.cand_id, t.cand_id) AS cand_id,
+             coalesce(1.0 / ({RRF_K} + f.rn), 0.0)
+               + coalesce(1.0 / ({RRF_K} + t.rn), 0.0) AS rrf
+      FROM full_k f FULL OUTER JOIN trunc_k t
+        ON t.probe_id = f.probe_id AND t.cand_id = f.cand_id
+    ),
+    ranked AS (
+      SELECT probe_id, cand_id, rrf,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY rrf DESC, cand_id) AS rank
+      FROM fused QUALIFY rank <= {RRF_OUT}
+    )
+    SELECT probe_id, cand_id, rank::INT AS rank,
+           cast(round(cast(cast((rrf) AS VARCHAR) AS DECIMAL(38,12)), 6)
+             AS DOUBLE) AS rrf
+    FROM ranked
+    """,
+)
+def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers over the same probes:
+    the full-{64}-dim cosine top-{TOP_K} and the truncated
+    first-{TRUNC_DIM}-dim top-{TOP_K} fuse by
+    RRF = Σ_lists 1/({RRF_K}+rank), top-{RRF_OUT} per probe — the
+    standard zero-tuning list-fusion used to combine lexical+vector
+    (or here cheap+expensive) retrievers; candidates missing from one
+    list contribute 0 from it.
+
+    Determinism: ranks are exact integers; each RRF term is ONE
+    double division of exact integers, summed in fixed full+truncated
+    order; both rankings and the fused ranking tie-break on cand_id.
+
+    Scale: both scores come out of the SAME pair pass
+    (q_sim_truncation_recall's shape — the truncated dot is a prefix
+    slice, not a second scan); the fusion is a per-probe-bounded
+    full-outer join of two k-row lists."""
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    n = ve.select(
+        "vec_id",
+        "vec",
+        F.sqrt(dot_dec(F.col("vec"), F.col("vec")).cast("double")).alias(
+            "nrm"
+        ),
+        F.sqrt(
+            dot_dec(
+                F.slice(F.col("vec"), 1, TRUNC_DIM),
+                F.slice(F.col("vec"), 1, TRUNC_DIM),
+            ).cast("double")
+        ).alias("nrm_t"),
+    )
+    probes = n.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("vec").alias("pv"),
+        F.col("nrm").alias("pn"),
+        F.col("nrm_t").alias("pn_t"),
+    )
+    corpus = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("nrm_t").alias("cn_t"),
+    )
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scored = (
+        corpus.repartition(width)
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            (
+                dot_dec(F.col("pv"), F.col("cv")).cast("double")
+                / (F.col("pn") * F.col("cn"))
+            ).alias("cos"),
+            (
+                dot_dec(
+                    F.slice(F.col("pv"), 1, TRUNC_DIM),
+                    F.slice(F.col("cv"), 1, TRUNC_DIM),
+                ).cast("double")
+                / (F.col("pn_t") * F.col("cn_t"))
+            ).alias("cos_t"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    wt = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_t").desc(), F.col("cand_id")
+    )
+    full_k = scored.select(
+        "probe_id", "cand_id", F.row_number().over(wf).alias("rn_f")
+    ).filter(F.col("rn_f") <= TOP_K)
+    trunc_k = scored.select(
+        F.col("probe_id").alias("probe_id_t"),
+        F.col("cand_id").alias("cand_id_t"),
+        F.row_number().over(wt).alias("rn_t"),
+    ).filter(F.col("rn_t") <= TOP_K)
+    fused = full_k.join(
+        trunc_k,
+        (F.col("probe_id") == F.col("probe_id_t"))
+        & (F.col("cand_id") == F.col("cand_id_t")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("probe_id"), F.col("probe_id_t")).alias(
+            "probe_id"
+        ),
+        F.coalesce(F.col("cand_id"), F.col("cand_id_t")).alias("cand_id"),
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("rn_f")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rn_t")), F.lit(0.0))
+        ).alias("rrf_raw"),
+    )
+    wr = Window.partitionBy("probe_id").orderBy(
+        F.col("rrf_raw").desc(), F.col("cand_id")
+    )
+    return (
+        fused.select(
+            "probe_id",
+            "cand_id",
+            "rrf_raw",
+            F.row_number().over(wr).alias("rank"),
+        )
+        .filter(F.col("rank") <= RRF_OUT)
+        .select(
+            "probe_id",
+            "cand_id",
+            F.col("rank").cast("int").alias("rank"),
+            dround("rrf_raw", 6).alias("rrf"),
+        )
+    )

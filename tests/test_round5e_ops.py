@@ -925,3 +925,53 @@ def test_psi_drift_matches_python(spark):
     assert abs(got.psi_raw - psi) < 1e-9
     # A/A split on the same distribution: PSI must read ~stable
     assert got.psi < 0.1
+
+
+def test_rrf_fusion_matches_numpy(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.similarity import (
+        N_PROBES,
+        RRF_K,
+        RRF_OUT,
+        TOP_K,
+        TRUNC_DIM,
+        q_sim_rrf_fusion,
+    )
+
+    got = defaultdict(list)
+    for r in q_sim_rrf_fusion(spark, SF_SMALL).collect():
+        got[r.probe_id].append((r.rank, r.cand_id, r.rrf))
+    rows = table(spark, SF_SMALL, "embeddings").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+
+    def topk(m, i):
+        mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = mm @ mm.T
+        order = sorted(
+            (j for j in range(len(ids)) if j != i),
+            key=lambda j: (-cos[i, j], ids[j]),
+        )[:TOP_K]
+        return {ids[j]: r + 1 for r, j in enumerate(order)}
+
+    for i in np.where(ids < N_PROBES)[0]:
+        rf = topk(mat, i)
+        rt = topk(mat[:, :TRUNC_DIM], i)
+        fused = {
+            c: (1.0 / (RRF_K + rf[c]) if c in rf else 0.0)
+            + (1.0 / (RRF_K + rt[c]) if c in rt else 0.0)
+            for c in set(rf) | set(rt)
+        }
+        expect = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :RRF_OUT
+        ]
+        g = sorted(got[ids[i]])
+        assert len(g) == min(RRF_OUT, len(fused))
+        for (rank, cand, rrf), (ec, ev) in zip(g, expect):
+            assert cand == ec
+            assert abs(rrf - ev) < 1e-6
+        # a candidate in BOTH lists must outrank one in a single list
+        # at equal single-list rank (the whole point of fusion)
+        assert g[0][2] >= g[-1][2]
