@@ -1941,3 +1941,113 @@ def q_ml_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+@query(
+    "q_ml_ari_stability",
+    oracle=f"""
+    WITH {sql_points()},
+    {sql_centroids(K_DEFAULT)},
+    ctr2 AS (SELECT vec_id AS cid, vec AS cvec FROM pts
+             WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT {K_DEFAULT}),
+    {sql_assign(K_DEFAULT, name="a1")},
+    {sql_assign(K_DEFAULT, name="a2", ctr="ctr2")},
+    cont AS (
+      SELECT a1.cluster_id AS ca, a2.cluster_id AS cb, count(*) AS nij
+      FROM a1 JOIN a2 ON a2.vec_id = a1.vec_id
+      GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT sum(nij * (nij - 1) / 2) AS sij, sum(nij) AS n FROM cont
+    ),
+    ra AS (
+      SELECT sum(ai * (ai - 1) / 2) AS sa FROM (
+        SELECT sum(nij) AS ai FROM cont GROUP BY ca)
+    ),
+    rb AS (
+      SELECT sum(bj * (bj - 1) / 2) AS sb FROM (
+        SELECT sum(nij) AS bj FROM cont GROUP BY cb)
+    ),
+    t AS (
+      SELECT cast(s.sij AS DOUBLE) AS sij,
+             cast(ra.sa AS DOUBLE) AS sa, cast(rb.sb AS DOUBLE) AS sb,
+             cast(s.n * (s.n - 1) / 2 AS DOUBLE) AS c2n,
+             s.n AS n
+      FROM sums s CROSS JOIN ra CROSS JOIN rb
+    )
+    SELECT cast(n AS BIGINT) AS n,
+           cast(sij AS BIGINT) AS pair_agreements,
+           cast(round(cast(cast((
+             (sij - sa * sb / c2n)
+               / ((sa + sb) / 2.0 - sa * sb / c2n)
+           ) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS ari
+    FROM t
+    """,
+)
+def q_ml_ari_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-stability audit: the Adjusted Rand Index between the
+    assignments produced by two deterministic inits (the k lowest
+    vec_ids vs the k lowest EVEN vec_ids) — the standard
+    is-the-clustering-real probe (ARI ≈ 1: structure is robust to
+    init; ARI ≈ 0: the 'clusters' are init artifacts), and the natural
+    companion to q_ml_elbow/q_ml_silhouette for the reference's
+    multi-restart workflow (R21: num_run restarts exist precisely
+    because initialization matters).
+
+    Determinism: both assignments are the hash-verified R4 argmin on
+    bit-matched distances; contingency/pair counts are exact integers;
+    ARI is one fixed-order double expression over them.
+
+    Scale: two broadcast-argmin passes over the data (each one narrow
+    pass, the q_assign_nearest plan), a k×k contingency aggregate, and
+    constant-size arithmetic — driver state never exceeds k·d."""
+    pts = points_df(spark, sf_dir)
+    c1 = centroids_df(spark, sf_dir, K_DEFAULT)
+    c2 = (
+        pts.filter(F.col("vec_id") % 2 == 0)
+        .orderBy("vec_id")
+        .limit(K_DEFAULT)
+        .select(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"))
+    )
+    a1 = assign(pts, c1).select("vec_id", F.col("cluster_id").alias("ca"))
+    a2 = assign(pts, c2).select("vec_id", F.col("cluster_id").alias("cb"))
+    cont = (
+        a1.join(a2, "vec_id")
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    nij = F.col("nij")
+    sums = cont.agg(
+        F.sum(nij * (nij - 1) / 2).cast("bigint").alias("sij"),
+        F.sum(nij).alias("n"),
+    )
+    ra = (
+        cont.groupBy("ca")
+        .agg(F.sum("nij").alias("ai"))
+        .agg(
+            F.sum(F.col("ai") * (F.col("ai") - 1) / 2)
+            .cast("bigint")
+            .alias("sa")
+        )
+    )
+    rb = (
+        cont.groupBy("cb")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(
+            F.sum(F.col("bj") * (F.col("bj") - 1) / 2)
+            .cast("bigint")
+            .alias("sb")
+        )
+    )
+    t = sums.crossJoin(F.broadcast(ra)).crossJoin(F.broadcast(rb))
+    sij = F.col("sij").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    n = F.col("n")
+    c2n = (n * (n - 1) / 2).cast("double")
+    return t.select(
+        n.cast("bigint").alias("n"),
+        F.col("sij").cast("bigint").alias("pair_agreements"),
+        dround(
+            (sij - sa * sb / c2n) / ((sa + sb) / 2.0 - sa * sb / c2n), 6
+        ).alias("ari"),
+    )

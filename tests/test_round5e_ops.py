@@ -975,3 +975,47 @@ def test_rrf_fusion_matches_numpy(spark):
         # a candidate in BOTH lists must outrank one in a single list
         # at equal single-list rank (the whole point of fusion)
         assert g[0][2] >= g[-1][2]
+
+
+def test_ari_stability_matches_sklearn_formula(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.clustering import (
+        K_DEFAULT,
+        q_ml_ari_stability,
+    )
+
+    got = q_ml_ari_stability(spark, SF_SMALL).collect()[0]
+    rows = sorted(
+        (r.vec_id, np.array(list(r.embedding), dtype=np.float64))
+        for r in table(spark, SF_SMALL, "embeddings").collect()
+    )
+    ids = np.array([i for i, _ in rows])
+    mat = np.stack([v for _, v in rows])
+
+    def assign_to(centroid_ids):
+        C = mat[np.isin(ids, centroid_ids)]
+        cids = ids[np.isin(ids, centroid_ids)]
+        d = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return cids[d.argmin(axis=1)]
+
+    a = assign_to(ids[:K_DEFAULT])
+    evens = ids[ids % 2 == 0][:K_DEFAULT]
+    b = assign_to(evens)
+    # contingency-based ARI
+    from collections import Counter
+
+    cont = Counter(zip(a, b))
+    comb2 = lambda x: x * (x - 1) // 2  # noqa: E731
+    sij = sum(comb2(v) for v in cont.values())
+    sa = sum(comb2(v) for v in Counter(a).values())
+    sb = sum(comb2(v) for v in Counter(b).values())
+    n = len(ids)
+    c2n = comb2(n)
+    exp = sa * sb / c2n
+    ari = (sij - exp) / ((sa + sb) / 2 - exp)
+    assert got.n == n
+    assert got.pair_agreements == sij
+    assert abs(got.ari - ari) < 1e-6
+    assert -1.0 <= got.ari <= 1.0
