@@ -2051,3 +2051,84 @@ def q_ml_ari_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sij - sa * sb / c2n) / ((sa + sb) / 2.0 - sa * sb / c2n), 6
         ).alias("ari"),
     )
+
+
+@query(
+    "q_ml_cluster_purity",
+    oracle=f"""
+    WITH pts0 AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    pts AS (SELECT vec_id, vec FROM pts0),
+    {sql_centroids(K_DEFAULT)},
+    {sql_assign(K_DEFAULT)},
+    cl AS (
+      SELECT a.cluster_id, p.label, count(*) AS nij
+      FROM assign a JOIN pts0 p ON p.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT cluster_id, sum(nij) AS n_points, max(nij) AS n_major,
+             min(label) FILTER (
+               WHERE nij = (SELECT max(c2.nij) FROM cl c2
+                            WHERE c2.cluster_id = cl.cluster_id)
+             ) AS major_label
+      FROM cl GROUP BY cluster_id
+    )
+    SELECT cluster_id,
+           cast(n_points AS BIGINT) AS n_points,
+           cast(major_label AS BIGINT) AS major_label,
+           cast(n_major AS BIGINT) AS n_major,
+           cast(round(cast(cast((
+             cast(n_major AS DOUBLE) / n_points
+           ) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS purity
+    FROM per
+    """,
+)
+def q_ml_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster purity against the ground-truth labels: per cluster of
+    the deterministic k={K_DEFAULT} assignment, the majority label
+    (ties → smallest label), its count, and purity = majority share —
+    the do-my-clusters-mean-anything external-validity check that
+    pairs with q_ml_ari_stability's internal one (high ARI + low
+    purity = stable clusters that ignore the labels; both high = the
+    metric structure IS the label structure).
+
+    Determinism: the assignment is the hash-verified R4 argmin;
+    contingency counts are exact integers; the majority tie-breaks on
+    min label; purity is one double division.
+
+    Scale: one broadcast-argmin pass, a k×|labels| contingency
+    aggregate, and a k-row rollup — the q_assign_nearest plan plus
+    bounded arithmetic."""
+    pts = points_df(spark, sf_dir)
+    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a = assign(pts, centroids_df(spark, sf_dir, K_DEFAULT)).select(
+        "vec_id", "cluster_id"
+    )
+    cl = (
+        a.join(labels, "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("nij").desc(), F.col("label")
+    )
+    ranked = cl.select(
+        "cluster_id",
+        "label",
+        "nij",
+        F.row_number().over(w).alias("rn"),
+        F.sum("nij")
+        .over(Window.partitionBy("cluster_id"))
+        .alias("n_points"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("n_points").cast("bigint").alias("n_points"),
+        F.col("label").cast("bigint").alias("major_label"),
+        F.col("nij").cast("bigint").alias("n_major"),
+        dround(
+            F.col("nij").cast("double") / F.col("n_points"), 6
+        ).alias("purity"),
+    )

@@ -1019,3 +1019,41 @@ def test_ari_stability_matches_sklearn_formula(spark):
     assert got.pair_agreements == sij
     assert abs(got.ari - ari) < 1e-6
     assert -1.0 <= got.ari <= 1.0
+
+
+def test_cluster_purity_matches_numpy(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.clustering import (
+        K_DEFAULT,
+        q_ml_cluster_purity,
+    )
+
+    got = {
+        r.cluster_id: r for r in q_ml_cluster_purity(spark, SF_SMALL).collect()
+    }
+    rows = sorted(
+        (r.vec_id, r.label, np.array(list(r.embedding), dtype=np.float64))
+        for r in table(spark, SF_SMALL, "embeddings").collect()
+    )
+    ids = np.array([i for i, _, _ in rows])
+    labels = np.array([l for _, l, _ in rows])
+    mat = np.stack([v for _, _, v in rows])
+    C = mat[:K_DEFAULT]
+    cids = ids[:K_DEFAULT]
+    d = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = cids[d.argmin(axis=1)]
+    from collections import Counter
+
+    assert set(got) == set(np.unique(a))
+    for c in np.unique(a):
+        sel = labels[a == c]
+        cnt = Counter(sel)
+        best = min(cnt, key=lambda l: (-cnt[l], l))
+        g = got[c]
+        assert g.n_points == len(sel)
+        assert g.major_label == best
+        assert g.n_major == cnt[best]
+        assert abs(g.purity - cnt[best] / len(sel)) < 1e-6
+        assert g.purity >= 1.0 / len(cnt) - 1e-9
