@@ -2132,3 +2132,147 @@ def q_ml_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nij").cast("double") / F.col("n_points"), 6
         ).alias("purity"),
     )
+
+
+@query(
+    "q_ml_vmeasure",
+    oracle=f"""
+    WITH pts0 AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    pts AS (SELECT vec_id, vec FROM pts0),
+    {sql_centroids(K_DEFAULT)},
+    {sql_assign(K_DEFAULT)},
+    cont AS (
+      SELECT a.cluster_id AS ci, p.label AS lj, count(*) AS nij
+      FROM assign a JOIN pts0 p ON p.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(nij) AS n FROM cont),
+    ai AS (SELECT ci, sum(nij) AS a FROM cont GROUP BY ci),
+    bj AS (SELECT lj, sum(nij) AS b FROM cont GROUP BY lj),
+    hck AS (
+      SELECT cast(sum(cast(
+        (cast(c.nij AS DOUBLE) / t.n)
+          * cast(round(cast(ln(cast(c.nij AS DOUBLE) / ai.a)
+                 AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))
+        AS DECIMAL(38,12))) AS DOUBLE) AS v
+      FROM cont c JOIN ai ON ai.ci = c.ci CROSS JOIN tot t
+    ),
+    hkc AS (
+      SELECT cast(sum(cast(
+        (cast(c.nij AS DOUBLE) / t.n)
+          * cast(round(cast(ln(cast(c.nij AS DOUBLE) / bj.b)
+                 AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))
+        AS DECIMAL(38,12))) AS DOUBLE) AS v
+      FROM cont c JOIN bj ON bj.lj = c.lj CROSS JOIN tot t
+    ),
+    hc AS (
+      SELECT cast(sum(cast(
+        (cast(b.b AS DOUBLE) / t.n)
+          * cast(round(cast(ln(cast(b.b AS DOUBLE) / t.n)
+                 AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))
+        AS DECIMAL(38,12))) AS DOUBLE) AS v
+      FROM bj b CROSS JOIN tot t
+    ),
+    hk AS (
+      SELECT cast(sum(cast(
+        (cast(a.a AS DOUBLE) / t.n)
+          * cast(round(cast(ln(cast(a.a AS DOUBLE) / t.n)
+                 AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))
+        AS DECIMAL(38,12))) AS DOUBLE) AS v
+      FROM ai a CROSS JOIN tot t
+    ),
+    hv AS (
+      SELECT (1.0 - hck.v / hc.v) AS h, (1.0 - hkc.v / hk.v) AS c
+      FROM hck CROSS JOIN hkc CROSS JOIN hc CROSS JOIN hk
+    )
+    SELECT {{H}} AS homogeneity, {{C}} AS completeness, {{V}} AS v_measure
+    FROM hv
+    """.replace("{H}", sql_dround("h", 6))
+    .replace("{C}", sql_dround("c", 6))
+    .replace("{V}", sql_dround("2.0 * h * c / (h + c)", 6)),
+)
+def q_ml_vmeasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-measure (homogeneity / completeness / their harmonic mean)
+    of the deterministic k={K_DEFAULT} clustering against the ground
+    truth: h = 1 − H(label|cluster)/H(label), c = 1 −
+    H(cluster|label)/H(cluster) — with q_ml_ari_stability (pairwise)
+    and q_ml_cluster_purity (majority) this completes the external
+    clustering-validation trio, and unlike purity it punishes
+    splitting a label across clusters.
+
+    Determinism: every entropy term's ln is taken on a ratio of exact
+    integers and quantized to a 6-dp DECIMAL before the
+    order-ambiguous weighted sum (the JVM-vs-libm ln rule; note the
+    negations cancel in the ratios so signs never flip); h, c, v are
+    fixed-order double expressions.
+
+    Scale: one broadcast-argmin pass, a k×|labels| contingency, and
+    constant-size entropy arithmetic."""
+    pts = points_df(spark, sf_dir)
+    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a = assign(pts, centroids_df(spark, sf_dir, K_DEFAULT)).select(
+        "vec_id", "cluster_id"
+    )
+    cont = (
+        a.join(labels, "vec_id")
+        .groupBy(F.col("cluster_id").alias("ci"), F.col("label").alias("lj"))
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=True)  # tiny k x labels table, 4 readers
+    )
+    tot = cont.agg(F.sum("nij").alias("n"))
+    ai = cont.groupBy("ci").agg(F.sum("nij").alias("a"))
+    bj = cont.groupBy("lj").agg(F.sum("nij").alias("b"))
+
+    def lnq(x):
+        return F.round(F.log(x).cast("decimal(38,12)"), 6).cast(
+            "decimal(38,6)"
+        )
+
+    def ent_sum(df, weight, ratio):
+        return df.agg(
+            F.sum((weight * lnq(ratio)).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("v")
+        )
+
+    nij = F.col("nij").cast("double")
+    n = F.col("n")
+    hck = ent_sum(
+        cont.join(F.broadcast(ai), "ci").crossJoin(F.broadcast(tot)),
+        nij / n,
+        nij / F.col("a"),
+    )
+    hkc = ent_sum(
+        cont.join(F.broadcast(bj), "lj").crossJoin(F.broadcast(tot)),
+        nij / n,
+        nij / F.col("b"),
+    )
+    hc = ent_sum(
+        bj.crossJoin(F.broadcast(tot)),
+        F.col("b").cast("double") / n,
+        F.col("b").cast("double") / n,
+    )
+    hk = ent_sum(
+        ai.crossJoin(F.broadcast(tot)),
+        F.col("a").cast("double") / n,
+        F.col("a").cast("double") / n,
+    )
+    hv = (
+        hck.select(F.col("v").alias("vck"))
+        .crossJoin(hkc.select(F.col("v").alias("vkc")))
+        .crossJoin(hc.select(F.col("v").alias("vc")))
+        .crossJoin(hk.select(F.col("v").alias("vk")))
+        .select(
+            (1.0 - F.col("vck") / F.col("vc")).alias("h"),
+            (1.0 - F.col("vkc") / F.col("vk")).alias("c"),
+        )
+    )
+    return hv.select(
+        dround("h", 6).alias("homogeneity"),
+        dround("c", 6).alias("completeness"),
+        dround(
+            2.0 * F.col("h") * F.col("c") / (F.col("h") + F.col("c")), 6
+        ).alias("v_measure"),
+    )

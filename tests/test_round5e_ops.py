@@ -1057,3 +1057,52 @@ def test_cluster_purity_matches_numpy(spark):
         assert g.n_major == cnt[best]
         assert abs(g.purity - cnt[best] / len(sel)) < 1e-6
         assert g.purity >= 1.0 / len(cnt) - 1e-9
+
+
+def test_vmeasure_matches_sklearn_formulas(spark):
+    import math as _math
+
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.clustering import (
+        K_DEFAULT,
+        q_ml_vmeasure,
+    )
+
+    got = q_ml_vmeasure(spark, SF_SMALL).collect()[0]
+    rows = sorted(
+        (r.vec_id, r.label, np.array(list(r.embedding), dtype=np.float64))
+        for r in table(spark, SF_SMALL, "embeddings").collect()
+    )
+    ids = np.array([i for i, _, _ in rows])
+    labels = np.array([l for _, l, _ in rows])
+    mat = np.stack([v for _, _, v in rows])
+    C = mat[:K_DEFAULT]
+    cids = ids[:K_DEFAULT]
+    d = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = cids[d.argmin(axis=1)]
+    from collections import Counter
+
+    n = len(ids)
+    cont = Counter(zip(a, labels))
+    ai = Counter(a)
+    bj = Counter(labels)
+    h_l_given_c = -sum(
+        (v / n) * _math.log(v / ai[ci]) for (ci, _), v in cont.items()
+    )
+    h_c_given_l = -sum(
+        (v / n) * _math.log(v / bj[lj]) for (_, lj), v in cont.items()
+    )
+    h_l = -sum((v / n) * _math.log(v / n) for v in bj.values())
+    h_c = -sum((v / n) * _math.log(v / n) for v in ai.values())
+    h = 1 - h_l_given_c / h_l
+    c = 1 - h_c_given_l / h_c
+    v = 2 * h * c / (h + c)
+    assert abs(got.homogeneity - h) < 1e-4
+    assert abs(got.completeness - c) < 1e-4
+    assert abs(got.v_measure - v) < 1e-4
+    assert 0.0 <= got.v_measure <= 1.0
+    # harmonic mean lies between its arguments
+    lo, hi = sorted((got.homogeneity, got.completeness))
+    assert lo - 1e-9 <= got.v_measure <= hi + 1e-9
