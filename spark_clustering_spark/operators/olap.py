@@ -2190,3 +2190,74 @@ def q_olap_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("slope"),
     )
+
+
+@query(
+    "q_olap_ship_lag",
+    oracle="""
+    WITH lag_days AS (
+      SELECT o.o_orderpriority AS priority,
+             (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+               // 86400000000 AS lag_d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT priority,
+           count(*)::BIGINT AS n_lines,
+           min(lag_d)::BIGINT AS min_days,
+           cast(round(cast(cast((quantile_cont(lag_d, 0.5)) AS VARCHAR)
+             AS DECIMAL(38,12)), 4) AS DOUBLE) AS p50_days,
+           cast(round(cast(cast((quantile_cont(lag_d, 0.95)) AS VARCHAR)
+             AS DECIMAL(38,12)), 4) AS DOUBLE) AS p95_days,
+           max(lag_d)::BIGINT AS max_days
+    FROM lag_days GROUP BY priority
+    """,
+)
+def q_olap_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    interpolated p50/p95 (plus min/max) of the days between order
+    placement and each line's ship date — the fulfillment-SLA monitor
+    (urgent orders SHOULD show a tighter p95; if the priorities'
+    curves coincide, priority handling is theater), and the latency
+    twin of q_olap_priority_shipping's volume view.
+
+    Determinism: lags are exact integer days (integer-µs floor
+    division); Spark ``percentile`` ≡ DuckDB ``quantile_cont``.
+
+    Scale: one fact-sized equi join shuffled on orderkey (or
+    co-located via the bucketed-table path of q_sink_bucketed_join),
+    then a per-priority exact-percentile buffer — at 100 TB swap to
+    approx_percentile with the same shape."""
+    from spark_clustering_spark.functions.detagg import dround
+    from spark_clustering_spark.io import spread
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    lag_d = F.expr(
+        "(unix_micros(cast(l_shipdate AS timestamp))"
+        " - unix_micros(cast(o_orderdate AS timestamp))) div 86400000000"
+    )
+    j = spread(
+        li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            F.col("o_orderpriority").alias("priority"), lag_d.alias("lag_d")
+        )
+    )
+    pcts = F.percentile("lag_d", F.array(F.lit(0.5), F.lit(0.95)))
+    return (
+        j.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.min("lag_d").cast("bigint").alias("min_days"),
+            pcts.alias("ps"),
+            F.max("lag_d").cast("bigint").alias("max_days"),
+        )
+        .select(
+            "priority",
+            "n_lines",
+            "min_days",
+            dround(F.col("ps")[0]).alias("p50_days"),
+            dround(F.col("ps")[1]).alias("p95_days"),
+            "max_days",
+        )
+    )

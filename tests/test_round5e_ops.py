@@ -1106,3 +1106,32 @@ def test_vmeasure_matches_sklearn_formulas(spark):
     # harmonic mean lies between its arguments
     lo, hi = sorted((got.homogeneity, got.completeness))
     assert lo - 1e-9 <= got.v_measure <= hi + 1e-9
+
+
+def test_ship_lag_matches_python(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.olap import q_olap_ship_lag
+
+    got = {r.priority: r for r in q_olap_ship_lag(spark, SF_SMALL).collect()}
+    orders = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate)
+        for r in table(spark, SF_SMALL, "orders").collect()
+    }
+    lags: dict[str, list[int]] = defaultdict(list)
+    for r in table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect():
+        pri, od = orders[r.l_orderkey]
+        lags[pri].append((r.l_shipdate - od).days)
+    assert set(got) == set(lags)
+    for pri, xs in lags.items():
+        a = np.array(xs)
+        g = got[pri]
+        assert g.n_lines == len(xs)
+        assert g.min_days == int(a.min())
+        assert g.max_days == int(a.max())
+        assert abs(g.p50_days - np.percentile(a, 50)) < 1e-2
+        assert abs(g.p95_days - np.percentile(a, 95)) < 1e-2
+        assert g.min_days <= g.p50_days <= g.p95_days <= g.max_days
