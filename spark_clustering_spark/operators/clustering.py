@@ -2276,3 +2276,166 @@ def q_ml_vmeasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("h") * F.col("c") / (F.col("h") + F.col("c")), 6
         ).alias("v_measure"),
     )
+
+
+LC_BUCKETS = 8            # learning-curve subset resolution
+LC_FRACS = (1, 2, 4, 6)   # train buckets out of 8 (test = rest)
+LC_SEED = 47              # LCG substream for subset assignment
+
+
+@query(
+    "q_ml_learning_curve",
+    oracle=f"""
+    WITH pts AS (
+      SELECT cast(floor({sql_lcg_uniform(
+          '(l_orderkey * 8 + l_linenumber)', seed=LC_SEED)}
+             * {LC_BUCKETS}) AS INT) AS bucket,
+             cast(l_quantity AS DOUBLE) AS x,
+             cast(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+    ),
+    bs AS (
+      SELECT bucket, count(*) AS n,
+             sum(cast(x AS DECIMAL(38,8))) AS sx,
+             sum(cast(y AS DECIMAL(38,8))) AS sy,
+             sum(cast(x * x AS DECIMAL(38,8))) AS sxx,
+             sum(cast(x * y AS DECIMAL(38,8))) AS sxy,
+             sum(cast(y * y AS DECIMAL(38,8))) AS syy
+      FROM pts GROUP BY bucket
+    ),
+    fr AS (
+      SELECT t,
+             sum(CASE WHEN bucket < t THEN n ELSE 0 END) AS n_tr,
+             cast(sum(CASE WHEN bucket < t THEN sx ELSE 0 END)
+               AS DOUBLE) AS tx,
+             cast(sum(CASE WHEN bucket < t THEN sy ELSE 0 END)
+               AS DOUBLE) AS ty,
+             cast(sum(CASE WHEN bucket < t THEN sxx ELSE 0 END)
+               AS DOUBLE) AS txx,
+             cast(sum(CASE WHEN bucket < t THEN sxy ELSE 0 END)
+               AS DOUBLE) AS txy,
+             sum(CASE WHEN bucket >= t THEN n ELSE 0 END) AS n_te,
+             cast(sum(CASE WHEN bucket >= t THEN sx ELSE 0 END)
+               AS DOUBLE) AS ex,
+             cast(sum(CASE WHEN bucket >= t THEN sy ELSE 0 END)
+               AS DOUBLE) AS ey,
+             cast(sum(CASE WHEN bucket >= t THEN sxx ELSE 0 END)
+               AS DOUBLE) AS exx,
+             cast(sum(CASE WHEN bucket >= t THEN sxy ELSE 0 END)
+               AS DOUBLE) AS exy,
+             cast(sum(CASE WHEN bucket >= t THEN syy ELSE 0 END)
+               AS DOUBLE) AS eyy
+      FROM bs CROSS JOIN unnest([{", ".join(str(t) for t in LC_FRACS)}])
+        AS u(t)
+      GROUP BY t
+    ),
+    fit AS (
+      SELECT t, n_tr, n_te, ex, ey, exx, exy, eyy,
+             (n_tr * txy - tx * ty) / (n_tr * txx - tx * tx) AS b,
+             (ty - (n_tr * txy - tx * ty) / (n_tr * txx - tx * tx) * tx)
+               / n_tr AS a
+      FROM fr
+    )
+    SELECT t::INT AS train_buckets,
+           cast(n_tr AS BIGINT) AS n_train,
+           cast(n_te AS BIGINT) AS n_test,
+           cast(round(cast(cast((b) AS VARCHAR) AS DECIMAL(38,12)), 6)
+             AS DOUBLE) AS slope,
+           cast(round(cast(cast((a) AS VARCHAR) AS DECIMAL(38,12)), 4)
+             AS DOUBLE) AS intercept,
+           cast(round(cast(cast((
+             (eyy - 2.0 * a * ey - 2.0 * b * exy + 2.0 * a * b * ex
+              + n_te * a * a + b * b * exx) / n_te
+           ) AS VARCHAR) AS DECIMAL(38,12)), 2) AS DOUBLE) AS test_mse
+    FROM fit
+    """,
+)
+def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve from ONE pass: OLS (quantity → price) trained on
+    nested {{1,2,4,6}}/8 LCG-bucket subsets, evaluated on each
+    subset's complement — held-out MSE as a function of training-set
+    size, the does-more-data-help diagnostic every data-acquisition
+    decision hinges on. The whole curve is CLOSED FORM: per-bucket
+    sufficient statistics (now including Σy²) make both the fit AND
+    the held-out SSE pure arithmetic — SSE_test = Σy² − 2aΣy − 2bΣxy
+    + 2abΣx + n·a² + b²Σx² — so no second data pass ever happens
+    (one better than q_ml_kfold's scoring join).
+
+    Determinism: bucket assignment is the portable integer LCG;
+    per-bucket sums are exact decimals; every downstream number is a
+    fixed-order double expression over ≤{LC_BUCKETS} exact partials.
+
+    Scale: ONE map-side-combined pass to {LC_BUCKETS}×6 partials;
+    the frac expansion and closed forms are constant-size."""
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.floor(
+            lcg_uniform(
+                F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+                seed=LC_SEED,
+            )
+            * LC_BUCKETS
+        )
+        .cast("int")
+        .alias("bucket"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    bs = pts.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DEC)).alias("sx"),
+        F.sum(F.col("y").cast(DEC)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).alias("syy"),
+    )
+    fr = (
+        bs.crossJoin(
+            F.broadcast(
+                li.sparkSession.createDataFrame(
+                    [(t,) for t in LC_FRACS], "t INT"
+                )
+            )
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("bucket") < F.col("t"), F.col("n")).otherwise(0)).alias("n_tr"),
+            F.sum(F.when(F.col("bucket") < F.col("t"), F.col("sx"))).cast("double").alias("tx"),
+            F.sum(F.when(F.col("bucket") < F.col("t"), F.col("sy"))).cast("double").alias("ty"),
+            F.sum(F.when(F.col("bucket") < F.col("t"), F.col("sxx"))).cast("double").alias("txx"),
+            F.sum(F.when(F.col("bucket") < F.col("t"), F.col("sxy"))).cast("double").alias("txy"),
+            F.sum(F.when(F.col("bucket") >= F.col("t"), F.col("n")).otherwise(0)).alias("n_te"),
+            F.sum(F.when(F.col("bucket") >= F.col("t"), F.col("sx"))).cast("double").alias("ex"),
+            F.sum(F.when(F.col("bucket") >= F.col("t"), F.col("sy"))).cast("double").alias("ey"),
+            F.sum(F.when(F.col("bucket") >= F.col("t"), F.col("sxx"))).cast("double").alias("exx"),
+            F.sum(F.when(F.col("bucket") >= F.col("t"), F.col("sxy"))).cast("double").alias("exy"),
+            F.sum(F.when(F.col("bucket") >= F.col("t"), F.col("syy"))).cast("double").alias("eyy"),
+        )
+    )
+    n_tr = F.col("n_tr")
+    b = (n_tr * F.col("txy") - F.col("tx") * F.col("ty")) / (
+        n_tr * F.col("txx") - F.col("tx") * F.col("tx")
+    )
+    fit = fr.select(
+        "t", "n_tr", "n_te", "ex", "ey", "exx", "exy", "eyy",
+        b.alias("b"),
+        ((F.col("ty") - b * F.col("tx")) / n_tr).alias("a"),
+    )
+    a, bb = F.col("a"), F.col("b")
+    n_te = F.col("n_te")
+    sse = (
+        F.col("eyy")
+        - 2.0 * a * F.col("ey")
+        - 2.0 * bb * F.col("exy")
+        + 2.0 * a * bb * F.col("ex")
+        + n_te * a * a
+        + bb * bb * F.col("exx")
+    )
+    return fit.select(
+        F.col("t").cast("int").alias("train_buckets"),
+        n_tr.cast("bigint").alias("n_train"),
+        n_te.cast("bigint").alias("n_test"),
+        dround("b", 6).alias("slope"),
+        dround("a", 4).alias("intercept"),
+        dround(sse / n_te, 2).alias("test_mse"),
+    )

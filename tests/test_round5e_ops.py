@@ -1135,3 +1135,52 @@ def test_ship_lag_matches_python(spark):
         assert abs(g.p50_days - np.percentile(a, 50)) < 1e-2
         assert abs(g.p95_days - np.percentile(a, 95)) < 1e-2
         assert g.min_days <= g.p50_days <= g.p95_days <= g.max_days
+
+
+def test_learning_curve_matches_numpy(spark):
+    import numpy as np
+
+    from spark_clustering_spark.functions.rng import py_lcg_uniform
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.clustering import (
+        LC_BUCKETS,
+        LC_FRACS,
+        LC_SEED,
+        q_ml_learning_curve,
+    )
+
+    got = {
+        r.train_buckets: r
+        for r in q_ml_learning_curve(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(LC_FRACS)
+    rows = table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    ).collect()
+    data = [
+        (
+            int(
+                py_lcg_uniform(
+                    r.l_orderkey * 8 + r.l_linenumber, seed=LC_SEED
+                )
+                * LC_BUCKETS
+            ),
+            float(r.l_quantity),
+            float(r.l_extendedprice),
+        )
+        for r in rows
+    ]
+    for t in LC_FRACS:
+        tr = np.array([(x, y) for b, x, y in data if b < t])
+        te = np.array([(x, y) for b, x, y in data if b >= t])
+        bb, aa = np.polyfit(tr[:, 0], tr[:, 1], 1)
+        mse = float(((te[:, 1] - (aa + bb * te[:, 0])) ** 2).mean())
+        g = got[t]
+        assert g.n_train == len(tr)
+        assert g.n_test == len(te)
+        assert abs(g.slope - bb) < 1e-3
+        assert abs(g.intercept - aa) < 1e-1
+        assert abs(g.test_mse - mse) < max(1.0, mse * 1e-6)
+    # a larger training set can't make the HELD-OUT fit much worse:
+    # the 6/8 model must beat the 1/8 model within 10% slack
+    assert got[LC_FRACS[-1]].test_mse <= got[LC_FRACS[0]].test_mse * 1.1
