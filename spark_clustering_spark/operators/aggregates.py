@@ -2256,3 +2256,89 @@ def q_ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term).cast("double").alias("psi_raw"),
         dround(F.sum(term).cast("double"), 6).alias("psi"),
     )
+
+
+@query(
+    "q_dq_functional_deps",
+    oracle="""
+    WITH fd1 AS (
+      SELECT 'l_orderkey->o_custkey' AS fd,
+             count(*) AS n_keys,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violations
+      FROM (
+        SELECT l.l_orderkey, count(DISTINCT o.o_custkey) AS nd
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY l.l_orderkey)
+    ),
+    fd2 AS (
+      SELECT 'l_partkey->p_brand' AS fd,
+             count(*) AS n_keys,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violations
+      FROM (
+        SELECT l.l_partkey, count(DISTINCT p.p_brand) AS nd
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY l.l_partkey)
+    ),
+    fd3 AS (
+      SELECT 'user_id->event day count stability' AS fd,
+             count(*) AS n_keys,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violations
+      FROM (
+        SELECT user_id, count(DISTINCT event_type) AS nd
+        FROM events GROUP BY user_id)
+    )
+    SELECT fd, n_keys::BIGINT AS n_keys,
+           n_violations::BIGINT AS n_violations
+    FROM (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+          UNION ALL SELECT * FROM fd3)
+    """,
+)
+def q_dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD key → value,
+    count keys whose value is NOT unique — the schema-invariant check
+    that catches silent denormalization drift (an orderkey mapping to
+    two custkeys means a corrupt join upstream). The first two FDs
+    must hold by construction (0 violations = the audit passes); the
+    third (user → single event type) is EXPECTED to fail, proving the
+    probe detects real multi-valued dependencies rather than
+    vacuously passing.
+
+    Determinism: pure integer distinct counts.
+
+    Scale: each FD is one key-partitioned count-distinct with
+    map-side combine (key cardinality rows, never data-wide state);
+    the dimension joins broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    ev = table(spark, sf_dir, "events")
+
+    def audit(df, key, val, name):
+        per = df.groupBy(key).agg(F.countDistinct(val).alias("nd"))
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+
+    fd1 = audit(
+        li.join(o, li["l_orderkey"] == o["o_orderkey"]),
+        "l_orderkey",
+        "o_custkey",
+        "l_orderkey->o_custkey",
+    )
+    fd2 = audit(
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]),
+        "l_partkey",
+        "p_brand",
+        "l_partkey->p_brand",
+    )
+    fd3 = audit(
+        ev,
+        "user_id",
+        "event_type",
+        "user_id->event day count stability",
+    )
+    return fd1.unionByName(fd2).unionByName(fd3)

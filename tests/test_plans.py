@@ -724,3 +724,20 @@ def test_knn_classify_broadcasts_corpus(spark, qs):
     assert (
         "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     ), plan[:800]
+
+
+def test_gains_curve_has_no_single_partition_exchange(spark, qs):
+    """The decile assignment must ride ntile_scalable's range
+    repartition — never a one-reducer ORDER BY over orders."""
+    plan = formatted_plan(qs["q_ml_gains_curve"](spark, SF_SMALL))
+    assert _no_unpartitioned_ordered_window(plan), plan[:1200]
+
+
+def test_bpe_merge_uses_heap_topk(spark, qs):
+    plan = formatted_plan(qs["q_text_bpe_merge"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_user_streaks_windows_are_user_partitioned(spark, qs):
+    plan = formatted_plan(qs["q_ts_user_streaks"](spark, SF_SMALL))
+    assert "SinglePartition" not in plan, plan[:800]

@@ -1184,3 +1184,19 @@ def test_learning_curve_matches_numpy(spark):
     # a larger training set can't make the HELD-OUT fit much worse:
     # the 6/8 model must beat the 1/8 model within 10% slack
     assert got[LC_FRACS[-1]].test_mse <= got[LC_FRACS[0]].test_mse * 1.1
+
+
+def test_functional_deps_detect_and_pass(spark):
+    from spark_clustering_spark.operators.aggregates import (
+        q_dq_functional_deps,
+    )
+
+    got = {r.fd: r for r in q_dq_functional_deps(spark, SF_SMALL).collect()}
+    assert len(got) == 3
+    # true FDs hold by construction
+    assert got["l_orderkey->o_custkey"].n_violations == 0
+    assert got["l_partkey->p_brand"].n_violations == 0
+    # the deliberately-false FD must be detected (users do >1 type)
+    bad = got["user_id->event day count stability"]
+    assert bad.n_violations > 0
+    assert bad.n_violations <= bad.n_keys
