@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_clustering_spark.functions.detagg import davg, dround, sql_davg, sql_dround
+from spark_clustering_spark.functions.rng import sql_lcg_uniform
 from spark_clustering_spark.io import table
 from spark_clustering_spark.registry import query
 
@@ -1597,4 +1598,108 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 84.6 * (sy.cast("double") / sw),
             4,
         ).alias("flesch"),
+    )
+
+
+VOCAB_BUCKETS = 8          # corpus-size resolution for the growth curve
+VOCAB_FRACS = (1, 2, 4, 8)  # nested subsets (8 = full corpus)
+VOCAB_SEED = 53             # LCG substream for doc bucketing
+
+
+@query(
+    "q_text_vocab_growth",
+    oracle=f"""
+    WITH d AS (
+      SELECT cast(floor({{LCG}} * {VOCAB_BUCKETS}) AS INT) AS bucket,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ),
+    w AS (
+      SELECT word, min(bucket) AS mb, count(*) AS occ
+      FROM d GROUP BY word
+    ),
+    o AS (
+      SELECT bucket, count(*) AS n_tokens FROM d GROUP BY bucket
+    ),
+    fr AS (
+      SELECT t,
+             (SELECT sum(CASE WHEN w.mb < t THEN 1 ELSE 0 END) FROM w)
+               AS vocab,
+             (SELECT sum(CASE WHEN o.bucket < t THEN o.n_tokens
+                              ELSE 0 END) FROM o) AS tokens
+      FROM unnest([{", ".join(str(t) for t in VOCAB_FRACS)}]) AS u(t)
+    )
+    SELECT t::INT AS subset_buckets,
+           cast(tokens AS BIGINT) AS n_tokens,
+           cast(vocab AS BIGINT) AS vocab_size,
+           cast(round(cast(cast((
+             cast(vocab AS DOUBLE) / tokens
+           ) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE)
+             AS type_token_ratio
+    FROM fr
+    """.replace("{LCG}", sql_lcg_uniform("doc_id", seed=VOCAB_SEED)),
+)
+def q_text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct word count (and
+    type/token ratio) over nested LCG {{1,2,4,8}}/8 document subsets —
+    the how-much-new-vocabulary-does-more-data-buy planning curve
+    (sublinear growth = diminishing lexical returns; linear growth =
+    the corpus is still lexically unsaturated), the text twin of
+    q_ml_learning_curve's nested-subset trick.
+
+    The nesting trick: vocab(t) needs only each word's MINIMUM bucket
+    — one groupBy(word) collapses the corpus, and every subset's
+    vocabulary is then a conditional count over that bounded word
+    table (no per-subset distinct pass).
+
+    Determinism: LCG bucketing + pure integer counts; TTR is one
+    double division.
+
+    Scale: one tokenize+explode pass into a map-side-combined
+    groupBy(word) (vocabulary-sized state); the curve itself is
+    |fracs| conditional sums over the word table."""
+    from spark_clustering_spark.functions.rng import lcg_uniform
+
+    d = table(spark, sf_dir, "documents").select(
+        F.floor(lcg_uniform(F.col("doc_id"), seed=VOCAB_SEED) * VOCAB_BUCKETS)
+        .cast("int")
+        .alias("bucket"),
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    w = d.groupBy("word").agg(
+        F.min("bucket").alias("mb"), F.count(F.lit(1)).alias("occ")
+    )
+    o = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    fr = spark.createDataFrame([(t,) for t in VOCAB_FRACS], "t INT")
+    vocab = (
+        w.crossJoin(F.broadcast(fr))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("mb") < F.col("t"), 1).otherwise(0)).alias(
+                "vocab"
+            )
+        )
+    )
+    tokens = (
+        o.crossJoin(F.broadcast(fr))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(F.col("bucket") < F.col("t"), F.col("n_tokens"))
+                .otherwise(0)
+            ).alias("tokens")
+        )
+    )
+    return (
+        vocab.join(tokens, "t")
+        .select(
+            F.col("t").cast("int").alias("subset_buckets"),
+            F.col("tokens").cast("bigint").alias("n_tokens"),
+            F.col("vocab").cast("bigint").alias("vocab_size"),
+            dround(
+                F.col("vocab").cast("double") / F.col("tokens"), 6
+            ).alias("type_token_ratio"),
+        )
     )

@@ -1200,3 +1200,46 @@ def test_functional_deps_detect_and_pass(spark):
     bad = got["user_id->event day count stability"]
     assert bad.n_violations > 0
     assert bad.n_violations <= bad.n_keys
+
+
+def test_vocab_growth_matches_python(spark):
+    import re
+
+    from spark_clustering_spark.functions.rng import py_lcg_uniform
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.pipeline.textstats import (
+        VOCAB_BUCKETS,
+        VOCAB_FRACS,
+        VOCAB_SEED,
+        q_text_vocab_growth,
+    )
+
+    got = {
+        r.subset_buckets: r
+        for r in q_text_vocab_growth(spark, SF_SMALL).collect()
+    }
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    min_bucket: dict[str, int] = {}
+    tokens_per_bucket = [0] * VOCAB_BUCKETS
+    for r in docs:
+        b = int(py_lcg_uniform(r.doc_id, seed=VOCAB_SEED) * VOCAB_BUCKETS)
+        ws = re.findall(r"[a-z]+", r.text.lower())
+        tokens_per_bucket[b] += len(ws)
+        for w in ws:
+            if w not in min_bucket or b < min_bucket[w]:
+                min_bucket[w] = b
+    assert set(got) == set(VOCAB_FRACS)
+    prev_vocab = 0
+    for t in sorted(VOCAB_FRACS):
+        vocab = sum(1 for mb in min_bucket.values() if mb < t)
+        toks = sum(tokens_per_bucket[:t])
+        g = got[t]
+        assert (g.n_tokens, g.vocab_size) == (toks, vocab)
+        assert abs(g.type_token_ratio - vocab / toks) < 1e-6
+        assert vocab >= prev_vocab  # vocabulary only grows
+        prev_vocab = vocab
+    # Heaps: TTR must FALL as the corpus grows (sublinear vocab)
+    assert (
+        got[VOCAB_FRACS[-1]].type_token_ratio
+        < got[VOCAB_FRACS[0]].type_token_ratio
+    )
