@@ -1243,3 +1243,20 @@ def test_vocab_growth_matches_python(spark):
         got[VOCAB_FRACS[-1]].type_token_ratio
         < got[VOCAB_FRACS[0]].type_token_ratio
     )
+
+
+def test_cross_op_active_days_conservation(spark):
+    """Two independent operators must agree on the same underlying
+    quantity: Σ active_days over users (q_ts_user_streaks) equals
+    Σ dau over days (q_ts_active_users) — both count distinct
+    (user, day) pairs."""
+    from spark_clustering_spark.operators.timeseries import (
+        q_ts_active_users,
+        q_ts_user_streaks,
+    )
+
+    by_user = sum(
+        r.active_days for r in q_ts_user_streaks(spark, SF_SMALL).collect()
+    )
+    by_day = sum(r.dau for r in q_ts_active_users(spark, SF_SMALL).collect())
+    assert by_user == by_day > 0
