@@ -1938,3 +1938,90 @@ def q_ts_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.sum("len").cast("bigint").alias("active_days"),
     )
+
+
+@query(
+    "q_ts_seasonality_strength",
+    oracle=f"""
+    WITH d AS (
+      SELECT epoch_us(ts) // {DAY_US} AS day_id,
+             cast(sum(cast(value AS DECIMAL(38,8))) AS DOUBLE) AS actual
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT ((day_id + 4) % 7) AS dow, count(*) AS n,
+             sum(cast(actual AS DECIMAL(38,8))) AS s,
+             sum(cast(actual * actual AS DECIMAL(38,8))) AS ss
+      FROM d GROUP BY 1
+    ),
+    t AS (
+      SELECT sum(n) AS n, cast(sum(s) AS DOUBLE) AS s,
+             cast(sum(ss) AS DOUBLE) AS ss,
+             cast(sum(cast(
+               (cast(g.s AS DOUBLE) * cast(g.s AS DOUBLE)) / g.n
+               AS DECIMAL(38,8))) AS DOUBLE) AS sb
+      FROM g
+    )
+    SELECT cast(n AS BIGINT) AS n_days,
+           {{SST}} AS total_var,
+           {{R2}} AS dow_r2
+    FROM t
+    """.replace(
+        "{SST}",
+        sql_dround("(ss - s * s / n) / n", 4),
+    ).replace(
+        "{R2}",
+        sql_dround("(sb - s * s / n) / (ss - s * s / n)", 6),
+    ),
+)
+def q_ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality STRENGTH as an ANOVA variance ratio: the share of
+    the daily series' variance explained by day-of-week group means,
+    R² = SS_between/SS_total — the one-number complement to
+    q_ts_seasonality's per-dow profile and q_ts_spectral_peak's
+    which-period scan (R² near 0 ⇒ don't bother deseasonalizing;
+    near 1 ⇒ anomaly screens must run on dow-adjusted residuals).
+
+    Determinism: daily actuals are exact decimal sums cast once;
+    per-dow moments and the between-group Σ(s²/n) re-quantize to
+    decimal before cross-group accumulation; both ratios are
+    fixed-order double expressions.
+
+    Scale: events collapse to the bounded day series (map-side
+    combine), then 7 group rows and constant arithmetic — nothing
+    data-proportional past the first aggregate."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_id")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(38,8)"))
+        .cast("double")
+        .alias("actual")
+    )
+    g = d.groupBy(((F.col("day_id") + 4) % 7).alias("dow")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("actual").cast("decimal(38,8)")).alias("s"),
+        F.sum((F.col("actual") * F.col("actual")).cast("decimal(38,8)"))
+        .alias("ss"),
+    )
+    t = g.agg(
+        F.sum("n").alias("n"),
+        F.sum("s").cast("double").alias("s"),
+        F.sum("ss").cast("double").alias("ss"),
+        F.sum(
+            (
+                (F.col("s").cast("double") * F.col("s").cast("double"))
+                / F.col("n")
+            ).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("sb"),
+    )
+    n, sv, ssv, sb = F.col("n"), F.col("s"), F.col("ss"), F.col("sb")
+    return t.select(
+        n.cast("bigint").alias("n_days"),
+        dround((ssv - sv * sv / n) / n, 4).alias("total_var"),
+        dround((sb - sv * sv / n) / (ssv - sv * sv / n), 6).alias(
+            "dow_r2"
+        ),
+    )

@@ -1260,3 +1260,32 @@ def test_cross_op_active_days_conservation(spark):
     )
     by_day = sum(r.dau for r in q_ts_active_users(spark, SF_SMALL).collect())
     assert by_user == by_day > 0
+
+
+def test_seasonality_strength_matches_numpy(spark):
+    import numpy as np
+
+    from spark_clustering_spark.io import table
+    from spark_clustering_spark.operators.timeseries import (
+        DAY_US,
+        q_ts_seasonality_strength,
+    )
+
+    got = q_ts_seasonality_strength(spark, SF_SMALL).collect()[0]
+    ev = table(spark, SF_SMALL, "events").selectExpr(
+        f"unix_micros(ts) div {DAY_US} AS day_id", "value"
+    ).collect()
+    daily: dict[int, float] = defaultdict(float)
+    for r in ev:
+        daily[r.day_id] += float(r.value)
+    a = np.array(list(daily.values()))
+    dows = np.array([(d + 4) % 7 for d in daily])
+    sst = ((a - a.mean()) ** 2).sum()
+    ssb = sum(
+        len(a[dows == w]) * (a[dows == w].mean() - a.mean()) ** 2
+        for w in np.unique(dows)
+    )
+    assert got.n_days == len(a)
+    assert abs(got.total_var - sst / len(a)) < max(1.0, sst / len(a) * 1e-5)
+    assert abs(got.dow_r2 - ssb / sst) < 1e-4
+    assert 0.0 <= got.dow_r2 <= 1.0
