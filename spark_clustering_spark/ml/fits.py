@@ -84,6 +84,44 @@ def q_fit_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("fit_gmm_mllib")  # rows-only: iterative, validated by invariants
+def q_fit_gmm_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production/scale GMM: MLlib GaussianMixture (JVM full-covariance
+    EM, k=8, 20 iters, seed 42) — the MLlib mapping the north star
+    names ("Approach: MLlib clustering algorithms"), completing the
+    fit_kmeans_mllib pattern. Output is one row per component
+    (hard-assignment size + mixture weight + soft responsibility
+    mass), deterministic for the fixed seed; co-membership agreement
+    vs the kernel EM loop is asserted in tests/test_clustering.py."""
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.ml.gmm import fit_gmm_mllib
+
+    pts = points_df(spark, sf_dir)
+    model, pred = fit_gmm_mllib(spark, pts, k=8, num_iter=20, seed=42)
+    weights = [(int(i), float(w)) for i, w in enumerate(model.weights)]
+    wdf = spark.createDataFrame(weights, "cluster_id int, weight double")
+    from pyspark.ml.functions import vector_to_array
+
+    soft = pred.select(
+        "cluster_id", vector_to_array(F.col("probability")).alias("resp")
+    )
+    hard = soft.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.element_at(F.col("resp"), F.col("cluster_id") + 1)).alias(
+            "resp_mass"
+        ),
+    )
+    # left join from the weight table so components with zero hard
+    # assignments still appear (weights must sum to 1 over ALL k rows)
+    return wdf.join(F.broadcast(hard), "cluster_id", "left").select(
+        "cluster_id",
+        F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points"),
+        F.coalesce(F.col("resp_mass"), F.lit(0.0)).alias("resp_mass"),
+        "weight",
+    )
+
+
 @query("fit_gmm")  # rows-only: iterative, validated by invariants
 def q_fit_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical-GMM EM (k=8, 3 iterations, sigma2=4, free means +
@@ -100,11 +138,13 @@ def q_fit_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("fit_kmeans_stream")  # rows-only: true streaming, validated by replay test
 def q_fit_kmeans_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming mini-batch k-means: the embeddings corpus replayed as
-    a vec_id-ordered file stream, one Lloyd assignment pass per
-    micro-batch (the SAME kernel the batch fit uses), decay-weighted
-    center folds on O(k·d) driver state. decay=1.0 ⇒ one cumulative
-    Lloyd half-step over the stream — asserted against a numpy replay
-    in tests/test_streaming.py."""
+    a vec_id-ordered file stream (mtime-pinned arrival order), one
+    Lloyd assignment pass per micro-batch (the SAME kernel the batch
+    fit uses), decay-weighted center folds on O(k·d) driver state —
+    the MLlib StreamingKMeans update rule exactly, asserted against
+    both a numpy replay and
+    pyspark.mllib.clustering.StreamingKMeansModel.update in
+    tests/test_streaming.py."""
     from spark_clustering_spark.streaming.kmeans import fit_kmeans_stream
 
     return fit_kmeans_stream(spark, sf_dir, k=8, n_chunks=4, decay=1.0)

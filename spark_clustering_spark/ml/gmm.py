@@ -65,32 +65,73 @@ def fit_gmm(
     if k < 1 or num_iter < 1:
         raise ValueError("k and num_iter must be >= 1")
     points = points.persist()
-    n_pts = points.count()
-    init = points.orderBy("vec_id").limit(k).collect()
-    means = [list(r.vec) for r in init]
-    weights = [1.0 / k] * k
+    try:
+        n_pts = points.count()
+        init = points.orderBy("vec_id").limit(k).collect()
+        means = [list(r.vec) for r in init]
+        weights = [1.0 / k] * k
 
-    logliks: list[float] = []
-    hist = []
-    for it in range(num_iter):
-        stats, ll = gmm_soft_stats(
-            points,
-            np.array(means, dtype=np.float64),
-            np.array(weights, dtype=np.float64),
-            sigma2,
-        )
-        logliks.append(float(ll))
-        hist.append((it, float(ll), float(ll) / n_pts))
-        new_means = []
-        rmass = []
-        for cid in range(k):
-            rs, wx = stats[cid]
-            new_means.append((wx / rs).tolist())
-            rmass.append(rs)
-        means = new_means
-        weights = [m / n_pts for m in rmass]
+        logliks = []
+        hist = []
+        for it in range(num_iter):
+            stats, ll = gmm_soft_stats(
+                points,
+                np.array(means, dtype=np.float64),
+                np.array(weights, dtype=np.float64),
+                sigma2,
+            )
+            logliks.append(float(ll))
+            hist.append((it, float(ll), float(ll) / n_pts))
+            new_means = []
+            rmass = []
+            for cid in range(k):
+                rs, wx = stats[cid]
+                if rs > 1e-12:
+                    new_means.append((wx / rs).tolist())
+                else:
+                    # starved component: keep its previous mean instead of
+                    # dividing ~0/~0 and letting NaN propagate
+                    new_means.append(list(means[cid]))
+                rmass.append(rs)
+            means = new_means
+            weights = [m / n_pts for m in rmass]
+    finally:
+        points.unpersist()
 
     metrics = spark.createDataFrame(
         hist, "iteration int, loglik double, avg_loglik double"
     )
     return GMMResult(means=means, weights=weights, logliks=logliks, metrics=metrics)
+
+
+def fit_gmm_mllib(
+    spark: SparkSession,
+    points: DataFrame,
+    k: int = 8,
+    num_iter: int = 20,
+    seed: int = 42,
+):
+    """Production/scale path + cross-check: pyspark.ml.clustering.
+    GaussianMixture (full-covariance EM on the JVM) over the same
+    (vec_id, vec) points — the MLlib mapping for the GMM surface,
+    mirroring fit_kmeans_mllib (ml/kmeans.py:219). Returns (model,
+    pred) where pred = (vec_id, cluster_id hard argmax, probability
+    responsibilities). Co-membership agreement vs the spherical EM
+    loop on a well-separated fixture is asserted in
+    tests/test_clustering.py."""
+    from pyspark.ml.clustering import GaussianMixture
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    feats = points.select(
+        "vec_id", array_to_vector(F.col("vec")).alias("features")
+    )
+    model = GaussianMixture(
+        k=k, maxIter=num_iter, seed=seed, featuresCol="features"
+    ).fit(feats)
+    pred = model.transform(feats).select(
+        "vec_id",
+        F.col("prediction").alias("cluster_id"),
+        "probability",
+    )
+    return model, pred

@@ -446,10 +446,19 @@ def gmm_soft_stats(
                 continue
             V = np.array(list(pdf["vec"]), dtype=np.float64)
             D = _dist_matrix(V, C)
-            L = W[None, :] * np.exp(-(D * D) / (2.0 * sigma2))
-            z = L.sum(axis=1)
-            ll = float(np.log(z).sum())
-            R = L / z[:, None]
+            # log-space with a per-row max shift: for a point far from
+            # every center (or tiny sigma2) the unshifted w·exp(−d²/2σ²)
+            # underflows to 0 for ALL components, giving z=0 → −inf
+            # loglik and 0/0 NaN responsibilities. exp(logL − m) keeps
+            # the winning component at exp(0)=1, so z ≥ 1 always.
+            with np.errstate(divide="ignore"):  # w=0 → logw=−inf → r=0, the right limit
+                logw = np.log(W)
+            logL = logw[None, :] - (D * D) / (2.0 * sigma2)
+            m = logL.max(axis=1)
+            E = np.exp(logL - m[:, None])
+            z = E.sum(axis=1)
+            ll = float((m + np.log(z)).sum())
+            R = E / z[:, None]
             rsum = R.sum(axis=0)
             WX = R.T @ V  # (k, d) responsibility-weighted sums
             yield pd.DataFrame(

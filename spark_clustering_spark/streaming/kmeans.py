@@ -12,11 +12,13 @@ decay-weighted mini-batch update:
 
     c ← (n_eff·c + Σ_batch x) / (n_eff + n_batch),  n_eff = decay·n
 
-With decay = 1.0 this converges to exactly one cumulative Lloyd
-half-step over the whole stream; decay < 1 gives the
-forget-the-past online variant (Spark's old StreamingKMeans
-semantics). Only k·d floats + k counts live on the driver — the
-stream itself never collects.
+This is a sequential mini-batch fold (Spark's old StreamingKMeans
+update rule exactly — cross-checked against
+pyspark.mllib.clustering.StreamingKMeansModel in tests): each batch
+assigns against the centers as updated by the batches before it, so
+arrival order matters and is pinned by stamped mtimes; decay < 1
+forgets the past, decay = 1.0 accumulates all mass. Only k·d floats
++ k counts live on the driver — the stream itself never collects.
 
 Scale: each micro-batch is one narrow mapInPandas pass (BLAS
 per-partition, k·d-row partials); state is O(k·d) regardless of
@@ -26,7 +28,9 @@ stream length — the same inversion as the batch fits (R19).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
+import time
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -51,15 +55,23 @@ def replay_points_dir(
     max_id = int(pts.agg(F.max("vec_id").alias("m")).collect()[0]["m"])
     n = max_id + 1
     chunk = max(1, n // n_chunks + (n % n_chunks > 0))
+    base = time.time()
     for ci, lo in enumerate(range(0, n, chunk)):
+        cdir = os.path.join(out, f"chunk_{ci:04d}")
         (
             pts.filter(
                 (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + chunk)
             )
             .coalesce(1)
             .write.mode("overwrite")
-            .parquet(os.path.join(out, f"chunk_{ci:04d}"))
+            .parquet(cdir)
         )
+        # FileStreamSource orders files by modification time, not path;
+        # chunks written in a tight loop can share an mtime and reorder.
+        # Stamp strictly increasing mtimes so arrival order == chunk order.
+        for root, _, files in os.walk(cdir):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + ci, base + ci))
     pts.unpersist()
     return out
 
@@ -73,41 +85,56 @@ def fit_kmeans_stream(
 ) -> DataFrame:
     """Run the mini-batch fit over the full replay (availableNow) and
     return one row per cluster: (cluster_id, n_weight, n_batches,
-    center). Deterministic: chunks are processed in lexicographic file
-    order (maxFilesPerTrigger=1), init is the k lowest vec_ids (Q5)."""
+    center). Deterministic: chunks arrive in chunk order (strictly
+    increasing mtimes stamped by replay_points_dir +
+    maxFilesPerTrigger=1), init is the k lowest vec_ids (Q5).
+
+    The fold is order-dependent — each micro-batch assigns against the
+    centers as already updated by earlier batches (a sequential
+    mini-batch pass, MLlib StreamingKMeans semantics, NOT a single
+    batch Lloyd half-step even at decay=1.0) — which is why arrival
+    order must be pinned. Cross-checked batch-for-batch against
+    pyspark.mllib.clustering.StreamingKMeansModel.update in
+    tests/test_streaming.py."""
     replay = replay_points_dir(spark, sf_dir, n_chunks=n_chunks)
-    init = (
-        points_df(spark, sf_dir).orderBy("vec_id").limit(k).collect()
-    )
-    centers = np.array([list(r["vec"]) for r in init], dtype=np.float64)
-    weights = np.zeros(k, dtype=np.float64)
-    state = {"batches": 0}
-
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        stats = lloyd_iteration(batch_df.select("vec_id", "vec"), centers)
-        for row in stats:
-            c = row["cluster_id"]
-            nb = float(row["n_points"])
-            sb = np.array(row["mean"], dtype=np.float64) * nb
-            n_eff = weights[c] * decay
-            centers[c] = (centers[c] * n_eff + sb) / (n_eff + nb)
-            weights[c] = n_eff + nb
-        state["batches"] += 1
-
-    q = (
-        spark.readStream.schema("vec_id BIGINT, vec ARRAY<DOUBLE>")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(replay, "chunk_*"))
-        .writeStream.foreachBatch(handle)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="stream_kmeans_ck_")
+    ckpt = tempfile.mkdtemp(prefix="stream_kmeans_ck_")
+    try:
+        init = (
+            points_df(spark, sf_dir).orderBy("vec_id").limit(k).collect()
         )
-        .start()
-    )
-    q.awaitTermination()
-    rows = [
-        (int(c), float(weights[c]), int(state["batches"]), centers[c].tolist())
-        for c in range(k)
-    ]
-    return spark.createDataFrame(rows, STREAM_KMEANS_SCHEMA)
+        centers = np.array([list(r["vec"]) for r in init], dtype=np.float64)
+        weights = np.zeros(k, dtype=np.float64)
+        state = {"batches": 0}
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            stats = lloyd_iteration(batch_df.select("vec_id", "vec"), centers)
+            # MLlib StreamingKMeans semantics: the per-batch discount
+            # applies to EVERY cluster, including ones this batch sends
+            # no points to (their mass decays, centers stay put)
+            np.multiply(weights, decay, out=weights)
+            for row in stats:
+                c = row["cluster_id"]
+                nb = float(row["n_points"])
+                sb = np.array(row["mean"], dtype=np.float64) * nb
+                centers[c] = (centers[c] * weights[c] + sb) / (weights[c] + nb)
+                weights[c] += nb
+            state["batches"] += 1
+
+        q = (
+            spark.readStream.schema("vec_id BIGINT, vec ARRAY<DOUBLE>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(replay, "chunk_*"))
+            .writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [
+            (int(c), float(weights[c]), int(state["batches"]), centers[c].tolist())
+            for c in range(k)
+        ]
+        return spark.createDataFrame(rows, STREAM_KMEANS_SCHEMA)
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

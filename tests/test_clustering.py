@@ -315,3 +315,48 @@ class TestFitKmeansMllibSurface:
             F.sum(euclidean(F.col("vec"), F.lit(mean).cast("array<double>")))
         ).first()[0]
         assert sum(r["cost"] for r in out) <= baseline + 1e-9
+
+
+class TestGMMMllib:
+    def test_comembership_vs_kernel_em(self, spark, tiny_points):
+        """MLlib GaussianMixture's hard assignments match the spherical
+        kernel-EM loop's argmax responsibilities up to label permutation
+        on the well-separated fixture (the fit_kmeans_mllib
+        cross-check pattern applied to the GMM surface)."""
+        import numpy as np
+
+        from spark_clustering_spark.ml.gmm import fit_gmm, fit_gmm_mllib
+
+        ours = fit_gmm(spark, tiny_points, k=3, num_iter=8, sigma2=1.0)
+        means = np.array(ours.means)
+        pts = {
+            r["vec_id"]: np.array(list(r["vec"]))
+            for r in tiny_points.collect()
+        }
+        a = {
+            i: int(((v - means) ** 2).sum(axis=1).argmin())
+            for i, v in pts.items()
+        }
+        _, pred = fit_gmm_mllib(spark, tiny_points, k=3, num_iter=30, seed=42)
+        b = {r["vec_id"]: r["cluster_id"] for r in pred.collect()}
+        ids = sorted(a)
+        for i in ids:
+            for j in ids:
+                assert (a[i] == a[j]) == (b[i] == b[j]), (i, j)
+
+    def test_declared_surface_invariants(self, spark):
+        """The declared fit_gmm_mllib surface: components partition the
+        corpus, weights sum to 1, and soft responsibility masses sum to
+        the corpus size (EM's mass-conservation invariant)."""
+        import __spark_entry__ as e
+        from spark_clustering_spark.operators.clustering import points_df
+
+        out = e.queries()["fit_gmm_mllib"](spark, SF_SMALL).collect()
+        n = points_df(spark, SF_SMALL).count()
+        assert 1 <= len(out) <= 8
+        assert sum(r["n_points"] for r in out) == n
+        assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-6
+        # responsibility mass over hard-assigned rows is <= n and > 0
+        total_mass = sum(r["resp_mass"] for r in out)
+        assert 0 < total_mass <= n + 1e-6
+        assert all(r["weight"] > 0 for r in out)

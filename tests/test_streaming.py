@@ -258,3 +258,52 @@ def test_stream_upsert_matches_batch_collapse(spark):
         for r in stream_upsert(spark, sf, n_chunks=3).collect()
     }
     assert got3 == ref
+
+
+def test_stream_kmeans_matches_mllib_streaming_kmeans(spark):
+    """fit_kmeans_stream implements MLlib's StreamingKMeans update rule
+    exactly: replaying the same chunks in the same order through
+    pyspark.mllib.clustering.StreamingKMeansModel.update (decayFactor,
+    timeUnit='batches') lands on the same centers and weights (VERDICT
+    r5 task 2 — the StreamingKMeans comparison for the stream fit)."""
+    import numpy as np
+    from pyspark.mllib.clustering import StreamingKMeansModel
+
+    from spark_clustering_spark.operators.clustering import points_df
+    from spark_clustering_spark.streaming.kmeans import fit_kmeans_stream
+
+    sf = "/root/testdata/sf0.001"
+    k, n_chunks = 8, 4
+    for decay in (1.0, 0.6):
+        got = {
+            r.cluster_id: r
+            for r in fit_kmeans_stream(
+                spark, sf, k=k, n_chunks=n_chunks, decay=decay
+            ).collect()
+        }
+        pts = sorted(
+            (r.vec_id, np.array(list(r.vec), dtype=np.float64))
+            for r in points_df(spark, sf).collect()
+        )
+        ids = np.array([i for i, _ in pts])
+        mat = np.stack([v for _, v in pts])
+        model = StreamingKMeansModel(
+            clusterCenters=[c.tolist() for c in mat[:k]],
+            clusterWeights=[0.0] * k,
+        )
+        n = int(ids.max()) + 1
+        chunk = max(1, n // n_chunks + (n % n_chunks > 0))
+        sc = spark.sparkContext
+        for lo in range(0, n, chunk):
+            m = (ids >= lo) & (ids < lo + chunk)
+            if not m.any():
+                continue
+            rdd = sc.parallelize([v.tolist() for v in mat[m]], 2)
+            model.update(rdd, decay, "batches")
+        centers = np.array(model.centers)
+        weights = np.array(model.clusterWeights, dtype=np.float64)
+        for c in range(k):
+            assert abs(got[c].n_weight - weights[c]) < 1e-6, (decay, c)
+            assert np.allclose(
+                np.array(list(got[c].center)), centers[c], atol=1e-6
+            ), (decay, c)

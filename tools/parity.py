@@ -99,6 +99,24 @@ def main():
 
     results: dict[str, dict] = {}
     n_pass = n_fail = n_rowsonly = 0
+
+    def _flush():
+        if args.json:
+            import json
+
+            Path(args.json).write_text(
+                json.dumps(
+                    {
+                        "sf": args.sf,
+                        "n_pass": n_pass,
+                        "n_fail": n_fail,
+                        "n_rows_only": n_rowsonly,
+                        "queries": results,
+                    },
+                    indent=1,
+                )
+            )
+
     for name in names:
         t0 = time.time()
         try:
@@ -108,11 +126,13 @@ def main():
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             results[name] = {"status": "fail", "err": "spark error"}
             n_fail += 1
+            _flush()
             continue
         if name not in oracles:
             print(f"rows {name}: {len(spark_pd)} rows ({time.time()-t0:.1f}s) [rows-only]")
             results[name] = {"status": "rows_only", "spark_rows": len(spark_pd)}
             n_rowsonly += 1
+            _flush()
             continue
         try:
             duck_pd = con.execute(oracles[name]).fetchdf()
@@ -120,12 +140,14 @@ def main():
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             results[name] = {"status": "fail", "err": "duckdb error"}
             n_fail += 1
+            _flush()
             continue
         problems = compare(name, spark_pd, duck_pd)
         if problems:
             print(f"FAIL {name} ({time.time()-t0:.1f}s): " + "; ".join(problems))
             results[name] = {"status": "fail", "err": "; ".join(problems)}
             n_fail += 1
+            _flush()
         else:
             print(f"PASS {name}: {len(spark_pd)} rows ({time.time()-t0:.1f}s)")
             results[name] = {
@@ -134,22 +156,9 @@ def main():
                 "sec": round(time.time() - t0, 2),
             }
             n_pass += 1
+            _flush()
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
-    if args.json:
-        import json
-
-        Path(args.json).write_text(
-            json.dumps(
-                {
-                    "sf": args.sf,
-                    "n_pass": n_pass,
-                    "n_fail": n_fail,
-                    "n_rows_only": n_rowsonly,
-                    "queries": results,
-                },
-                indent=1,
-            )
-        )
+    _flush()
     sys.exit(1 if n_fail else 0)
 
 
