@@ -104,24 +104,8 @@ def main() -> None:
         timings[name] = best
         samples[name] = len(runs)
 
-    # Reference-scale GKA hyperparams (gka.java README config is pop=20):
-    # one bench entry proving the per-generation shuffle design holds
-    # when P·k·d population state grows 3.3x (VERDICT r4 task 8).
-    # num_gen=5 (not the README's 50) keeps bench wall bounded —
-    # generations are linear repetition; pop is the state-growth axis.
-    try:
-        from spark_clustering_spark.ml.gka import fit_gka
-        from spark_clustering_spark.operators.clustering import points_df
-
-        t0 = time.time()
-        fit_gka(
-            spark, points_df(spark, sf_dir), k=8, pop=20, num_gen=5, seed=42
-        ).metrics.write.format("noop").mode("overwrite").save()
-        timings["fit_gka_ref_config"] = round(time.time() - t0, 3)
-        samples["fit_gka_ref_config"] = 1
-    except Exception as ex:
-        timings["fit_gka_ref_config"] = -1.0
-        print(f"# bench error fit_gka_ref_config: {ex}", file=sys.stderr)
+    # fit_gka_ref_config (pop=20 reference-scale GKA) is a DECLARED key
+    # since r6 and benches through the normal inventory path above.
 
     # symmetric PSO diagnostic: the reference README's 20-particle swarm
     try:

@@ -84,6 +84,21 @@ def q_fit_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("fit_gka_ref_config")  # rows-only: iterative, validated by invariants
+def q_fit_gka_ref_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-scale GKA (pop=20 per the reference README config,
+    5 generations, seed 42) — promoted from an unverified bench extra
+    to a declared key (VERDICT r5 task 3) so the P·k·d state-growth
+    path carries the same invariant suite (monotone best, R20 metrics
+    schema) as the toy-hyperparam fit_gka."""
+    from spark_clustering_spark.ml.gka import fit_gka
+
+    res = fit_gka(
+        spark, points_df(spark, sf_dir), k=8, pop=20, num_gen=5, seed=42
+    )
+    return res.metrics
+
+
 @query("fit_gmm_mllib")  # rows-only: iterative, validated by invariants
 def q_fit_gmm_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production/scale GMM: MLlib GaussianMixture (JVM full-covariance

@@ -188,8 +188,14 @@ def fit_gka(
     pm: float = 0.6,
     cm: float = 0.9,
     seed: int = 42,
+    tol: float = 0.0,
 ) -> GKAResult:
-    """GKA loop. ``points``: (vec_id, vec array<double>)."""
+    """GKA loop. ``points``: (vec_id, vec array<double>).
+
+    ``tol`` > 0 adds convergence stopping (the reference runs a fixed
+    generation count, gka.java — a production fit wants tol): stop when
+    a generation improves the running best objective by less than tol.
+    tol=0 reproduces the fixed-generation history exactly."""
     # hash-partition the data ONCE on the join key: the cached layout
     # advertises its partitioning, so the gen-0 labels⋈points centers
     # join shuffles only the labels side (n·P skinny rows) — the
@@ -310,11 +316,14 @@ def fit_gka(
                 )
             )
 
+        prev_best = best
         gen_best_m = min(objs, key=lambda m: (objs[m], m))
         if objs[gen_best_m] < best:
             best, best_member = objs[gen_best_m], gen_best_m
         metrics_rows.append((gen, round(best, 4), int((time.time() - t0) * 1000)))
         history.append({"gen": gen, "objs": objs, "best": best})
+        if tol > 0 and gen > 0 and prev_best - best < tol:
+            break  # converged: best improved by less than tol
 
         # ---- selection (R10, driver-side per Q8) ----------------------
         fits = [(m, 1.0 / objs[m]) for m in sorted(objs)]

@@ -83,8 +83,14 @@ def fit_pso(
     w_min: float = 0.4,
     seed: int = 42,
     reference_compat: bool = False,
+    tol: float = 0.0,
 ) -> PSOResult:
-    """PSO loop. ``points``: (vec_id, vec array<double>)."""
+    """PSO loop. ``points``: (vec_id, vec array<double>).
+
+    ``tol`` > 0 adds convergence stopping (the reference runs a fixed
+    num_iter, pso.java — a production fit wants tol): stop when an
+    iteration improves gbest by less than tol. tol=0 reproduces the
+    fixed-iteration history exactly."""
     points = points.persist()
     n = points.count()
     d = len(points.select("vec").head()["vec"])
@@ -108,6 +114,7 @@ def fit_pso(
 
     for it in range(num_iter):
         t0 = time.time()
+        prev_gbest = gbest_obj
         w_now = w_max - (w_max - w_min) * it / max(num_iter, 1)  # pso.java:95
         r1 = rng.random((P, k, d))
         r2 = rng.random((P, k, d))
@@ -126,6 +133,8 @@ def fit_pso(
 
         metrics_rows.append((it, round(gbest_obj, 4), int((time.time() - t0) * 1000)))
         history.append({"iter": it, "objs": obj.tolist(), "gbest": gbest_obj})
+        if tol > 0 and it > 0 and prev_gbest - gbest_obj < tol:
+            break  # converged: gbest improved by less than tol
 
     points.unpersist()
     metrics = spark.createDataFrame(metrics_rows, PSO_METRICS_SCHEMA)

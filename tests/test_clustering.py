@@ -360,3 +360,63 @@ class TestGMMMllib:
         total_mass = sum(r["resp_mass"] for r in out)
         assert 0 < total_mass <= n + 1e-6
         assert all(r["weight"] > 0 for r in out)
+
+
+class TestConvergenceTol:
+    """VERDICT r5 task 3: tol-based convergence stopping across the
+    three reference fits. tol=0 must reproduce the fixed-iteration
+    history exactly; a huge tol stops after the first comparable
+    iteration with a prefix-identical history."""
+
+    def test_kmeans_tol_zero_identical_and_tol_stops(self, spark, points):
+        from spark_clustering_spark.ml.kmeans import fit_kmeans
+
+        base = fit_kmeans(spark, points, k=4, num_iter=6, seed=42)
+        same = fit_kmeans(spark, points, k=4, num_iter=6, seed=42, tol=0.0)
+        assert base.history == same.history
+        early = fit_kmeans(spark, points, k=4, num_iter=6, seed=42, tol=1e12)
+        assert len(early.history) < len(base.history)
+        assert early.history == base.history[: len(early.history)]
+
+    def test_gka_tol_zero_identical_and_tol_stops(self, spark, points):
+        from spark_clustering_spark.ml.gka import fit_gka
+
+        base = fit_gka(spark, points, k=4, pop=4, num_gen=4, seed=11)
+        same = fit_gka(spark, points, k=4, pop=4, num_gen=4, seed=11, tol=0.0)
+        assert base.history == same.history
+        early = fit_gka(spark, points, k=4, pop=4, num_gen=4, seed=11, tol=1e12)
+        assert len(early.history) == 2  # gen 0 never stops; gen 1 converges
+        assert early.history == base.history[:2]
+
+    def test_pso_tol_zero_identical_and_tol_stops(self, spark, points):
+        from spark_clustering_spark.ml.pso import fit_pso
+
+        base = fit_pso(spark, points, k=4, num_particles=4, num_iter=4, seed=7)
+        same = fit_pso(
+            spark, points, k=4, num_particles=4, num_iter=4, seed=7, tol=0.0
+        )
+        assert base.history == same.history
+        early = fit_pso(
+            spark, points, k=4, num_particles=4, num_iter=4, seed=7, tol=1e12
+        )
+        assert len(early.history) == 2
+        assert early.history == base.history[:2]
+
+
+class TestFitGkaRefConfigSurface:
+    def test_declared_query_invariants(self, spark):
+        """The declared fit_gka_ref_config surface: 5 generations of
+        R20-schema metrics with a monotone non-increasing best."""
+        import __spark_entry__ as e
+
+        out = e.queries()["fit_gka_ref_config"](spark, SF_SMALL)
+        assert [f.name for f in out.schema.fields] == [
+            "gen",
+            "best_objectvalue",
+            "gen_ms",
+        ]
+        rows = out.collect()
+        assert [r.gen for r in rows] == list(range(5))
+        bests = [r.best_objectvalue for r in rows]
+        assert all(a >= b for a, b in zip(bests, bests[1:])), bests
+        assert all(b > 0 for b in bests)
