@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,15 +41,23 @@ def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 8) -> str:
     max_id = ev.agg(F.max("event_id").alias("m")).collect()[0]["m"]
     n = int(max_id) + 1
     chunk = max(1, n // n_chunks + (n % n_chunks > 0))
+    base = time.time()
     for ci, lo in enumerate(range(0, n, chunk)):
+        cdir = os.path.join(out, f"chunk_{ci:04d}")
         (
             ev.filter(
                 (F.col("event_id") >= lo) & (F.col("event_id") < lo + chunk)
             )
             .coalesce(1)
             .write.mode("overwrite")
-            .parquet(os.path.join(out, f"chunk_{ci:04d}"))
+            .parquet(cdir)
         )
+        # FileStreamSource orders by modification time, not path; chunks
+        # written in a tight loop can share an mtime and reorder. Stamp
+        # strictly increasing mtimes so arrival order == chunk order.
+        for root, _, files in os.walk(cdir):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + ci, base + ci))
     ev.unpersist()
     return out
 
@@ -344,4 +353,70 @@ def stream_upsert(
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         F.col("event_type").alias("last_type"),
         F.col("k").alias("last_k"),
+    )
+
+
+def stream_sliding_counts(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 8
+) -> DataFrame:
+    """Real streaming twin of q_stream_sliding: 30-min windows sliding
+    every 10 min, run as a Structured Streaming aggregation in complete
+    mode so the drained replay emits EXACTLY the batch result (no
+    append-mode unfinalized tail) — the equality the test asserts on
+    two different chunkings. Production would run append+watermark;
+    complete mode is the test harness's equality instrument."""
+    replay = replay_dir(spark, sf_dir, n_chunks=n_chunks)
+    src = _read_stream(spark, replay)
+    agg = src.groupBy(
+        F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    res = _run_to_completion(agg, "complete", f"sliding_{n_chunks}_{id(src)}")
+    return res.select(
+        F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+def stream_session_counts(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 8
+) -> DataFrame:
+    """Real streaming twin of q_stream_session: Spark's native
+    session_window (30-min gap) per user as a streaming aggregation,
+    complete mode so sessions spanning micro-batch boundaries merge in
+    state and the drained replay emits EXACTLY the batch result on any
+    chunking. Production would run append+watermark; complete mode is
+    the test harness's equality instrument."""
+    replay = replay_dir(spark, sf_dir, n_chunks=n_chunks)
+    src = _read_stream(spark, replay)
+    agg = src.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    res = _run_to_completion(agg, "complete", f"session_{n_chunks}_{id(src)}")
+    return res.select(
+        "user_id",
+        F.unix_timestamp(F.col("w.start")).cast("bigint").alias("session_start"),
+        "n_events",
+    )
+
+
+def stream_enrich_counts(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 8
+) -> DataFrame:
+    """Real streaming twin of q_stream_enrich: stream-static broadcast
+    join (events stream x customer dim — no state store needed) feeding
+    an hourly windowed aggregate, complete mode for drained-replay
+    equality with the batch surface on any chunking."""
+    replay = replay_dir(spark, sf_dir, n_chunks=n_chunks)
+    src = _read_stream(spark, replay)
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = src.join(F.broadcast(c), F.col("c_custkey") == F.col("user_id") + 1)
+    agg = j.groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    res = _run_to_completion(agg, "complete", f"enrich_{n_chunks}_{id(src)}")
+    return res.select(
+        F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
+        F.col("c_mktsegment").alias("segment"),
+        "n_events",
     )
