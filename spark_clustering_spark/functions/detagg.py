@@ -21,11 +21,16 @@ run-to-run reproducibility):
    sweep). DuckDB converts a decimal by double(scaled_integer) /
    10^scale, which stops being correctly rounded once the scaled
    integer exceeds 2^53; the JVM's BigDecimal.doubleValue() is always
-   correctly rounded. Fix: round the decimal DOWN TO SCALE 4 before
-   any double cast (``dsum`` and ``sql_dsum`` already do), keeping
-   |value|·10^4 < 2^53 up to ~9e11 — three orders above the largest
-   sf0.1 aggregate. Never emit a scale-8 decimal cast straight to
-   double when the magnitude can pass ~9e7.
+   correctly rounded (it falls back to Double.parseDouble of the exact
+   decimal string). The r5 mitigation (round to scale 4 first) only
+   holds to |value| ~9e11 — sf1 sufficient statistics (Σy² over 6M
+   lineitems ≈ 7e16) blow past it. The r6 fix: pivot the DuckDB cast
+   through VARCHAR — decimal→VARCHAR is exact digits in both engines,
+   and VARCHAR→DOUBLE is correctly rounded in both (fast_float /
+   Double.parseDouble) — so the cast agrees with the JVM at ANY
+   magnitude. ``sql_dsum``/``sql_dround`` pivot their final cast;
+   inline decimal→double casts in hand-written oracles use
+   ``sql_d2d``.
 
 Every float column the declared queries emit goes through ``dround``
 (or the ``dsum``/``davg`` aggregates); the ``sql_*`` twins generate the
@@ -54,11 +59,22 @@ def sql_dround(expr: str, scale: int = 4) -> str:
     # the VARCHAR pivot reproduces Spark's double->decimal cast, which
     # goes through the shortest decimal representation (Double.toString);
     # DuckDB's direct cast uses the exact binary expansion and can land
-    # on the other side of a .5 boundary.
+    # on the other side of a .5 boundary. The final decimal->double
+    # cast pivots through VARCHAR too (hazard #3: correctly rounded at
+    # any magnitude, matching BigDecimal.doubleValue).
     return (
-        f"cast(round(cast(cast(({expr}) AS VARCHAR) AS DECIMAL(38,12)), {scale})"
-        f" AS DOUBLE)"
+        f"cast(cast(round(cast(cast(({expr}) AS STRING) AS DECIMAL(38,12)), {scale})"
+        f" AS STRING) AS DOUBLE)"
     )
+
+
+def sql_d2d(expr: str) -> str:
+    """Correctly-rounded DuckDB decimal→double at any magnitude
+    (hazard #3): exact decimal digits via VARCHAR, then fast_float —
+    agrees with the JVM's BigDecimal.doubleValue to the last ulp.
+    Use in hand-written oracles wherever a decimal sufficient
+    statistic is cast to double for closed-form arithmetic."""
+    return f"cast(cast(({expr}) AS STRING) AS DOUBLE)"
 
 
 def dsum(col: Column | str, alias: str) -> Column:
@@ -74,10 +90,11 @@ def davg(col: Column | str, alias: str) -> Column:
 
 def sql_dsum(expr: str, alias: str) -> str:
     return (
-        f"cast(round(sum(cast(({expr}) AS DECIMAL(38,8))), 4) AS DOUBLE) AS {alias}"
+        f"cast(cast(round(sum(cast(({expr}) AS DECIMAL(38,8))), 4)"
+        f" AS STRING) AS DOUBLE) AS {alias}"
     )
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    inner = f"cast(sum(cast(({expr}) AS DECIMAL(38,8))) AS DOUBLE) / count(*)"
+    inner = f"{sql_d2d(f'sum(cast(({expr}) AS DECIMAL(38,8)))')} / count(*)"
     return f"{sql_dround(inner)} AS {alias}"

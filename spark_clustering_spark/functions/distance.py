@@ -63,13 +63,21 @@ def sql_cosine(a: str, b: str) -> str:
 
 
 def dot_dec(a: Column, b: Column) -> Column:
-    """Dot product accumulated in exact DECIMAL(38,8) — bit-identical
+    """Dot product accumulated in exact scale-8 decimal — bit-identical
     to a grouped `sum(cast(x*y AS DECIMAL(38,8)))` over exploded
     dimensions (each per-dim double product is one IEEE op; the exact
     decimal fold is order-free), but it runs INSIDE whole-stage
-    codegen per row instead of shuffling dimension-cardinality rows."""
+    codegen per row instead of shuffling dimension-cardinality rows.
+
+    Precision is deliberately 28, not 38: DECIMAL(38,8) + DECIMAL(38,8)
+    in Spark overflows the 38-digit cap and silently REDUCES the result
+    scale to 7 — a per-step rounding that made the fold diverge from
+    the oracle's exact sum in the 8th decimal (caught by the r6 full
+    sf0.001 sweep). (28,8)+(28,8) → (29,8) stays under the cap, so
+    every step is exact and the cast back to (28,8) only re-asserts
+    the type (20 integer digits of headroom)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(38,8)")),
-        F.lit(0).cast("decimal(38,8)"),
-        lambda acc, v: (acc + v).cast("decimal(38,8)"),
+        F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(28,8)")),
+        F.lit(0).cast("decimal(28,8)"),
+        lambda acc, v: (acc + v).cast("decimal(28,8)"),
     )

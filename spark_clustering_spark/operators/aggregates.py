@@ -161,12 +161,12 @@ def q_agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_percentile",
     oracle="""
     SELECT l_returnflag,
-           cast(round(cast(cast((quantile_cont(l_extendedprice, 0.5)) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS p50,
-           cast(round(cast(cast((quantile_cont(l_extendedprice, 0.9)) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS p90,
-           cast(round(cast(cast((quantile_cont(l_extendedprice, 0.99)) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS p99
+           cast(cast(round(cast(cast((quantile_cont(l_extendedprice, 0.5)) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS p50,
+           cast(cast(round(cast(cast((quantile_cont(l_extendedprice, 0.9)) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS p90,
+           cast(cast(round(cast(cast((quantile_cont(l_extendedprice, 0.99)) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS p99
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -402,10 +402,10 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           cast(round(cast(cast((sx / n) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS mean_qty,
-           cast(round(cast(cast((sqrt((sxx - sx * sx / n) / (n - 1))) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS std_qty,
-           cast(round(cast(cast((sqrt((syy - sy * sy / n) / (n - 1))) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS std_price,
-           cast(round(cast(cast(((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS corr_qty_price
+           cast(cast(round(cast(cast((sx / n) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS mean_qty,
+           cast(cast(round(cast(cast((sqrt((sxx - sx * sx / n) / (n - 1))) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS std_qty,
+           cast(cast(round(cast(cast((sqrt((syy - sy * sy / n) / (n - 1))) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS std_price,
+           cast(cast(round(cast(cast(((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS corr_qty_price
     FROM s
     """,
 )
@@ -457,8 +457,7 @@ MV_CUTOVER = "1999-01-01"  # base snapshot boundary for the incremental MV
     SELECT o_orderpriority,
            strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
            count(*) AS n_orders,
-           cast(round(sum(cast(o_totalprice AS DECIMAL(38,8))), 4)
-                AS DOUBLE) AS total_price
+           cast(cast(round(sum(cast(o_totalprice AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY 1, 2
     """,
@@ -536,11 +535,11 @@ def _kmv_oracle() -> str:
     ),
     base AS (SELECT DISTINCT event_type, n_exact FROM ranked)
     SELECT b.event_type, b.n_exact,
-           cast(round(cast(cast((
+           cast(cast(round(cast(cast((
              CASE WHEN k.hk IS NOT NULL
                   THEN ({KMV_K} - 1) * 4294967296.0 / k.hk
                   ELSE cast(b.n_exact AS DOUBLE) END) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS kmv_estimate
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS kmv_estimate
     FROM base b LEFT JOIN kth k ON k.event_type = b.event_type
     """
 
@@ -706,10 +705,10 @@ SKEW_TOP = 10  # heavy hitters reported by the skew profiler
     )
     SELECT row_number() OVER (ORDER BY p.n_rows DESC, p.key)::INT AS rank,
            p.key, p.n_rows,
-           cast(round(cast(cast((cast(p.n_rows AS DOUBLE) / s.total)
-                AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS share,
-           cast(round(cast(cast((cast(p.n_rows AS DOUBLE) * s.n_keys
-                / s.total) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE)
+           cast(cast(round(cast(cast((cast(p.n_rows AS DOUBLE) / s.total)
+                AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS share,
+           cast(cast(round(cast(cast((cast(p.n_rows AS DOUBLE) * s.n_keys
+                / s.total) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE)
              AS skew_ratio
     FROM per_key p CROSS JOIN stats s
     ORDER BY p.n_rows DESC, p.key LIMIT {SKEW_TOP}
@@ -882,12 +881,12 @@ def _kmv_overlap_oracle() -> str:
     SELECT k.ta AS type_a, k.tb AS type_b,
            sa.n AS n_a, sb.n AS n_b,
            coalesce(i.n_inter, 0) AS n_inter_exact,
-           cast(round(cast(cast((r.n_both::DOUBLE / k.ku)
-                AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE)
+           cast(cast(round(cast(cast((r.n_both::DOUBLE / k.ku)
+                AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE)
              AS jaccard_est,
-           cast(round(cast(cast((r.n_both::DOUBLE / k.ku
+           cast(cast(round(cast(cast((r.n_both::DOUBLE / k.ku
                 * ({KMV_K} - 1) * 4294967296.0 / k.hk)
-                AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE)
+                AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE)
              AS inter_est
     FROM hk k
     JOIN rho r ON r.ta = k.ta AND r.tb = k.tb
@@ -1004,7 +1003,7 @@ def _ab_lift_oracle() -> str:
     from spark_clustering_spark.functions.porthash import sql_hex_int
 
     h = sql_hex_int(f"md5('{AB_SEED}:' || user_id::VARCHAR)")
-    pivot = "cast(round(cast(cast(({x}) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE)"
+    pivot = "cast(cast(round(cast(cast(({x}) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE)"
     return f"""
     WITH f AS (
       SELECT user_id, event_type,
@@ -1207,12 +1206,12 @@ WINSOR_LO, WINSOR_HI = 0.05, 0.95
            cast(sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
              AS n_capped_hi,
            {sql_dround(
-               "cast(sum(cast(e.value AS DECIMAL(38,8))) AS DOUBLE)"
+               "cast(cast(sum(cast(e.value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)"
                " / count(*)"
            )} AS raw_mean,
            {sql_dround(
-               "cast(sum(cast(greatest(least(e.value, c.hi), c.lo)"
-               " AS DECIMAL(38,8))) AS DOUBLE) / count(*)"
+               "cast(cast(sum(cast(greatest(least(e.value, c.hi), c.lo)"
+               " AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*)"
            )} AS winsor_mean
     FROM events e JOIN cuts c ON c.event_type = e.event_type
     GROUP BY e.event_type
@@ -1288,8 +1287,8 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       SELECT g, full_est,
-             cast(sum(cast(est AS DECIMAL(38,12))) AS DOUBLE) AS se1,
-             cast(sum(cast(est * est AS DECIMAL(38,12))) AS DOUBLE) AS se2
+             cast(cast(sum(cast(est AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS se1,
+             cast(cast(sum(cast(est * est AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS se2
       FROM pseudo GROUP BY g, full_est
     )
     SELECT cast(g AS BIGINT) AS n_groups,
@@ -1455,11 +1454,11 @@ def q_agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       SELECT n_a, n_b,
-             cast(sx_a AS DOUBLE) / n_a AS m_a,
-             cast(sx_b AS DOUBLE) / n_b AS m_b,
-             (cast(sxx_a AS DOUBLE) - cast(sx_a AS DOUBLE) * cast(sx_a AS DOUBLE) / n_a)
+             cast(cast(sx_a AS VARCHAR) AS DOUBLE) / n_a AS m_a,
+             cast(cast(sx_b AS VARCHAR) AS DOUBLE) / n_b AS m_b,
+             (cast(cast(sxx_a AS VARCHAR) AS DOUBLE) - cast(cast(sx_a AS VARCHAR) AS DOUBLE) * cast(cast(sx_a AS VARCHAR) AS DOUBLE) / n_a)
                / (n_a - 1) AS v_a,
-             (cast(sxx_b AS DOUBLE) - cast(sx_b AS DOUBLE) * cast(sx_b AS DOUBLE) / n_b)
+             (cast(cast(sxx_b AS VARCHAR) AS DOUBLE) - cast(cast(sx_b AS VARCHAR) AS DOUBLE) * cast(cast(sx_b AS VARCHAR) AS DOUBLE) / n_b)
                / (n_b - 1) AS v_b
       FROM s
     ),
@@ -1469,15 +1468,15 @@ def q_agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT n_a, n_b,
-           cast(round(cast(cast(m_a AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS mean_a,
-           cast(round(cast(cast(m_b AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS mean_b,
-           cast(round(cast(cast(
+           cast(cast(round(cast(cast(m_a AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS mean_a,
+           cast(cast(round(cast(cast(m_b AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS mean_b,
+           cast(cast(round(cast(cast(
              ((m_a - m_b) / sqrt(se2))
-             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS t_stat,
-           cast(round(cast(cast(
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS t_stat,
+           cast(cast(round(cast(cast(
              ((se2 * se2) / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
                              + (v_b / n_b) * (v_b / n_b) / (n_b - 1)))
-             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS df_welch
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS df_welch
     FROM e
     """,
 )
@@ -1860,8 +1859,8 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket::INT AS bucket,
            count(*) AS n,
            min(c) AS min_cents, max(c) AS max_cents,
-           cast(round(cast(cast((count(*) / cast(t.tot AS DOUBLE))
-                AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS share
+           cast(cast(round(cast(cast((count(*) / cast(t.tot AS DOUBLE))
+                AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS share
     FROM b CROSS JOIN t
     GROUP BY bucket, t.tot
     """,
@@ -1924,14 +1923,10 @@ IQR_FENCE = 1.5  # Tukey fence multiplier
              q3 + {IQR_FENCE} * (q3 - q1) AS hi
       FROM q
     )
-    SELECT cast(round(cast(cast((f.q1) AS VARCHAR) AS DECIMAL(38,12)), 4)
-             AS DOUBLE) AS q1,
-           cast(round(cast(cast((f.q3) AS VARCHAR) AS DECIMAL(38,12)), 4)
-             AS DOUBLE) AS q3,
-           cast(round(cast(cast((f.lo) AS VARCHAR) AS DECIMAL(38,12)), 4)
-             AS DOUBLE) AS fence_lo,
-           cast(round(cast(cast((f.hi) AS VARCHAR) AS DECIMAL(38,12)), 4)
-             AS DOUBLE) AS fence_hi,
+    SELECT cast(cast(round(cast(cast((f.q1) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS q1,
+           cast(cast(round(cast(cast((f.q3) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS q3,
+           cast(cast(round(cast(cast((f.lo) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS fence_lo,
+           cast(cast(round(cast(cast((f.hi) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS fence_hi,
            sum(CASE WHEN o.o_totalprice < f.lo THEN 1 ELSE 0 END)::BIGINT
              AS n_below,
            sum(CASE WHEN o.o_totalprice > f.hi THEN 1 ELSE 0 END)::BIGINT
@@ -2015,9 +2010,9 @@ def q_dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT sum(w) FROM g) AS tot
       FROM g
     )
-    SELECT cast(round(cast(cast(
+    SELECT cast(cast(round(cast(cast(
              (min(CASE WHEN 2 * cum >= tot THEN v END))
-             AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS w_median,
+             AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS w_median,
            cast(max(tot) AS BIGINT) AS total_weight
     FROM r
     """,
@@ -2087,12 +2082,11 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT l_returnflag, n::BIGINT AS n,
-           cast(round(cast(cast((m1) AS VARCHAR) AS DECIMAL(38,12)), 6)
-             AS DOUBLE) AS mean_qty,
-           cast(round(cast(cast((mu3 / (mu2 * sqrt(mu2)))
-             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS skewness,
-           cast(round(cast(cast((mu4 / (mu2 * mu2) - 3.0)
-             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS kurtosis_ex
+           cast(cast(round(cast(cast((m1) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS mean_qty,
+           cast(cast(round(cast(cast((mu3 / (mu2 * sqrt(mu2)))
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS skewness,
+           cast(cast(round(cast(cast((mu4 / (mu2 * mu2) - 3.0)
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS kurtosis_ex
     FROM c
     """,
 )
@@ -2181,15 +2175,14 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT count(*) AS n_buckets,
-             cast(sum(cast(
+             cast(cast(sum(cast(
                (pa - pe) * cast(round(cast(ln(pa / pe) AS DECIMAL(38,12)), 6)
                                 AS DECIMAL(38,6)) AS DECIMAL(38,12))
-             ) AS DOUBLE) AS psi_raw
+             ) AS VARCHAR) AS DOUBLE) AS psi_raw
       FROM terms
     )
     SELECT n_buckets::BIGINT AS n_buckets, psi_raw,
-           cast(round(cast(cast((psi_raw) AS VARCHAR) AS DECIMAL(38,12)), 6)
-             AS DOUBLE) AS psi
+           cast(cast(round(cast(cast((psi_raw) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS psi
     FROM s
     """,
 )

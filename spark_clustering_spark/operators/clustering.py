@@ -149,7 +149,7 @@ def sql_update(name: str = "upd", assign: str = "assign") -> str:
     """Per-(cluster, dim) exact-decimal mean + counts, exploded form."""
     return f"""{name} AS (
       SELECT a.cluster_id, u.pos,
-             cast(sum(cast(u.v AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS mean_v,
+             cast(cast(sum(cast(u.v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS mean_v,
              count(*) AS n_points
       FROM {assign} a JOIN unn u ON a.vec_id = u.vec_id
       GROUP BY a.cluster_id, u.pos
@@ -164,7 +164,7 @@ def sql_update(name: str = "upd", assign: str = "assign") -> str:
     WITH {sql_points()},
     {sql_centroids(K_DEFAULT)},
     {sql_assign(K_DEFAULT)}
-    SELECT vec_id, cluster_id, cast(round(cast(cast((dist) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS dist
+    SELECT vec_id, cluster_id, cast(cast(round(cast(cast((dist) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS dist
     FROM assign
     """,
 )
@@ -182,7 +182,7 @@ def q_assign_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     {sql_assign(K_DEFAULT)},
     {SQL_UNNEST},
     {sql_update()}
-    SELECT cluster_id, pos::INT AS pos, cast(round(cast(cast((mean_v) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS ctr_mean, n_points
+    SELECT cluster_id, pos::INT AS pos, cast(cast(round(cast(cast((mean_v) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS ctr_mean, n_points
     FROM upd
     """,
 )
@@ -227,7 +227,7 @@ def q_sse_objective(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     {sql_assign(K_DEFAULT, name='a2', ctr='c1')},
     {sql_update(name='u2', assign='a2')}
-    SELECT cluster_id, pos::INT AS pos, cast(round(cast(cast((mean_v) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS ctr_mean, n_points
+    SELECT cluster_id, pos::INT AS pos, cast(cast(round(cast(cast((mean_v) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS ctr_mean, n_points
     FROM u2
     """,
 )
@@ -274,8 +274,8 @@ def q_empty_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hist AS (
       SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS iter,
-             cast(round(cast(cast(sum(cast(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
-                   / count(*) AS DECIMAL(38,12)), 4) AS DOUBLE) AS objective
+             cast(cast(round(cast(cast(cast(sum(cast(o_totalprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+                   / count(*) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS objective
       FROM orders GROUP BY 1
     )
     SELECT iter::INT AS iter, objective,
@@ -320,8 +320,8 @@ def _wheel_cols(cum: Column, total: Column) -> Column:
       FROM pop
     )
     SELECT member_id,
-           cast(round(cast(cast((fit) AS VARCHAR) AS DECIMAL(38,14)), 10) AS DOUBLE) AS fit10,
-           cast(round(cast(cast((cum / (max(cum) OVER ())) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cdf
+           cast(cast(round(cast(cast((fit) AS VARCHAR) AS DECIMAL(38,14)), 10) AS VARCHAR) AS DOUBLE) AS fit10,
+           cast(cast(round(cast(cast((cum / (max(cum) OVER ())) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS cdf
     FROM cums
     """,
 )
@@ -369,9 +369,9 @@ def q_roulette_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wt
     )
     SELECT cluster_id, vec_id,
-           cast(round(cast(cast((w) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS w,
-           cast(round(cast(cast((cum / (last_value(cum) OVER (PARTITION BY cluster_id ORDER BY vec_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cdf
+           cast(cast(round(cast(cast((w) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS w,
+           cast(cast(round(cast(cast((cum / (last_value(cum) OVER (PARTITION BY cluster_id ORDER BY vec_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS cdf
     FROM cums
     """,
 )
@@ -423,7 +423,7 @@ SIL_SAMPLE = 200  # points scored in the declared silhouette query
     ),
     md AS (  -- mean distance from i to each cluster cj (exact decimal)
       SELECT i, ci, cj,
-             cast(sum(cast(d AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS m
+             cast(cast(sum(cast(d AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS m
       FROM pd GROUP BY 1, 2, 3
     ),
     ab AS (
@@ -433,14 +433,14 @@ SIL_SAMPLE = 200  # points scored in the declared silhouette query
       FROM md GROUP BY 1, 2
     )
     SELECT i AS vec_id, ci::INT AS cid,
-           cast(round(cast(cast((coalesce(a, 0.0)) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS a_intra,
-           cast(round(cast(cast((b) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS b_inter,
-           cast(round(cast(cast((
+           cast(cast(round(cast(cast((coalesce(a, 0.0)) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS a_intra,
+           cast(cast(round(cast(cast((b) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS b_inter,
+           cast(cast(round(cast(cast((
              CASE WHEN a IS NULL THEN 0.0
                   ELSE (b - a) / greatest(a, b) END) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS silhouette
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS silhouette
     FROM ab
     """,
 )
@@ -511,8 +511,8 @@ def _elbow_oracle() -> str:
         ctes.append(sql_centroids(k, name=f"ctr{k}"))
         ctes.append(sql_assign(k, name=f"as{k}", ctr=f"ctr{k}"))
         parts.append(
-            f"SELECT {k} AS k, cast(round(sum(cast(dist AS DECIMAL(38,8))), 4)"
-            f" AS DOUBLE) AS sse FROM as{k}"
+            f"SELECT {k} AS k, cast(cast(round(sum(cast(dist AS DECIMAL(38,8))), 4)"
+            f" AS VARCHAR) AS DOUBLE) AS sse FROM as{k}"
         )
     return (
         "WITH " + ",\n    ".join(ctes) + "\n    " + " UNION ALL ".join(parts)
@@ -657,7 +657,7 @@ def q_ml_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     {sql_assign(K_DEFAULT)},
     scat AS (
       SELECT a.cluster_id AS cid,
-             cast(sum(cast(a.dist AS DECIMAL(38,8))) AS DOUBLE)
+             cast(cast(sum(cast(a.dist AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
                / count(*) AS s
       FROM assign a GROUP BY 1
     ),
@@ -670,10 +670,10 @@ def q_ml_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN ctr cj2 ON cj2.cid = j.cid
     )
     SELECT cid,
-           cast(round(cast(cast((s.s) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS scatter,
-           cast(round(cast(cast((r.rmax) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS r_max
+           cast(cast(round(cast(cast((s.s) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS scatter,
+           cast(cast(round(cast(cast((r.rmax) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS r_max
     FROM scat s
     JOIN (SELECT cid, max(r) AS rmax FROM ratios GROUP BY cid) r
       USING (cid)
@@ -742,12 +742,12 @@ GMM_SAMPLE = 100   # points scored
     ),
     den AS (
       SELECT vec_id,
-             cast(sum(cast(l AS DECIMAL(38,18))) AS DOUBLE) AS z
+             cast(cast(sum(cast(l AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS z
       FROM lik GROUP BY vec_id
     )
     SELECT l.vec_id, l.cid::INT AS cid,
-           cast(round(cast(cast((l.l / d.z) AS VARCHAR)
-                AS DECIMAL(38,12)), 6) AS DOUBLE) AS resp
+           cast(cast(round(cast(cast((l.l / d.z) AS VARCHAR)
+                AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS resp
     FROM lik l JOIN den d USING (vec_id)
     """,
 )
@@ -809,14 +809,14 @@ def q_ml_gmm_estep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     beta AS (
       SELECT n, cast(npos AS BIGINT) AS n_pos,
-             4.0 * (cast(szz AS DOUBLE) * cast(g0 AS DOUBLE)
-                    - cast(sz AS DOUBLE) * cast(g1 AS DOUBLE))
-                 / (n * cast(szz AS DOUBLE)
-                    - cast(sz AS DOUBLE) * cast(sz AS DOUBLE)) AS b0,
-             4.0 * (n * cast(g1 AS DOUBLE)
-                    - cast(sz AS DOUBLE) * cast(g0 AS DOUBLE))
-                 / (n * cast(szz AS DOUBLE)
-                    - cast(sz AS DOUBLE) * cast(sz AS DOUBLE)) AS b1
+             4.0 * (cast(cast(szz AS VARCHAR) AS DOUBLE) * cast(cast(g0 AS VARCHAR) AS DOUBLE)
+                    - cast(cast(sz AS VARCHAR) AS DOUBLE) * cast(cast(g1 AS VARCHAR) AS DOUBLE))
+                 / (n * cast(cast(szz AS VARCHAR) AS DOUBLE)
+                    - cast(cast(sz AS VARCHAR) AS DOUBLE) * cast(cast(sz AS VARCHAR) AS DOUBLE)) AS b0,
+             4.0 * (n * cast(cast(g1 AS VARCHAR) AS DOUBLE)
+                    - cast(cast(sz AS VARCHAR) AS DOUBLE) * cast(cast(g0 AS VARCHAR) AS DOUBLE))
+                 / (n * cast(cast(szz AS VARCHAR) AS DOUBLE)
+                    - cast(cast(sz AS VARCHAR) AS DOUBLE) * cast(cast(sz AS VARCHAR) AS DOUBLE)) AS b1
       FROM s
     ),
     ev AS (
@@ -932,13 +932,13 @@ RIDGE_LAMBDA = 50.0  # per-observation L2 penalty λ₀ (total λ = n·λ₀)
     ),
     b AS (
       SELECT n,
-             (n * cast(sxy AS DOUBLE)
-              - cast(sx AS DOUBLE) * cast(sy AS DOUBLE)) AS cov_n,
-             (n * cast(sxx AS DOUBLE)
-              - cast(sx AS DOUBLE) * cast(sx AS DOUBLE)) AS var_n,
-             (n * cast(syy AS DOUBLE)
-              - cast(sy AS DOUBLE) * cast(sy AS DOUBLE)) AS vary_n,
-             cast(sx AS DOUBLE) AS sxd, cast(sy AS DOUBLE) AS syd
+             (n * cast(cast(sxy AS VARCHAR) AS DOUBLE)
+              - cast(cast(sx AS VARCHAR) AS DOUBLE) * cast(cast(sy AS VARCHAR) AS DOUBLE)) AS cov_n,
+             (n * cast(cast(sxx AS VARCHAR) AS DOUBLE)
+              - cast(cast(sx AS VARCHAR) AS DOUBLE) * cast(cast(sx AS VARCHAR) AS DOUBLE)) AS var_n,
+             (n * cast(cast(syy AS VARCHAR) AS DOUBLE)
+              - cast(cast(sy AS VARCHAR) AS DOUBLE) * cast(cast(sy AS VARCHAR) AS DOUBLE)) AS vary_n,
+             cast(cast(sx AS VARCHAR) AS DOUBLE) AS sxd, cast(cast(sy AS VARCHAR) AS DOUBLE) AS syd
       FROM s
     ),
     fit AS (
@@ -1049,7 +1049,7 @@ def q_ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     den AS (
       SELECT vec_id,
-             cast(sum(cast(l AS DECIMAL(38,18))) AS DOUBLE) AS z
+             cast(cast(sum(cast(l AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS z
       FROM lik GROUP BY vec_id
     ),
     resp AS (
@@ -1070,12 +1070,12 @@ def q_ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (SELECT count(*) AS n_pts FROM s)
     SELECT cid::INT AS cid, pos::INT AS pos,
-           cast(round(cast(cast(
-             (cast(wx AS DOUBLE) / cast(rsum AS DOUBLE))
-             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS mu_new,
-           cast(round(cast(cast(
-             (cast(rsum AS DOUBLE) / n.n_pts)
-             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS weight_new
+           cast(cast(round(cast(cast(
+             (cast(cast(wx AS VARCHAR) AS DOUBLE) / cast(cast(rsum AS VARCHAR) AS DOUBLE))
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS mu_new,
+           cast(cast(round(cast(cast(
+             (cast(cast(rsum AS VARCHAR) AS DOUBLE) / n.n_pts)
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS weight_new
     FROM agg CROSS JOIN n
     """,
 )
@@ -1144,16 +1144,16 @@ def q_ml_gmm_mstep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     perpt AS (
       SELECT vec_id,
-             ln(cast(sum(cast(l AS DECIMAL(38,18))) AS DOUBLE)
+             ln(cast(cast(sum(cast(l AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
                 / {K_DEFAULT}) AS ll
       FROM lik GROUP BY vec_id
     )
     SELECT count(*) AS n_points,
-           cast(round(sum(cast(ll AS DECIMAL(38,8))), 4) AS DOUBLE)
+           cast(cast(round(sum(cast(ll AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE)
              AS loglik,
-           cast(round(cast(cast(
-             (cast(sum(cast(ll AS DECIMAL(38,8))) AS DOUBLE) / count(*))
-             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS avg_loglik
+           cast(cast(round(cast(cast(
+             (cast(cast(sum(cast(ll AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*))
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS avg_loglik
     FROM perpt
     """,
 )
@@ -1214,11 +1214,11 @@ ALS_LAMBDA = 0.1  # per-user L2 regularization in the ALS half-step
     ),
     s AS (
       SELECT c, count(*) AS n_items,
-             cast(sum(cast(v1 * v1 AS DECIMAL(38,8))) AS DOUBLE) AS s11,
-             cast(sum(cast(v1 * v2 AS DECIMAL(38,8))) AS DOUBLE) AS s12,
-             cast(sum(cast(v2 * v2 AS DECIMAL(38,8))) AS DOUBLE) AS s22,
-             cast(sum(cast(r * v1 AS DECIMAL(38,8))) AS DOUBLE) AS b1,
-             cast(sum(cast(r * v2 AS DECIMAL(38,8))) AS DOUBLE) AS b2
+             cast(cast(sum(cast(v1 * v1 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s11,
+             cast(cast(sum(cast(v1 * v2 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s12,
+             cast(cast(sum(cast(v2 * v2 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s22,
+             cast(cast(sum(cast(r * v1 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS b1,
+             cast(cast(sum(cast(r * v2 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS b2
       FROM r GROUP BY c
     )
     SELECT c AS custkey, n_items,
@@ -1312,14 +1312,14 @@ CALIB_BINS = 10  # reliability-diagram resolution
       FROM pts
     ),
     beta AS (
-      SELECT 4.0 * (cast(szz AS DOUBLE) * cast(g0 AS DOUBLE)
-                    - cast(sz AS DOUBLE) * cast(g1 AS DOUBLE))
-                 / (n * cast(szz AS DOUBLE)
-                    - cast(sz AS DOUBLE) * cast(sz AS DOUBLE)) AS b0,
-             4.0 * (n * cast(g1 AS DOUBLE)
-                    - cast(sz AS DOUBLE) * cast(g0 AS DOUBLE))
-                 / (n * cast(szz AS DOUBLE)
-                    - cast(sz AS DOUBLE) * cast(sz AS DOUBLE)) AS b1
+      SELECT 4.0 * (cast(cast(szz AS VARCHAR) AS DOUBLE) * cast(cast(g0 AS VARCHAR) AS DOUBLE)
+                    - cast(cast(sz AS VARCHAR) AS DOUBLE) * cast(cast(g1 AS VARCHAR) AS DOUBLE))
+                 / (n * cast(cast(szz AS VARCHAR) AS DOUBLE)
+                    - cast(cast(sz AS VARCHAR) AS DOUBLE) * cast(cast(sz AS VARCHAR) AS DOUBLE)) AS b0,
+             4.0 * (n * cast(cast(g1 AS VARCHAR) AS DOUBLE)
+                    - cast(cast(sz AS VARCHAR) AS DOUBLE) * cast(cast(g0 AS VARCHAR) AS DOUBLE))
+                 / (n * cast(cast(szz AS VARCHAR) AS DOUBLE)
+                    - cast(cast(sz AS VARCHAR) AS DOUBLE) * cast(cast(sz AS VARCHAR) AS DOUBLE)) AS b1
       FROM s
     ),
     pred AS (
@@ -1330,7 +1330,7 @@ CALIB_BINS = 10  # reliability-diagram resolution
       SELECT least(floor(sigma * {CALIB_BINS}), {CALIB_BINS - 1})::INT
                AS bin,
              count(*) AS n,
-             cast(sum(cast(sigma AS DECIMAL(38,12))) AS DOUBLE) AS ssig,
+             cast(cast(sum(cast(sigma AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS ssig,
              sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS npos
       FROM pred GROUP BY 1
     )
@@ -1583,10 +1583,10 @@ def q_ml_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT count(*) FROM orders) AS n
       FROM r
     )
-    SELECT cast(round(cast(
+    SELECT cast(cast(round(cast(
              (cast(rs2 AS DOUBLE) - cast(n1 AS DOUBLE) * (n1 + 1))
                / (2.0 * n1 * (n - n1))
-             AS DECIMAL(38,12)), 6) AS DOUBLE) AS auc,
+             AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS auc,
            cast(n1 AS BIGINT) AS n_pos,
            cast(n - n1 AS BIGINT) AS n_neg
     FROM t
@@ -1653,7 +1653,7 @@ def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
     ),
     thr AS (
-      SELECT cast(sum(cast(z AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS mz
+      SELECT cast(cast(sum(cast(z AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS mz
       FROM pts
     ),
     cm AS (
@@ -1762,7 +1762,7 @@ STUMP_BINS_PER_UNIT = 16  # ln-unit-price resolution: 1/16-nat bins
     SELECT cast(bin AS INT) AS split_bin,
            cast(nl AS BIGINT) AS n_left, cast(pl AS BIGINT) AS pos_left,
            cast(nr AS BIGINT) AS n_right, cast(pr AS BIGINT) AS pos_right,
-           cast(round(cast(score AS DECIMAL(38,12)), 6) AS DOUBLE) AS score
+           cast(cast(round(cast(score AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS score
     FROM sc ORDER BY score DESC, bin LIMIT 1
     """,
 )
@@ -1977,10 +1977,10 @@ def q_ml_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cast(n AS BIGINT) AS n,
            cast(sij AS BIGINT) AS pair_agreements,
-           cast(round(cast(cast((
+           cast(cast(round(cast(cast((
              (sij - sa * sb / c2n)
                / ((sa + sb) / 2.0 - sa * sb / c2n)
-           ) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS ari
+           ) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS ari
     FROM t
     """,
 )
@@ -2079,9 +2079,9 @@ def q_ml_ari_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(n_points AS BIGINT) AS n_points,
            cast(major_label AS BIGINT) AS major_label,
            cast(n_major AS BIGINT) AS n_major,
-           cast(round(cast(cast((
+           cast(cast(round(cast(cast((
              cast(n_major AS DOUBLE) / n_points
-           ) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS purity
+           ) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS purity
     FROM per
     """,
 )
@@ -2152,35 +2152,35 @@ def q_ml_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ai AS (SELECT ci, sum(nij) AS a FROM cont GROUP BY ci),
     bj AS (SELECT lj, sum(nij) AS b FROM cont GROUP BY lj),
     hck AS (
-      SELECT cast(sum(cast(
+      SELECT cast(cast(sum(cast(
         (cast(c.nij AS DOUBLE) / t.n)
           * cast(round(cast(ln(cast(c.nij AS DOUBLE) / ai.a)
                  AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))
-        AS DECIMAL(38,12))) AS DOUBLE) AS v
+        AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS v
       FROM cont c JOIN ai ON ai.ci = c.ci CROSS JOIN tot t
     ),
     hkc AS (
-      SELECT cast(sum(cast(
+      SELECT cast(cast(sum(cast(
         (cast(c.nij AS DOUBLE) / t.n)
           * cast(round(cast(ln(cast(c.nij AS DOUBLE) / bj.b)
                  AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))
-        AS DECIMAL(38,12))) AS DOUBLE) AS v
+        AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS v
       FROM cont c JOIN bj ON bj.lj = c.lj CROSS JOIN tot t
     ),
     hc AS (
-      SELECT cast(sum(cast(
+      SELECT cast(cast(sum(cast(
         (cast(b.b AS DOUBLE) / t.n)
           * cast(round(cast(ln(cast(b.b AS DOUBLE) / t.n)
                  AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))
-        AS DECIMAL(38,12))) AS DOUBLE) AS v
+        AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS v
       FROM bj b CROSS JOIN tot t
     ),
     hk AS (
-      SELECT cast(sum(cast(
+      SELECT cast(cast(sum(cast(
         (cast(a.a AS DOUBLE) / t.n)
           * cast(round(cast(ln(cast(a.a AS DOUBLE) / t.n)
                  AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))
-        AS DECIMAL(38,12))) AS DOUBLE) AS v
+        AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS v
       FROM ai a CROSS JOIN tot t
     ),
     hv AS (
@@ -2339,14 +2339,12 @@ LC_SEED = 47              # LCG substream for subset assignment
     SELECT t::INT AS train_buckets,
            cast(n_tr AS BIGINT) AS n_train,
            cast(n_te AS BIGINT) AS n_test,
-           cast(round(cast(cast((b) AS VARCHAR) AS DECIMAL(38,12)), 6)
-             AS DOUBLE) AS slope,
-           cast(round(cast(cast((a) AS VARCHAR) AS DECIMAL(38,12)), 4)
-             AS DOUBLE) AS intercept,
-           cast(round(cast(cast((
+           cast(cast(round(cast(cast((b) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS slope,
+           cast(cast(round(cast(cast((a) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS intercept,
+           cast(cast(round(cast(cast((
              (eyy - 2.0 * a * ey - 2.0 * b * exy + 2.0 * a * b * ex
               + n_te * a * a + b * b * exx) / n_te
-           ) AS VARCHAR) AS DECIMAL(38,12)), 2) AS DOUBLE) AS test_mse
+           ) AS VARCHAR) AS DECIMAL(38,12)), 2) AS VARCHAR) AS DOUBLE) AS test_mse
     FROM fit
     """,
 )

@@ -72,14 +72,14 @@ def _pagerank_sql() -> str:
     for t in range(1, PR_ITERS + 1):
         steps.append(f"""c{t} AS (
       SELECT e.dst AS node,
-             cast(sum(cast(r.r * (cast(e.w AS DOUBLE) / o.tw)
-                  AS DECIMAL(38,8))) AS DOUBLE) AS m
+             cast(cast(sum(cast(r.r * (cast(e.w AS DOUBLE) / o.tw)
+                  AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS m
       FROM e JOIN outw o ON o.src = e.src
              JOIN {prev} r ON r.node = e.src
       GROUP BY e.dst
     ),
     g{t} AS (  -- rank mass sitting on dangling (no-out-edge) nodes
-      SELECT coalesce(cast(sum(cast(p.r AS DECIMAL(38,8))) AS DOUBLE), 0.0)
+      SELECT coalesce(cast(cast(sum(cast(p.r AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE), 0.0)
                AS dm
       FROM {prev} p LEFT JOIN outw o ON o.src = p.node
       WHERE o.src IS NULL
@@ -111,8 +111,8 @@ def _pagerank_sql() -> str:
     ),
     {steps_sql}
     SELECT nt.n_name AS nation,
-           cast(round(cast(cast((f.r) AS VARCHAR)
-                AS DECIMAL(38,12)), 6) AS DOUBLE) AS rank
+           cast(cast(round(cast(cast((f.r) AS VARCHAR)
+                AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS rank
     FROM r{PR_ITERS} f JOIN nation nt ON nt.n_nationkey = f.node
     """
 
@@ -234,8 +234,8 @@ def _triangles_sql() -> str:
     SELECT (SELECT count(*) FROM deg) AS n_nodes,
            (SELECT count(*) FROM e) AS n_edges,
            tri.n_triangles,
-           cast(round(cast(cast((3.0 * tri.n_triangles / w.n_wedges)
-                AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE)
+           cast(cast(round(cast(cast((3.0 * tri.n_triangles / w.n_wedges)
+                AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE)
              AS clustering_coeff
     FROM tri CROSS JOIN w
     """
@@ -443,7 +443,7 @@ def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_nodes,
            min(d) AS min_deg, max(d) AS max_deg,
            {sql_dround(
-               "cast(sum(cast(d AS DECIMAL(38,8))) AS DOUBLE) / count(*)"
+               "cast(cast(sum(cast(d AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*)"
            )} AS avg_deg
     FROM deg GROUP BY side, bucket
     """,
@@ -532,8 +532,8 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cast(m2 // 2 AS BIGINT) AS n_edges,
            {sql_dround(
-               "(m2 * cast(sxy AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE))"
-               " / (m2 * cast(sxx AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE))",
+               "(m2 * cast(cast(sxy AS VARCHAR) AS DOUBLE) - cast(cast(sx AS VARCHAR) AS DOUBLE) * cast(cast(sx AS VARCHAR) AS DOUBLE))"
+               " / (m2 * cast(cast(sxx AS VARCHAR) AS DOUBLE) - cast(cast(sx AS VARCHAR) AS DOUBLE) * cast(cast(sx AS VARCHAR) AS DOUBLE))",
                6,
            )} AS assortativity
     FROM s
@@ -710,9 +710,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE e.u IS NULL AND w.common >= 2
     )
     SELECT u, v, common,
-           cast(round(cast(cast(
+           cast(cast(round(cast(cast(
              (cast(common AS DOUBLE) / (du + dv - common))
-             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS jaccard
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS jaccard
     FROM cand
     ORDER BY jaccard DESC, u, v
     LIMIT 50
@@ -1034,8 +1034,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE g.d >= 2
     )
     SELECT node, cast(d AS BIGINT) AS degree, cast(t AS BIGINT) AS triangles,
-           cast(round(cast(cast((c) AS VARCHAR) AS DECIMAL(38,12)), 6)
-             AS DOUBLE) AS lcc
+           cast(cast(round(cast(cast((c) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS lcc
     FROM lcc
     ORDER BY lcc DESC, t DESC, node
     LIMIT 50

@@ -91,8 +91,8 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey,
            count(o.o_orderkey) AS n_orders,
-           cast(round(coalesce(sum(cast(o.o_totalprice AS DECIMAL(38,8))),
-                               cast(0 AS DECIMAL(38,8))), 4) AS DOUBLE)
+           cast(cast(round(coalesce(sum(cast(o.o_totalprice AS DECIMAL(38,8))),
+                               cast(0 AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE)
              AS total_spend
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey
@@ -415,8 +415,8 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.p_partkey,
            count(*) AS n_near,
-           cast(round(sum(cast((l.l_extendedprice / l.l_quantity)
-             AS DECIMAL(38,8))), 4) AS DOUBLE) AS sum_unit
+           cast(cast(round(sum(cast((l.l_extendedprice / l.l_quantity)
+             AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE) AS sum_unit
     FROM part p
     JOIN lineitem l
       ON abs(l.l_extendedprice / l.l_quantity - p.p_retailprice) < 2.0
@@ -494,8 +494,8 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l.l_returnflag,
            count(*) AS n_lines,
-           cast(round(sum(cast(l.l_extendedprice * (1 - l.l_discount)
-                AS DECIMAL(38,8))), 4) AS DOUBLE) AS revenue
+           cast(cast(round(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'
     GROUP BY 1

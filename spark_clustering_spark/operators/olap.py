@@ -204,7 +204,7 @@ def q_olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_olap_promo_revenue",
     oracle=f"""
     SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
-           {sql_dround("100 * cast(sum(CASE WHEN p.p_type = 'ECONOMY' THEN cast(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8)) ELSE cast(0 AS DECIMAL(38,8)) END) AS DOUBLE) / cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8))) AS DOUBLE)")} AS economy_share_pct,
+           {sql_dround("100 * cast(cast(sum(CASE WHEN p.p_type = 'ECONOMY' THEN cast(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8)) ELSE cast(0 AS DECIMAL(38,8)) END) AS VARCHAR) AS DOUBLE) / cast(cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)")} AS economy_share_pct,
            {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'total_revenue')}
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
@@ -289,7 +289,7 @@ def q_olap_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal
     FROM customer c
     WHERE c.c_acctbal > (
-        SELECT cast(avg(cast(c2.c_acctbal AS DECIMAL(38,8))) AS DOUBLE)
+        SELECT cast(cast(avg(cast(c2.c_acctbal AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
         FROM customer c2
       )
       AND NOT EXISTS (
@@ -669,7 +669,7 @@ def q_olap_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_olap_market_share",
     oracle=f"""
     SELECT o_year,
-           {sql_dround("100 * cast(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE cast(0 AS DECIMAL(38,8)) END) AS DOUBLE) / cast(sum(rev) AS DOUBLE)")} AS mkt_share_pct
+           {sql_dround("100 * cast(cast(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE cast(0 AS DECIMAL(38,8)) END) AS VARCHAR) AS DOUBLE) / cast(sum(rev) AS DOUBLE)")} AS mkt_share_pct
     FROM (
       SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
              cast(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,8)) AS rev,
@@ -983,10 +983,10 @@ BASKET_TOP = 50  # co-occurrence pairs emitted
       GROUP BY 1, 2
     )
     SELECT p.part_a, p.part_b, p.together,
-           cast(round(cast(cast((
+           cast(cast(round(cast(cast((
              (cast(p.together AS DOUBLE) * t.n)
                / (cast(sa.s AS DOUBLE) * sb.s)
-           ) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS lift
+           ) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS lift
     FROM pairs p
     JOIN supp sa ON sa.l_partkey = p.part_a
     JOIN supp sb ON sb.l_partkey = p.part_b
@@ -1042,23 +1042,23 @@ def q_olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT l_partkey,
-             cast(round(sum(cast(l_extendedprice * (1 - l_discount)
-                  AS DECIMAL(38,8))), 4) AS DOUBLE) AS revenue
+             cast(cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE) AS revenue
       FROM lineitem GROUP BY l_partkey
     ),
     ranked AS (
       SELECT l_partkey, revenue,
-             cast(sum(cast(revenue AS DECIMAL(38,8))) OVER (
+             cast(cast(sum(cast(revenue AS DECIMAL(38,8))) OVER (
                ORDER BY revenue DESC, l_partkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
                AS cum,
-             cast(sum(cast(revenue AS DECIMAL(38,8))) OVER () AS DOUBLE)
+             cast(cast(sum(cast(revenue AS DECIMAL(38,8))) OVER () AS VARCHAR) AS DOUBLE)
                AS total
       FROM rev
     )
     SELECT l_partkey, revenue,
-           cast(round(cast(cast((cum / total) AS VARCHAR)
-                AS DECIMAL(38,12)), 6) AS DOUBLE) AS cum_share,
+           cast(cast(round(cast(cast((cum / total) AS VARCHAR)
+                AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS cum_share,
            CASE WHEN cum / total <= 0.8 THEN 'A'
                 WHEN cum / total <= 0.95 THEN 'B'
                 ELSE 'C' END AS abc_class
@@ -1186,14 +1186,14 @@ def q_olap_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_brand, cast(n AS BIGINT) AS n,
            {sql_dround(
-               "(n * cast(sxy AS DOUBLE) - cast(sx AS DOUBLE) * cast(sy AS DOUBLE))"
-               " / (n * cast(sxx AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE))"
+               "(n * cast(cast(sxy AS VARCHAR) AS DOUBLE) - cast(cast(sx AS VARCHAR) AS DOUBLE) * cast(cast(sy AS VARCHAR) AS DOUBLE))"
+               " / (n * cast(cast(sxx AS VARCHAR) AS DOUBLE) - cast(cast(sx AS VARCHAR) AS DOUBLE) * cast(cast(sx AS VARCHAR) AS DOUBLE))"
            )} AS elasticity,
            {sql_dround(
-               "(cast(sy AS DOUBLE) - ((n * cast(sxy AS DOUBLE)"
-               " - cast(sx AS DOUBLE) * cast(sy AS DOUBLE))"
-               " / (n * cast(sxx AS DOUBLE) - cast(sx AS DOUBLE)"
-               " * cast(sx AS DOUBLE))) * cast(sx AS DOUBLE)) / n"
+               "(cast(cast(sy AS VARCHAR) AS DOUBLE) - ((n * cast(cast(sxy AS VARCHAR) AS DOUBLE)"
+               " - cast(cast(sx AS VARCHAR) AS DOUBLE) * cast(cast(sy AS VARCHAR) AS DOUBLE))"
+               " / (n * cast(cast(sxx AS VARCHAR) AS DOUBLE) - cast(cast(sx AS VARCHAR) AS DOUBLE)"
+               " * cast(cast(sx AS VARCHAR) AS DOUBLE))) * cast(cast(sx AS VARCHAR) AS DOUBLE)) / n"
            )} AS intercept
     FROM s
     """,
@@ -1405,10 +1405,10 @@ def q_olap_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_customers,
            cast(round(tot, 4) AS DOUBLE) AS total_revenue,
-           cast(round(cast(cast(
+           cast(cast(round(cast(cast(
              (2.0 * cast(wtot AS DOUBLE) / (cast(n AS DOUBLE) * cast(tot AS DOUBLE))
               - (cast(n AS DOUBLE) + 1.0) / cast(n AS DOUBLE))
-             AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS gini
+             AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS gini
     FROM s
     """,
 )
@@ -1489,8 +1489,7 @@ def q_olap_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t AS t_days, n_risk::BIGINT AS n_risk, d::BIGINT AS d_events,
            CASE WHEN n_zero > 0 THEN 0.0 ELSE
-             cast(round(cast(cast(exp(lnS) AS VARCHAR) AS DECIMAL(38,12)), 6)
-                  AS DOUBLE) END AS survival
+             cast(cast(round(cast(cast(exp(lnS) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) END AS survival
     FROM km
     WHERE d > 0
     """,
@@ -1597,9 +1596,9 @@ def q_olap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN first_m = m THEN 1 ELSE 0 END)::BIGINT AS n_new,
            sum(CASE WHEN first_m < m THEN 1 ELSE 0 END)::BIGINT AS n_repeat,
            sum(n_orders)::BIGINT AS n_orders,
-           cast(round(cast(cast(
+           cast(cast(round(cast(cast(
              (cast(sum(CASE WHEN first_m < m THEN 1 ELSE 0 END) AS DOUBLE)
-              / count(*)) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE)
+              / count(*)) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE)
              AS repeat_share
     FROM act
     GROUP BY m
@@ -1910,15 +1909,15 @@ DECOMP_M2 = "1997-03-01"  # exclusive end
               FROM base b JOIN comp c USING (pk)),
     eff AS (
       SELECT
-        cast(sum(cast(
+        cast(cast(sum(cast(
           (cast(q1 AS DOUBLE) - cast(q0 AS DOUBLE))
           * (cast(r0 AS DOUBLE) / cast(q0 AS DOUBLE))
-          AS DECIMAL(38,8))) AS DOUBLE) AS volume_effect,
-        cast(sum(cast(
+          AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS volume_effect,
+        cast(cast(sum(cast(
           (cast(r1 AS DOUBLE) / cast(q1 AS DOUBLE)
            - cast(r0 AS DOUBLE) / cast(q0 AS DOUBLE))
           * cast(q1 AS DOUBLE)
-          AS DECIMAL(38,8))) AS DOUBLE) AS price_effect,
+          AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS price_effect,
         count(*) AS n_common_parts,
         cast(sum(r1) - sum(r0) AS DOUBLE) AS delta_common
       FROM both_
@@ -2204,10 +2203,10 @@ def q_olap_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT priority,
            count(*)::BIGINT AS n_lines,
            min(lag_d)::BIGINT AS min_days,
-           cast(round(cast(cast((quantile_cont(lag_d, 0.5)) AS VARCHAR)
-             AS DECIMAL(38,12)), 4) AS DOUBLE) AS p50_days,
-           cast(round(cast(cast((quantile_cont(lag_d, 0.95)) AS VARCHAR)
-             AS DECIMAL(38,12)), 4) AS DOUBLE) AS p95_days,
+           cast(cast(round(cast(cast((quantile_cont(lag_d, 0.5)) AS VARCHAR)
+             AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS p50_days,
+           cast(cast(round(cast(cast((quantile_cont(lag_d, 0.95)) AS VARCHAR)
+             AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS p95_days,
            max(lag_d)::BIGINT AS max_days
     FROM lag_days GROUP BY priority
     """,

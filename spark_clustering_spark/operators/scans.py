@@ -547,8 +547,7 @@ def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle is the plain join aggregate
     oracle="""
     SELECT o.o_orderpriority, count(*) AS n_orders,
-           cast(round(sum(cast(o.o_totalprice AS DECIMAL(38,8))), 4)
-                AS DOUBLE) AS total_price
+           cast(cast(round(sum(cast(o.o_totalprice AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE) AS total_price
     FROM orders o
     JOIN (SELECT DISTINCT o_orderpriority AS pri FROM orders
           WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) d

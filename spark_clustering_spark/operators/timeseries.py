@@ -84,7 +84,7 @@ def q_window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hourly AS (
       SELECT hour_id, count(*) AS n_events,
-             {sql_dround(f"cast(sum(cast(value AS DECIMAL(38,8))) AS DOUBLE) / count(*)")} AS avg_v
+             {sql_dround(f"cast(cast(sum(cast(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*)")} AS avg_v
       FROM e GROUP BY hour_id
     ),
     b AS (SELECT min(hour_id) AS lo, max(hour_id) AS hi FROM hourly),
@@ -305,11 +305,11 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
     )
     SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, cnt,
-           cast(round(cast(cast((
-             CASE WHEN n >= 12 AND (cast(ss AS DOUBLE) - cast(s AS DOUBLE) * cast(s AS DOUBLE) / n) / (n - 1) > 0
-                  THEN (cnt - cast(s AS DOUBLE) / n)
-                       / sqrt((cast(ss AS DOUBLE) - cast(s AS DOUBLE) * cast(s AS DOUBLE) / n) / (n - 1))
-                  ELSE 0.0 END) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS zscore
+           cast(cast(round(cast(cast((
+             CASE WHEN n >= 12 AND (cast(cast(ss AS VARCHAR) AS DOUBLE) - cast(cast(s AS VARCHAR) AS DOUBLE) * cast(cast(s AS VARCHAR) AS DOUBLE) / n) / (n - 1) > 0
+                  THEN (cnt - cast(cast(s AS VARCHAR) AS DOUBLE) / n)
+                       / sqrt((cast(cast(ss AS VARCHAR) AS DOUBLE) - cast(cast(s AS VARCHAR) AS DOUBLE) * cast(cast(s AS VARCHAR) AS DOUBLE) / n) / (n - 1))
+                  ELSE 0.0 END) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS zscore
     FROM framed
     """,
 )
@@ -388,7 +388,7 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(max(n_events) AS BIGINT) AS max_events,
-           cast(round(sum(cast(dur_s AS DECIMAL(38,8))), 4) AS DOUBLE)
+           cast(cast(round(sum(cast(dur_s AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE)
              / count(*) AS avg_dur_s
     FROM per_session GROUP BY user_id
     """,
@@ -454,15 +454,15 @@ EWMA_SPAN = 24     # trailing window (hours) the weights are truncated to
     ),
     agg AS (
       SELECT event_type, hour, cnt,
-             cast(sum(cast(bcnt * pow({1 - EWMA_ALPHA}, j)
-                  AS DECIMAL(38,8))) AS DOUBLE) AS num,
-             cast(sum(cast(pow({1 - EWMA_ALPHA}, j)
-                  AS DECIMAL(38,8))) AS DOUBLE) AS den
+             cast(cast(sum(cast(bcnt * pow({1 - EWMA_ALPHA}, j)
+                  AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS num,
+             cast(cast(sum(cast(pow({1 - EWMA_ALPHA}, j)
+                  AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS den
       FROM pairs GROUP BY 1, 2, 3
     )
     SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, cnt,
-           cast(round(cast(cast((num / den) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS ewma
+           cast(cast(round(cast(cast((num / den) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS ewma
     FROM agg
     """,
 )
@@ -650,10 +650,10 @@ ATTR_WINDOW_US = 60 * 60 * 1_000_000  # 1-hour attribution lookback
     n_purch AS (SELECT count(*) AS total FROM p)
     SELECT touch_type,
            count(*) AS n_attributed,
-           cast(round(sum(cast(value AS DECIMAL(38,8))), 4) AS DOUBLE)
+           cast(cast(round(sum(cast(value AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE)
              AS attributed_value,
-           cast(round(cast(cast((cast(count(*) AS DOUBLE) / max(np.total))
-                AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE)
+           cast(cast(round(cast(cast((cast(count(*) AS DOUBLE) / max(np.total))
+                AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE)
              AS share_of_purchases
     FROM touched CROSS JOIN n_purch np
     GROUP BY touch_type
@@ -728,10 +728,10 @@ def q_ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM firsts WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
     )
     SELECT count(*) AS n_converted,
-           cast(round(cast(cast((quantile_cont(sec, 0.5)) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS p50_sec,
-           cast(round(cast(cast((quantile_cont(sec, 0.9)) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS p90_sec
+           cast(cast(round(cast(cast((quantile_cont(sec, 0.5)) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS p50_sec,
+           cast(cast(round(cast(cast((quantile_cont(sec, 0.9)) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS p90_sec
     FROM ttc
     """,
 )
@@ -834,15 +834,14 @@ CUSUM_H = 4.0   # alarm threshold, in σ units
     oracle=f"""
     WITH daily AS (
       SELECT date_trunc('day', ts) AS day,
-             cast(round(sum(cast(value AS DECIMAL(38,8))), 4) AS DOUBLE)
+             cast(cast(round(sum(cast(value AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE)
                AS x
       FROM events GROUP BY 1
     ),
     stats AS (
       SELECT count(*) AS n,
-             cast(sum(cast(x AS DECIMAL(38,8))) AS DOUBLE) AS s,
-             cast(sum(cast(x AS DECIMAL(38,8)) * cast(x AS DECIMAL(38,8)))
-                  AS DOUBLE) AS ss
+             cast(cast(sum(cast(x AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s,
+             cast(cast(sum(cast(x AS DECIMAL(38,8)) * cast(x AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS ss
       FROM daily
     ),
     z AS (
@@ -871,7 +870,7 @@ CUSUM_H = 4.0   # alarm threshold, in σ units
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT strftime(day, '%Y-%m-%d') AS day,
-           cast(z4 AS DOUBLE) AS zscore,
+           cast(cast(z4 AS VARCHAR) AS DOUBLE) AS zscore,
            cast(round(s_pos, 4) AS DOUBLE) AS s_pos,
            cast(round(s_neg, 4) AS DOUBLE) AS s_neg,
            (s_pos > {CUSUM_H} OR s_neg > {CUSUM_H}) AS is_change
@@ -961,25 +960,25 @@ ACF_MAX_LAG = 7
     WITH daily AS (
       SELECT date_diff('day', DATE '2024-01-01', cast(date_trunc('day', ts) AS DATE))
                AS idx,
-             cast(round(sum(cast(value AS DECIMAL(38,8))), 4) AS DOUBLE) AS x
+             cast(cast(round(sum(cast(value AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE) AS x
       FROM events GROUP BY 1
     ),
     stats AS (
       SELECT count(*) AS n,
-             cast(sum(cast(x AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS mu
+             cast(cast(sum(cast(x AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS mu
       FROM daily
     ),
     dev AS (
       SELECT d.idx, d.x - s.mu AS e FROM daily d CROSS JOIN stats s
     ),
     denom AS (
-      SELECT cast(sum(cast(e * e AS DECIMAL(38,8))) AS DOUBLE) AS ss FROM dev
+      SELECT cast(cast(sum(cast(e * e AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS ss FROM dev
     ),
     lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
     num AS (
       SELECT l.lag,
              count(*) AS n_pairs,
-             cast(sum(cast(a.e * b.e AS DECIMAL(38,8))) AS DOUBLE) AS sp
+             cast(cast(sum(cast(a.e * b.e AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sp
       FROM lags l
       JOIN dev a ON TRUE
       JOIN dev b ON b.idx = a.idx + l.lag
@@ -987,8 +986,8 @@ ACF_MAX_LAG = 7
     )
     SELECT cast(num.lag AS BIGINT) AS lag,
            cast(num.n_pairs AS BIGINT) AS n_pairs,
-           cast(round(cast(cast((num.sp / denom.ss) AS VARCHAR)
-                AS DECIMAL(38,12)), 6) AS DOUBLE) AS acf
+           cast(cast(round(cast(cast((num.sp / denom.ss) AS VARCHAR)
+                AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS acf
     FROM num CROSS JOIN denom
     """,
 )
@@ -1072,9 +1071,8 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT prev_type, sum(n) AS tot FROM pairs GROUP BY prev_type
     )
     SELECT p.prev_type, p.next_type, p.n,
-           cast(round(cast(cast(
-             (cast(p.n AS DOUBLE) / o.tot) AS VARCHAR) AS DECIMAL(38,12)), 6)
-             AS DOUBLE) AS prob
+           cast(cast(round(cast(cast(
+             (cast(p.n AS DOUBLE) / o.tot) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS prob
     FROM pairs p JOIN outdeg o USING (prev_type)
     """,
 )
@@ -1563,7 +1561,7 @@ FCST_LAG_DAYS = 7  # seasonal-naive horizon: same weekday last week
     oracle=f"""
     WITH d AS (
       SELECT epoch_us(ts) // {DAY_US} AS day_id,
-             cast(sum(cast(value AS DECIMAL(38,8))) AS DOUBLE) AS actual
+             cast(cast(sum(cast(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS actual
       FROM events GROUP BY 1
     ),
     j AS (
@@ -1572,14 +1570,11 @@ FCST_LAG_DAYS = 7  # seasonal-naive horizon: same weekday last week
     ),
     e AS (
       SELECT count(*) AS n_days,
-             cast(sum(cast(abs(actual - fcst) AS DECIMAL(38,8)))
-               AS DOUBLE) AS sae,
-             cast(sum(cast(abs(actual - fcst) / abs(actual)
-               AS DECIMAL(38,12))) AS DOUBLE) AS sape,
-             cast(sum(cast(fcst - actual AS DECIMAL(38,8)))
-               AS DOUBLE) AS sdiff,
-             cast(sum(cast(abs(actual) AS DECIMAL(38,8)))
-               AS DOUBLE) AS saa
+             cast(cast(sum(cast(abs(actual - fcst) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sae,
+             cast(cast(sum(cast(abs(actual - fcst) / abs(actual)
+               AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sape,
+             cast(cast(sum(cast(fcst - actual AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sdiff,
+             cast(cast(sum(cast(abs(actual) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS saa
       FROM j
     )
     SELECT n_days::BIGINT AS n_days,
@@ -1675,11 +1670,11 @@ def _sql_nested(arrs: list[list[float]]) -> str:
     oracle=f"""
     WITH d AS (
       SELECT epoch_us(ts) // {DAY_US} AS day_id,
-             cast(sum(cast(value AS DECIMAL(38,8))) AS DOUBLE) AS actual
+             cast(cast(sum(cast(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS actual
       FROM events GROUP BY 1
     ),
     tot AS (
-      SELECT cast(sum(cast(actual AS DECIMAL(38,8))) AS DOUBLE)
+      SELECT cast(cast(sum(cast(actual AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
                / count(*) AS mn
       FROM d
     ),
@@ -1945,7 +1940,7 @@ def q_ts_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH d AS (
       SELECT epoch_us(ts) // {DAY_US} AS day_id,
-             cast(sum(cast(value AS DECIMAL(38,8))) AS DOUBLE) AS actual
+             cast(cast(sum(cast(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS actual
       FROM events GROUP BY 1
     ),
     g AS (
@@ -1957,9 +1952,9 @@ def q_ts_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (
       SELECT sum(n) AS n, cast(sum(s) AS DOUBLE) AS s,
              cast(sum(ss) AS DOUBLE) AS ss,
-             cast(sum(cast(
+             cast(cast(sum(cast(
                (cast(g.s AS DOUBLE) * cast(g.s AS DOUBLE)) / g.n
-               AS DECIMAL(38,8))) AS DOUBLE) AS sb
+               AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sb
       FROM g
     )
     SELECT cast(n AS BIGINT) AS n_days,

@@ -30,8 +30,8 @@ SQL_DIMS = """dims AS (
     oracle=f"""
     WITH {SQL_DIMS}
     SELECT pos::INT AS pos,
-           cast(round(cast(cast((min(v)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS dim_min,
-           cast(round(cast(cast((max(v)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS dim_max
+           cast(cast(round(cast(cast((min(v)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS dim_min,
+           cast(cast(round(cast(cast((max(v)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS dim_max
     FROM dims GROUP BY pos
     """,
 )
@@ -51,8 +51,8 @@ def q_vec_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {SQL_DIMS}
     SELECT pos::INT AS pos,
-           cast(round(cast(cast(((max(v) - min(v)) / 100) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS v_max,
-           cast(round(cast(cast((-((max(v) - min(v)) / 100)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS v_min
+           cast(cast(round(cast(cast(((max(v) - min(v)) / 100) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS v_max,
+           cast(cast(round(cast(cast((-((max(v) - min(v)) / 100)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS v_min
     FROM dims GROUP BY pos
     """,
 )
@@ -75,7 +75,7 @@ def q_vec_vbounds(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id < 20
     )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           cast(round(cast(cast((list_distance(a.vec, b.vec)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS dist
+           cast(cast(round(cast(cast((list_distance(a.vec, b.vec)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS dist
     FROM sample a JOIN sample b ON a.vec_id < b.vec_id
     """,
 )
@@ -118,15 +118,15 @@ COV_DIMS = 8  # leading dims in the exact-decimal declared query
     d8 AS (SELECT vec_id, pos, v FROM dims WHERE pos < {COV_DIMS}),
     pairs AS (
       SELECT a.pos AS i, b.pos AS j, count(*) AS n,
-             cast(sum(cast(a.v AS DECIMAL(38,8))) AS DOUBLE) AS sx,
-             cast(sum(cast(b.v AS DECIMAL(38,8))) AS DOUBLE) AS sy,
-             cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+             cast(cast(sum(cast(a.v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sx,
+             cast(cast(sum(cast(b.v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sy,
+             cast(cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxy
       FROM d8 a JOIN d8 b ON a.vec_id = b.vec_id AND a.pos <= b.pos
       GROUP BY 1, 2
     )
     SELECT i::INT AS i, j::INT AS j, n,
-           cast(round(cast(cast((sxy / n - (sx / n) * (sy / n)) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS cov
+           cast(cast(round(cast(cast((sxy / n - (sx / n) * (sy / n)) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS cov
     FROM pairs
     """,
 )
@@ -215,11 +215,11 @@ def _pca_power_sql() -> str:
     prev = "v0"
     for t in range(1, PCA_ITERS + 1):
         steps.append(f"""u{t} AS (
-      SELECT c.i, cast(sum(cast(c.c * v.v AS DECIMAL(38,8))) AS DOUBLE) AS u
+      SELECT c.i, cast(cast(sum(cast(c.c * v.v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS u
       FROM cov c JOIN {prev} v ON v.j = c.j GROUP BY c.i
     ),
     n{t} AS (
-      SELECT sqrt(cast(sum(cast(u * u AS DECIMAL(38,8))) AS DOUBLE)) AS nrm
+      SELECT sqrt(cast(cast(sum(cast(u * u AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm
       FROM u{t}
     ),
     v{t} AS (SELECT i AS j, u / nrm AS v FROM u{t} CROSS JOIN n{t})""")
@@ -234,9 +234,9 @@ def _pca_power_sql() -> str:
     d8 AS (SELECT vec_id, pos, v FROM dims WHERE pos < {{cov_dims}}),
     p AS (
       SELECT a.pos AS i, b.pos AS j, count(*) AS n,
-             cast(sum(cast(a.v AS DECIMAL(38,8))) AS DOUBLE) AS sx,
-             cast(sum(cast(b.v AS DECIMAL(38,8))) AS DOUBLE) AS sy,
-             cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+             cast(cast(sum(cast(a.v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sx,
+             cast(cast(sum(cast(b.v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sy,
+             cast(cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxy
       FROM d8 a JOIN d8 b ON a.vec_id = b.vec_id
       GROUP BY 1, 2
     ),
@@ -245,10 +245,10 @@ def _pca_power_sql() -> str:
                   CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END AS v FROM cov),
     {steps_sql}
     SELECT v.j::INT AS pos,
-           cast(round(cast(cast((v.v) AS VARCHAR)
-                AS DECIMAL(38,12)), 6) AS DOUBLE) AS loading,
-           cast(round(cast(cast((n.nrm) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS eigenvalue
+           cast(cast(round(cast(cast((v.v) AS VARCHAR)
+                AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS loading,
+           cast(cast(round(cast(cast((n.nrm) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS eigenvalue
     FROM v{PCA_ITERS} v CROSS JOIN n{PCA_ITERS} n
     """
 
@@ -340,11 +340,11 @@ def _pca_deflate_sql() -> str:
     prev = "w0"
     for t in range(1, PCA_ITERS + 1):
         steps.append(f"""x{t} AS (
-      SELECT c.i, cast(sum(cast(c.c2 * v.v AS DECIMAL(38,8))) AS DOUBLE) AS u
+      SELECT c.i, cast(cast(sum(cast(c.c2 * v.v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS u
       FROM cov2 c JOIN {prev} v ON v.j = c.j GROUP BY c.i
     ),
     m{t} AS (
-      SELECT sqrt(cast(sum(cast(u * u AS DECIMAL(38,8))) AS DOUBLE)) AS nrm
+      SELECT sqrt(cast(cast(sum(cast(u * u AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm
       FROM x{t}
     ),
     w{t} AS (SELECT i AS j, u / nrm AS v FROM x{t} CROSS JOIN m{t})""")
@@ -362,10 +362,10 @@ def _pca_deflate_sql() -> str:
                   CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END AS v FROM cov),
     {steps_sql}
     SELECT w.j::INT AS pos,
-           cast(round(cast(cast((w.v) AS VARCHAR)
-                AS DECIMAL(38,12)), 6) AS DOUBLE) AS loading2,
-           cast(round(cast(cast((m.nrm) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS eigenvalue2
+           cast(cast(round(cast(cast((w.v) AS VARCHAR)
+                AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS loading2,
+           cast(cast(round(cast(cast((m.nrm) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS eigenvalue2
     FROM w{PCA_ITERS} w CROSS JOIN m{PCA_ITERS} m
     """
 
@@ -544,8 +544,8 @@ OUTLIER_TOPK = 20  # reported outliers
     ),
     s AS (
       SELECT pos, count(*) AS n,
-             cast(sum(cast(v AS DECIMAL(38,8))) AS DOUBLE) AS sx,
-             cast(sum(cast(v * v AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+             cast(cast(sum(cast(v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sx,
+             cast(cast(sum(cast(v * v AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx
       FROM dims GROUP BY pos
     ),
     terms AS (
@@ -561,8 +561,7 @@ OUTLIER_TOPK = 20  # reported outliers
       FROM terms GROUP BY vec_id
     )
     SELECT vec_id,
-           cast(round(cast(cast(m2 AS VARCHAR) AS DECIMAL(38,12)), 4)
-                AS DOUBLE) AS m2
+           cast(cast(round(cast(cast(m2 AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS m2
     FROM sc ORDER BY m2 DESC, vec_id LIMIT {OUTLIER_TOPK}
     """,
 )

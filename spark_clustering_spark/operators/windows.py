@@ -73,9 +73,9 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running_global",
     oracle="""
     SELECT o_orderkey,
-           cast(round(sum(cast(o_totalprice AS DECIMAL(38,8))) OVER (
+           cast(cast(round(sum(cast(o_totalprice AS DECIMAL(38,8))) OVER (
              ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS VARCHAR) AS DOUBLE)
              AS run_total
     FROM orders
     """,
@@ -133,7 +133,7 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_range_frame",
     oracle=f"""
     SELECT o_orderkey, o_custkey,
-           {sql_dround('''cast(sum(cast(o_totalprice AS DECIMAL(38,8))) OVER w AS DOUBLE)
+           {sql_dround('''cast(cast(sum(cast(o_totalprice AS DECIMAL(38,8))) OVER w AS VARCHAR) AS DOUBLE)
                  / count(*) OVER w''')} AS avg_30d
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
@@ -373,8 +373,8 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_pct_rank",
     oracle="""
     SELECT c_custkey,
-           cast(round(cast(cast((percent_rank() OVER w) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS pr,
-           cast(round(cast(cast((cume_dist() OVER w) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cd
+           cast(cast(round(cast(cast((percent_rank() OVER w) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS pr,
+           cast(cast(round(cast(cast((cume_dist() OVER w) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS cd
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
     """,

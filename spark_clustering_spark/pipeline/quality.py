@@ -333,8 +333,8 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp AS (
       SELECT d.doc_id,
              CAST(sum(d.c) AS BIGINT) AS n_toks,
-             cast(round(sum(cast(d.c * ln(cast(g.gc AS DOUBLE) / t.total)
-                  AS DECIMAL(38,8))), 4) AS DOUBLE) AS sum_lp
+             cast(cast(round(sum(cast(d.c * ln(cast(g.gc AS DOUBLE) / t.total)
+                  AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE) AS sum_lp
       FROM dtf d JOIN g USING (tok) CROSS JOIN t
       GROUP BY d.doc_id
     ),
@@ -346,8 +346,8 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lp l JOIN documents s USING (doc_id)
     )
     SELECT source, doc_id,
-           cast(round(cast(cast((sum_lp / n_toks) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS mean_lp,
+           cast(cast(round(cast(cast((sum_lp / n_toks) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS mean_lp,
            CASE WHEN 3 * rn <= n_src THEN 'head'
                 WHEN 3 * rn <= 2 * n_src THEN 'middle'
                 ELSE 'tail' END AS bucket

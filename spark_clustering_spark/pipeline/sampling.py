@@ -220,14 +220,14 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, count(*) AS n_docs FROM documents GROUP BY source
     ),
     tot AS (SELECT sum(n_docs) AS total,
-                   cast(sum(cast(pow(cast(n_docs AS DOUBLE), 0.7)
-                     AS DECIMAL(38,8))) AS DOUBLE) AS z
+                   cast(cast(sum(cast(pow(cast(n_docs AS DOUBLE), 0.7)
+                     AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS z
             FROM src)
     SELECT s.source, s.n_docs,
-           cast(round(cast(cast((pow(cast(s.n_docs AS DOUBLE), 0.7) / t.z) AS VARCHAR)
-             AS DECIMAL(38,12)), 4) AS DOUBLE) AS weight,
-           cast(round(cast(cast((pow(cast(s.n_docs AS DOUBLE), 0.7) / t.z * t.total)
-             AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS expected_docs
+           cast(cast(round(cast(cast((pow(cast(s.n_docs AS DOUBLE), 0.7) / t.z) AS VARCHAR)
+             AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS weight,
+           cast(cast(round(cast(cast((pow(cast(s.n_docs AS DOUBLE), 0.7) / t.z * t.total)
+             AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS expected_docs
     FROM src s CROSS JOIN tot t
     """,
 )
@@ -295,10 +295,10 @@ DSIR_TARGET = ("src0", "src1")  # the "target domain" slice the LM is fit on
     )
     SELECT d.doc_id,
            CAST(sum(d.c) AS BIGINT) AS n_toks,
-           cast(round(sum(cast(d.c * (
+           cast(cast(round(sum(cast(d.c * (
                ln((coalesce(g.gt, 0) + 1.0) / (t.total_tgt + t.vocab))
              - ln((r.gc + 1.0) / (t.total_raw + t.vocab))
-           ) AS DECIMAL(38,8))), 4) AS DOUBLE) AS log_ratio
+           ) AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE) AS log_ratio
     FROM dtf d
     JOIN raw r USING (tok)
     LEFT JOIN tgt g USING (tok)
@@ -377,8 +377,7 @@ _ES_A, _ES_C, _ES_M = 1103515245, 12345, 2**31
       FROM documents WHERE n_chars > 0
     )
     SELECT doc_id, lang, n_chars,
-           cast(round(cast(cast((ekey) AS VARCHAR) AS DECIMAL(38,12)), 6)
-                AS DOUBLE) AS ekey
+           cast(cast(round(cast(cast((ekey) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS ekey
     FROM keyed
     ORDER BY ekey, doc_id LIMIT {ES_K}
     """,
@@ -447,9 +446,9 @@ TOKEN_BUDGET = 12_000  # whitespace tokens
     ),
     q AS (
       SELECT doc_id, n_tokens,
-             cast(round(cast(cast((
+             cast(cast(round(cast(cast((
                cast(n_unique AS DOUBLE) / n_tokens) AS VARCHAR)
-               AS DECIMAL(38,12)), 6) AS DOUBLE) AS quality
+               AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS quality
       FROM scored WHERE n_tokens > 0
     ),
     run AS (
@@ -551,7 +550,7 @@ _POIS_CUM = (0.3678794412, 0.7357588823, 0.9196986029,
     rep_means AS (
       SELECT b,
              cast(round(cast(cast(
-               cast(sum(cast(wt * x AS DECIMAL(38,8))) AS DOUBLE)
+               cast(cast(sum(cast(wt * x AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
                / cast(sum(wt) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,12)), 4)
                AS DECIMAL(18,4)) AS m
       FROM w GROUP BY b
@@ -565,10 +564,10 @@ _POIS_CUM = (0.3678794412, 0.7357588823, 0.9196986029,
     ),
     base AS (
       SELECT count(*) AS n,
-             cast(sum(cast(o_totalprice AS DECIMAL(38,8))) AS DOUBLE) AS sx,
-             cast(sum(cast(
+             cast(cast(sum(cast(o_totalprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sx,
+             cast(cast(sum(cast(
                cast(o_totalprice AS DOUBLE) * cast(o_totalprice AS DOUBLE)
-               AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+               AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx
       FROM orders
     )
     SELECT base.n,

@@ -40,12 +40,12 @@ TOP_K = 10
     ),
     norms AS (
       SELECT vec_id,
-             sqrt(cast(sum(cast(v * v AS DECIMAL(38,8))) AS DOUBLE)) AS nrm
+             sqrt(cast(cast(sum(cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm
       FROM unn GROUP BY vec_id
     ),
     dots AS (
       SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
-             cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS DOUBLE) AS dot
+             cast(cast(sum(cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot
       FROM unn a JOIN unn b ON a.pos = b.pos
       WHERE a.vec_id < {N_PROBES} AND b.vec_id <> a.vec_id
       GROUP BY 1, 2
@@ -57,7 +57,7 @@ TOP_K = 10
       JOIN norms nb ON nb.vec_id = d.cand_id
     )
     SELECT probe_id, cand_id,
-           cast(round(cast(cast((cos) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cos,
+           cast(cast(round(cast(cast((cos) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS cos,
            rn::INT AS rn FROM (
       SELECT probe_id, cand_id, cos,
              row_number() OVER (PARTITION BY probe_id
@@ -247,7 +247,7 @@ def _ivf_train_ctes(nlist: int, n_iter: int) -> str:
     means{t} AS (
       SELECT cid, list(m ORDER BY pos) AS mvec FROM (
         SELECT cid, pos,
-               cast(sum(cast(v AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS m
+               cast(cast(sum(cast(cast(v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS m
         FROM (SELECT cid, unnest(vec) AS v,
                      generate_subscripts(vec, 1) AS pos FROM assign{t})
         GROUP BY cid, pos) GROUP BY cid
@@ -292,7 +292,7 @@ def _ivf_train_ctes(nlist: int, n_iter: int) -> str:
       FROM cands c JOIN probes p ON p.probe_id = c.probe_id
     )
     SELECT probe_id, cand_id,
-           cast(round(cast(cast((cos) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS cos,
+           cast(cast(round(cast(cast((cos) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS cos,
            rn::INT AS rn
     FROM (
       SELECT probe_id, cand_id, cos,
@@ -517,7 +517,7 @@ def _pq_sql_ctes(
     pmeans{t} AS (
       SELECT s, cid, list(m ORDER BY pos) AS mvec FROM (
         SELECT s, cid, pos,
-               cast(sum(cast(v AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS m
+               cast(cast(sum(cast(cast(v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS m
         FROM (SELECT s, cid, unnest(sub) AS v,
                      generate_subscripts(sub, 1) AS pos FROM passign{t})
         GROUP BY s, cid, pos) GROUP BY s, cid
@@ -548,8 +548,7 @@ def _pq_sql_ctes(
     ),
     {_pq_sql_ctes(PQ_SUBS, PQ_SUBDIM, PQ_K, PQ_ITERS)}
     SELECT vec_id, s::INT AS subspace, code,
-           cast(round(cast(cast((qdist) AS VARCHAR) AS DECIMAL(38,12)), 4)
-                AS DOUBLE) AS qdist
+           cast(cast(round(cast(cast((qdist) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS qdist
     FROM codes
     """,
 )
@@ -594,21 +593,20 @@ def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                   generate_subscripts(cvec, 1) AS pos FROM pcent{PQ_ITERS}),
     d2 AS (
       SELECT pe.probe_id, pe.s, ce.cid,
-             cast(sum(cast((pe.pv - ce.cv) * (pe.pv - ce.cv)
-                  AS DECIMAL(38,8))) AS DOUBLE) AS d2
+             cast(cast(sum(cast((pe.pv - ce.cv) * (pe.pv - ce.cv)
+                  AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS d2
       FROM pe JOIN ce ON ce.s = pe.s AND ce.pos = pe.pos
       GROUP BY 1, 2, 3
     ),
     adc AS (
       SELECT d.probe_id, k.vec_id AS cand_id,
-             cast(sum(cast(d.d2 AS DECIMAL(38,8))) AS DOUBLE) AS adc
+             cast(cast(sum(cast(d.d2 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS adc
       FROM codes k JOIN d2 d ON d.s = k.s AND d.cid = k.code
       WHERE k.vec_id <> d.probe_id
       GROUP BY 1, 2
     )
     SELECT probe_id, cand_id,
-           cast(round(cast(cast((adc) AS VARCHAR) AS DECIMAL(38,12)), 4)
-                AS DOUBLE) AS adc,
+           cast(cast(round(cast(cast((adc) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS adc,
            rn::INT AS rn
     FROM (
       SELECT probe_id, cand_id, adc,
@@ -716,14 +714,14 @@ def _ivfpq_oracle() -> str:
                    generate_subscripts(cvec, 1) AS pos FROM pcent{PQ_ITERS}),
     d2 AS (
       SELECT pqe.probe_id, pqe.list_id, pqe.s, pqc.cid,
-             cast(sum(cast((pqe.pv - pqc.cv) * (pqe.pv - pqc.cv)
-                  AS DECIMAL(38,8))) AS DOUBLE) AS d2
+             cast(cast(sum(cast((pqe.pv - pqc.cv) * (pqe.pv - pqc.cv)
+                  AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS d2
       FROM pqe JOIN pqc ON pqc.s = pqe.s AND pqc.pos = pqe.pos
       GROUP BY 1, 2, 3, 4
     ),
     adc AS (
       SELECT pl.probe_id, l.vec_id AS cand_id,
-             cast(sum(cast(d.d2 AS DECIMAL(38,8))) AS DOUBLE) AS adc
+             cast(cast(sum(cast(d.d2 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS adc
       FROM probe_lists pl
       JOIN ivlists l ON l.list_id = pl.list_id
       JOIN codes k ON k.vec_id = l.vec_id
@@ -733,8 +731,7 @@ def _ivfpq_oracle() -> str:
       GROUP BY 1, 2
     )
     SELECT probe_id, cand_id,
-           cast(round(cast(cast((adc) AS VARCHAR) AS DECIMAL(38,12)), 4)
-                AS DOUBLE) AS adc,
+           cast(cast(round(cast(cast((adc) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS adc,
            rn::INT AS rn
     FROM (
       SELECT probe_id, cand_id, adc,
@@ -968,8 +965,8 @@ def _kcenter_sql() -> str:
         )
         sel.append(
             f"SELECT {t} AS sel, vec_id, "
-            "cast(round(cast(cast((md) AS VARCHAR) AS DECIMAL(38,12)), 4) "
-            f"AS DOUBLE) AS dist FROM s{t}"
+            "cast(cast(round(cast(cast((md) AS VARCHAR) AS DECIMAL(38,12)), 4) "
+            f" AS VARCHAR) AS DOUBLE) AS dist FROM s{t}"
         )
         if t < KC_K:
             ctes.append(
@@ -1053,8 +1050,8 @@ MMR_PROBES = 3     # probe vectors
 def _mmr_sql() -> str:
     parts = [
         "SELECT probe_id, 1 AS sel, cand_id, "
-        "cast(round(cast(cast((qc) AS VARCHAR) AS DECIMAL(38,12)), 4) "
-        "AS DOUBLE) AS score FROM s1"
+        "cast(cast(round(cast(cast((qc) AS VARCHAR) AS DECIMAL(38,12)), 4) "
+        " AS VARCHAR) AS DOUBLE) AS score FROM s1"
     ]
     ctes = [
         f"""probes AS (
@@ -1103,8 +1100,8 @@ def _mmr_sql() -> str:
         )
         parts.append(
             f"SELECT probe_id, {t} AS sel, cand_id, "
-            "cast(round(cast(cast((score) AS VARCHAR) AS DECIMAL(38,12)), 4) "
-            f"AS DOUBLE) AS score FROM s{t}"
+            "cast(cast(round(cast(cast((score) AS VARCHAR) AS DECIMAL(38,12)), 4) "
+            f" AS VARCHAR) AS DOUBLE) AS score FROM s{t}"
         )
         if t < MMR_K:
             ctes.append(
@@ -1380,12 +1377,12 @@ KNN_K = 5
     ),
     norms AS (
       SELECT vec_id,
-             sqrt(cast(sum(cast(v * v AS DECIMAL(38,8))) AS DOUBLE)) AS nrm
+             sqrt(cast(cast(sum(cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm
       FROM unn GROUP BY vec_id
     ),
     dots AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
-             cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS DOUBLE) AS dot
+             cast(cast(sum(cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot
       FROM unn a JOIN unn b ON a.pos = b.pos AND a.vec_id <> b.vec_id
       GROUP BY 1, 2
     ),
@@ -1402,8 +1399,7 @@ KNN_K = 5
       FROM scored QUALIFY rn <= {KNN_K}
     )
     SELECT t1.src AS id_a, t1.dst AS id_b,
-           cast(round(cast(cast((t1.cos) AS VARCHAR) AS DECIMAL(38,12)), 4)
-                AS DOUBLE) AS cos,
+           cast(cast(round(cast(cast((t1.cos) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS cos,
            t1.rn::INT AS rank_ab, t2.rn::INT AS rank_ba
     FROM topk t1 JOIN topk t2 ON t2.src = t1.dst AND t2.dst = t1.src
     WHERE t1.src < t1.dst
@@ -1611,12 +1607,12 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     norms AS (
       SELECT vec_id,
-             sqrt(cast(sum(cast(v * v AS DECIMAL(38,8))) AS DOUBLE)) AS nrm
+             sqrt(cast(cast(sum(cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm
       FROM unn_all GROUP BY vec_id
     ),
     dots AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
-             cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS DOUBLE) AS dot
+             cast(cast(sum(cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot
       FROM unn_sub a JOIN unn_all b
         ON a.pos = b.pos AND a.vec_id <> b.vec_id
       GROUP BY 1, 2
@@ -1648,10 +1644,10 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)::BIGINT AS n_vecs,
            sum(CASE WHEN p.lbl = v.label THEN 1 ELSE 0 END)::BIGINT
              AS n_correct,
-           cast(round(cast(
+           cast(cast(round(cast(
              sum(CASE WHEN p.lbl = v.label THEN 1 ELSE 0 END)
                / cast(count(*) AS DOUBLE)
-             AS DECIMAL(38,12)), 6) AS DOUBLE) AS accuracy
+             AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS accuracy
     FROM pred p JOIN ve v ON v.vec_id = p.src
     GROUP BY v.label
     """,
@@ -1757,18 +1753,18 @@ TRUNC_DIM = 16  # Matryoshka truncation audit: keep the first 16 dims
     ),
     norms AS (
       SELECT vec_id,
-             sqrt(cast(sum(cast(v * v AS DECIMAL(38,8))) AS DOUBLE)) AS nrm,
-             sqrt(cast(sum(cast(CASE WHEN pos <= {TRUNC_DIM}
+             sqrt(cast(cast(sum(cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm,
+             sqrt(cast(cast(sum(cast(CASE WHEN pos <= {TRUNC_DIM}
                                      THEN v * v ELSE 0 END
-                  AS DECIMAL(38,8))) AS DOUBLE)) AS nrm_t
+                  AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm_t
       FROM unn GROUP BY vec_id
     ),
     dots AS (
       SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
-             cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS DOUBLE) AS dot,
-             cast(sum(cast(CASE WHEN a.pos <= {TRUNC_DIM}
+             cast(cast(sum(cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot,
+             cast(cast(sum(cast(CASE WHEN a.pos <= {TRUNC_DIM}
                                 THEN a.v * b.v ELSE 0 END
-                  AS DECIMAL(38,8))) AS DOUBLE) AS dot_t
+                  AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot_t
       FROM unn a JOIN unn b ON a.pos = b.pos
       WHERE a.vec_id < {N_PROBES} AND b.vec_id <> a.vec_id
       GROUP BY 1, 2
@@ -1795,9 +1791,9 @@ TRUNC_DIM = 16  # Matryoshka truncation audit: keep the first 16 dims
     )
     SELECT f.probe_id,
            count(t.cand_id)::BIGINT AS n_hits,
-           cast(round(cast(
+           cast(cast(round(cast(
              count(t.cand_id) / {TOP_K}.0
-             AS DECIMAL(38,12)), 4) AS DOUBLE) AS recall
+             AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS recall
     FROM full_k f
     LEFT JOIN trunc_k t
       ON t.probe_id = f.probe_id AND t.cand_id = f.cand_id
@@ -1910,13 +1906,12 @@ def q_sim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mu AS (
       SELECT label AS cid, pos,
-             cast(sum(cast(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+             cast(cast(sum(cast(v AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / count(*) AS m
       FROM unn GROUP BY label, pos
     ),
     d2 AS (
       SELECT u.vec_id, u.label, mu.cid,
-             cast(sum(cast((u.v - mu.m) * (u.v - mu.m) AS DECIMAL(38,12)))
-               AS DOUBLE) AS dist2
+             cast(cast(sum(cast((u.v - mu.m) * (u.v - mu.m) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS dist2
       FROM unn u JOIN mu ON mu.pos = u.pos
       GROUP BY u.vec_id, u.label, mu.cid
     ),
@@ -1929,10 +1924,10 @@ def q_sim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            count(*)::BIGINT AS n_vecs,
            sum(CASE WHEN cid = label THEN 1 ELSE 0 END)::BIGINT AS n_correct,
-           cast(round(cast(
+           cast(cast(round(cast(
              sum(CASE WHEN cid = label THEN 1 ELSE 0 END)
                / cast(count(*) AS DOUBLE)
-             AS DECIMAL(38,12)), 6) AS DOUBLE) AS accuracy
+             AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS accuracy
     FROM pred GROUP BY label
     """,
 )
@@ -2009,17 +2004,17 @@ def q_ml_ncm_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (
       SELECT vec_id, label,
-             sqrt(cast(sum(cast(v * v AS DECIMAL(38,8))) AS DOUBLE))
+             sqrt(cast(cast(sum(cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE))
                AS nrm,
-             cast(sum(cast(v AS DECIMAL(38,8))) AS DOUBLE) AS sv
+             cast(cast(sum(cast(cast(v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sv
       FROM unn GROUP BY vec_id, label
     )
     SELECT label,
            count(*)::BIGINT AS n_vecs,
-           cast(round(cast(cast(
+           cast(cast(round(cast(cast(
              sum(cast(nrm AS DECIMAL(38,12))) AS DOUBLE) / count(*)
-             AS DECIMAL(38,12)), 6) AS DOUBLE) AS mean_norm,
-           cast(round(cast(cast((
+             AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS mean_norm,
+           cast(cast(round(cast(cast((
              sqrt(greatest(
                cast(sum(cast(nrm * nrm AS DECIMAL(38,12))) AS DOUBLE)
                  / count(*)
@@ -2028,10 +2023,10 @@ def q_ml_ncm_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * (cast(sum(cast(nrm AS DECIMAL(38,12))) AS DOUBLE)
                     / count(*)),
                0.0))
-             ) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE) AS std_norm,
-           cast(round(cast(cast(
+             ) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS std_norm,
+           cast(cast(round(cast(cast(
              sum(cast(sv AS DECIMAL(38,12))) AS DOUBLE) / count(*)
-             AS DECIMAL(38,12)), 6) AS DOUBLE) AS mean_coord_sum
+             AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS mean_coord_sum
     FROM n GROUP BY label
     """,
 )
@@ -2062,8 +2057,10 @@ def q_vec_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.aggregate(
             F.col("vec"),
-            F.lit(0).cast(DEC),
-            lambda acc, x: (acc + x.cast(DEC)).cast(DEC),
+            # (28,8) not (38,8): a (38,8)+(38,8) add overflows Spark's
+            # 38-digit cap and rounds each step to scale 7 (see dot_dec)
+            F.lit(0).cast("decimal(28,8)"),
+            lambda acc, x: (acc + x.cast("decimal(28,8)")).cast("decimal(28,8)"),
         )
         .cast("double")
         .alias("sv"),
@@ -2104,18 +2101,18 @@ RRF_OUT = 5      # fused results per probe
     ),
     norms AS (
       SELECT vec_id,
-             sqrt(cast(sum(cast(v * v AS DECIMAL(38,8))) AS DOUBLE)) AS nrm,
-             sqrt(cast(sum(cast(CASE WHEN pos <= {TRUNC_DIM}
+             sqrt(cast(cast(sum(cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm,
+             sqrt(cast(cast(sum(cast(CASE WHEN pos <= {TRUNC_DIM}
                                      THEN v * v ELSE 0 END
-                  AS DECIMAL(38,8))) AS DOUBLE)) AS nrm_t
+                  AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm_t
       FROM unn GROUP BY vec_id
     ),
     dots AS (
       SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
-             cast(sum(cast(a.v * b.v AS DECIMAL(38,8))) AS DOUBLE) AS dot,
-             cast(sum(cast(CASE WHEN a.pos <= {TRUNC_DIM}
+             cast(cast(sum(cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot,
+             cast(cast(sum(cast(CASE WHEN a.pos <= {TRUNC_DIM}
                                 THEN a.v * b.v ELSE 0 END
-                  AS DECIMAL(38,8))) AS DOUBLE) AS dot_t
+                  AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot_t
       FROM unn a JOIN unn b ON a.pos = b.pos
       WHERE a.vec_id < {N_PROBES} AND b.vec_id <> a.vec_id
       GROUP BY 1, 2
@@ -2155,8 +2152,7 @@ RRF_OUT = 5      # fused results per probe
       FROM fused QUALIFY rank <= {RRF_OUT}
     )
     SELECT probe_id, cand_id, rank::INT AS rank,
-           cast(round(cast(cast((rrf) AS VARCHAR) AS DECIMAL(38,12)), 6)
-             AS DOUBLE) AS rrf
+           cast(cast(round(cast(cast((rrf) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS rrf
     FROM ranked
     """,
 )

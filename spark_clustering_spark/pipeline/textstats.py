@@ -137,12 +137,12 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, n_tokens::BIGINT AS n_tokens,
-           cast(round(cast(cast((cast(n_ch AS DOUBLE) / greatest(n_tokens, 1)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS avg_tok_span,
-           cast(round(cast(cast((cast(n_punct AS DOUBLE) / greatest(n_ch, 1)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS punct_ratio,
-           cast(round(cast(cast((cast(n_stop AS DOUBLE) / greatest(n_tokens, 1)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS stopword_ratio,
-           cast(round(cast(cast((1.0 / (1.0 + exp(-(cast(n_tokens AS DOUBLE) / 64.0
+           cast(cast(round(cast(cast((cast(n_ch AS DOUBLE) / greatest(n_tokens, 1)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS avg_tok_span,
+           cast(cast(round(cast(cast((cast(n_punct AS DOUBLE) / greatest(n_ch, 1)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS punct_ratio,
+           cast(cast(round(cast(cast((cast(n_stop AS DOUBLE) / greatest(n_tokens, 1)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS stopword_ratio,
+           cast(cast(round(cast(cast((1.0 / (1.0 + exp(-(cast(n_tokens AS DOUBLE) / 64.0
                  + cast(n_stop AS DOUBLE) / greatest(n_tokens, 1) - 1.0))))
-                AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS quality_score
+                AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS quality_score
     FROM s
     """,
 )
@@ -290,8 +290,8 @@ def q_text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # half-way boundaries at this precision)
     oracle="""
     SELECT doc_id,
-           cast(round(cast(cast((1.0 / (1.0 + exp(-(length(text) - 200.0) / 100.0))) AS VARCHAR)
-             AS DECIMAL(38,12)), 4) AS DOUBLE) AS keep_score
+           cast(cast(round(cast(cast((1.0 / (1.0 + exp(-(length(text) - 200.0) / 100.0))) AS VARCHAR)
+             AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS keep_score
     FROM documents
     """,
 )
@@ -386,8 +386,8 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.tok,
-             cast(round(cast(cast((tf * ln(n_docs / df)) AS VARCHAR)
-               AS DECIMAL(38,12)), 4) AS DOUBLE) AS tfidf
+             cast(cast(round(cast(cast((tf * ln(n_docs / df)) AS VARCHAR)
+               AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS tfidf
       FROM tf JOIN df USING (tok) CROSS JOIN n
     )
     SELECT doc_id, rnk, tok, tfidf FROM (
@@ -510,10 +510,9 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT sum(c) AS total FROM dtf)
     SELECT d.doc_id,
            CAST(sum(d.c) AS BIGINT) AS n_toks,
-           cast(round(sum(d.c * cast(round(cast(cast(
+           cast(cast(round(sum(d.c * cast(round(cast(cast(
                 ln(cast(g.gc AS DOUBLE) / t.total)
-                AS VARCHAR) AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))), 4)
-             AS DOUBLE) AS sum_logprob
+                AS VARCHAR) AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))), 4) AS VARCHAR) AS DOUBLE) AS sum_logprob
     FROM dtf d JOIN g USING (tok) CROSS JOIN t
     GROUP BY d.doc_id
     """,
@@ -652,10 +651,9 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc AS (SELECT b.u AS u, b.v AS v, count(*) AS cb FROM bg GROUP BY 1, 2)
     SELECT g.doc_id,
            count(*) AS n_bigrams,
-           cast(round(sum(cast(round(cast(cast(
+           cast(cast(round(sum(cast(round(cast(cast(
              ln(0.7 * bc.cb / cu.c + 0.3 * cw.c / t.n)
-           AS VARCHAR) AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))), 4)
-             AS DOUBLE) AS sum_logprob
+           AS VARCHAR) AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))), 4) AS VARCHAR) AS DOUBLE) AS sum_logprob
     FROM bg g
     JOIN bc ON bc.u = g.b.u AND bc.v = g.b.v
     JOIN uni cu ON cu.tok = g.b.u
@@ -747,14 +745,13 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(sum(c) AS BIGINT) AS n_toks,
              count(*) AS n_types,
-             cast(sum(cast(c * ln(cast(c AS DOUBLE)) AS DECIMAL(38,8)))
-                  AS DOUBLE) AS sum_clnc
+             cast(cast(sum(cast(c * ln(cast(c AS DOUBLE)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sum_clnc
       FROM dtf GROUP BY doc_id
     )
     SELECT doc_id, n_toks, CAST(n_types AS BIGINT) AS n_types,
-           cast(round(cast(cast((
+           cast(cast(round(cast(cast((
              ln(cast(n_toks AS DOUBLE)) - sum_clnc / n_toks
-           ) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS entropy
+           ) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS entropy
     FROM agg
     """,
 )
@@ -1383,12 +1380,12 @@ CODE_INDENT_HITS = 3                  # ... or >=3 indented lines
     SELECT source,
            count(*)::BIGINT AS n_docs,
            sum(is_code)::BIGINT AS n_code,
-           cast(round(cast(
+           cast(cast(round(cast(
              sum(is_code) / cast(count(*) AS DOUBLE)
-             AS DECIMAL(38,12)), 6) AS DOUBLE) AS code_share,
-           cast(round(cast(cast(
+             AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS code_share,
+           cast(cast(round(cast(cast(
              sum(cast(sym_density AS DECIMAL(38,12))) AS DOUBLE) / count(*)
-             AS DECIMAL(38,12)), 6) AS DOUBLE) AS avg_sym_density
+             AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS avg_sym_density
     FROM f GROUP BY source
     """,
 )
@@ -1632,9 +1629,9 @@ VOCAB_SEED = 53             # LCG substream for doc bucketing
     SELECT t::INT AS subset_buckets,
            cast(tokens AS BIGINT) AS n_tokens,
            cast(vocab AS BIGINT) AS vocab_size,
-           cast(round(cast(cast((
+           cast(cast(round(cast(cast((
              cast(vocab AS DOUBLE) / tokens
-           ) AS VARCHAR) AS DECIMAL(38,12)), 6) AS DOUBLE)
+           ) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE)
              AS type_token_ratio
     FROM fr
     """.replace("{LCG}", sql_lcg_uniform("doc_id", seed=VOCAB_SEED)),

@@ -121,8 +121,7 @@ def colocated_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle is the plain join aggregate over the source tables
     oracle="""
     SELECT o.o_orderkey, count(*) AS n_lines,
-           cast(round(sum(cast(l.l_extendedprice AS DECIMAL(38,8))), 4)
-                AS DOUBLE) AS order_total
+           cast(cast(round(sum(cast(l.l_extendedprice AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE) AS order_total
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderkey
     """,

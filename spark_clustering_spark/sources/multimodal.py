@@ -329,8 +329,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN buck b ON b.item_id = g.item_id AND b.pos = g.pos
     )
     SELECT modality, pos::INT AS pos,
-           cast(round(cast(cast((cast(sum(cast(v AS DECIMAL(38,8))) AS DOUBLE)
-             / count(*)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS DOUBLE) AS mean_v,
+           cast(cast(round(cast(cast((cast(sum(cast(v AS DECIMAL(38,8))) AS DOUBLE)
+             / count(*)) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS mean_v,
            count(*) AS n
     FROM ratio GROUP BY modality, pos
     """,
@@ -572,8 +572,8 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id AS item_id, frame_no::INT AS frame_no,
            n_samples::INT AS n_samples,
-           cast(round(cast(cast((sqrt(ss / (16384.0 * n_samples))) AS VARCHAR)
-                AS DECIMAL(38,12)), 4) AS DOUBLE) AS rms
+           cast(cast(round(cast(cast((sqrt(ss / (16384.0 * n_samples))) AS VARCHAR)
+                AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS rms
     FROM stats
     """,
 )
