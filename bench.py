@@ -30,6 +30,29 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 
+# Queries whose plans contain a GLOBAL (unpartitioned) window — the
+# WindowExec warnings visible in the bench tail. Every entry is over a
+# provably BOUNDED input (audited r5, re-derived mechanically by
+# tools/window_audit.py in r6); a query appearing in the audit but NOT
+# here is a regression introducing a real data-proportional global
+# window (VERDICT r5 task 7).
+WINDOW_ALLOWLIST = {
+    "q_best_tracking": "iteration history: num_run*num_iter rows",
+    "q_diag_key_skew": "top-k skewed keys after aggregation",
+    "q_join_cdf_lookup": "<=P-member roulette CDF table",
+    "q_ml_decision_stump": "distinct candidate thresholds (<=50 quantities)",
+    "q_ml_gains_curve": "decile curve: percentile grid rows",
+    "q_olap_survival": "KM risk set: distinct day series",
+    "q_roulette_cdf": "<=P-member population fitness table",
+    "q_sample_reservoir": "top-k reservoir winners",
+    "q_ts_anomaly": "distinct day series",
+    "q_ts_changepoint": "distinct day series",
+    "q_ts_gapfill": "distinct day grid",
+    "q_ts_peaks": "distinct day series",
+    "q_ts_rolling_median": "distinct day series",
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -147,6 +170,8 @@ def main() -> None:
                 "samples": samples,
                 "canary_runs": canary_runs,
                 "canary_spread": canary_spread,
+                "escalated": sorted(n for n, v in samples.items() if v > 2),
+                "global_window_allowlist": WINDOW_ALLOWLIST,
                 "sf": sf,
             },
             indent=1,
@@ -166,6 +191,7 @@ def main() -> None:
                 "canary_spread": canary_spread,
                 "protocol": "min_of_2_escalate_3_on_2x_spread",
                 "n_escalated": sum(1 for v in samples.values() if v > 2),
+                "escalated": sorted(n for n, v in samples.items() if v > 2),
                 "errors": sorted(n for n, t in timings.items() if t < 0),
                 "detail": detail_path.name,
             },

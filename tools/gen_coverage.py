@@ -23,7 +23,14 @@ def main() -> None:
     for name in sorted(qs):
         fn = qs[name]
         mod = fn.__module__.replace("spark_clustering_spark.", "")
-        doc = (fn.__doc__ or "").strip().split("\n")[0]
+        # first full sentence of the first paragraph (the old first-LINE
+        # cut truncated wrapped docstrings mid-sentence — VERDICT r5
+        # task 8)
+        para = (fn.__doc__ or "").strip().split("\n\n")[0]
+        flat = " ".join(line.strip() for line in para.split("\n"))
+        cut = flat.find(". ")
+        doc = flat[: cut + 1] if cut != -1 else flat
+        doc = doc.replace("|", "\\|")
         oracle = "SQL hash-match" if name in oracles else "rows-only"
         prefix = name.split("_")[0] + "_" + (name.split("_")[1] if "_" in name else "")
         groups.setdefault(mod, []).append(

@@ -1,0 +1,113 @@
+"""Unified growth harness (VERDICT r5 task 6).
+
+Supersedes the one-off tools/{scale,triangle,spatial,round5d,round5e}
+_growth.py replication scripts with REAL data growth: each selected
+declared query runs at two scale factors (default sf0.01 -> sf0.1,
+10x rows) and the wall-clock ratio is checked against a per-query
+linearity budget. tests/test_growth.py runs this as a (slow-marked)
+pytest so the next quadratic surprise — the r5 triangle-width bug was
+caught only because someone happened to run a script — fails CI
+instead.
+
+Budgets are wall ratios on 10x rows: 15x default (>~12x flags
+superlinearity per the r5 verdict; slack for fixed overheads and host
+noise), with explicit overrides for queries whose OUTPUT is
+superlinear by design.
+
+Usage: python tools/growth.py [--small DIR] [--big DIR] [--runs 2]
+       [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+# Heaviest Spark-side declared queries by BENCH_DETAIL (fits and
+# streaming-harness keys excluded: their wall is iteration/harness
+# dominated, not data-plane dominated).
+DEFAULT_QUERIES = [
+    "q_graph_adamic_adar",
+    "q_graph_triangles",
+    "q_sim_ivfpq_topk",
+    "q_graph_jaccard_linkpred",
+    "q_dedup_semantic",
+    "q_ml_als_step",
+    "q_graph_clustering_coeff",
+    "q_dedup_lsh_tuning",
+    "q_sim_topk_ivf",
+    "q_sample_cluster_balanced",
+]
+
+# wall-ratio budget on 10x rows (default 15.0)
+BUDGETS = {
+    # candidate pair lists grow faster than rows by design; the r5
+    # measurements put them well under these caps
+    "q_graph_adamic_adar": 20.0,
+    "q_graph_clustering_coeff": 20.0,
+}
+
+
+def measure(spark, fn, sf_dir: str, runs: int) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def run_growth(
+    names=None, small="/root/testdata/sf0.01", big="/root/testdata/sf0.1",
+    runs: int = 2,
+):
+    import __spark_entry__ as entrymod
+    from spark_clustering_spark.session import get_spark
+
+    spark = get_spark("growth")
+    qs = entrymod.queries()
+    names = names or DEFAULT_QUERIES
+    rows = []
+    for name in names:
+        fn = qs[name]
+        t_small = measure(spark, fn, small, runs)
+        t_big = measure(spark, fn, big, runs)
+        ratio = t_big / max(t_small, 1e-3)
+        budget = BUDGETS.get(name, 15.0)
+        rows.append(
+            {
+                "query": name,
+                "t_small": round(t_small, 2),
+                "t_big": round(t_big, 2),
+                "ratio": round(ratio, 2),
+                "budget": budget,
+                "ok": ratio <= budget,
+            }
+        )
+        print(
+            f"{name}: {t_small:.2f}s -> {t_big:.2f}s  ratio {ratio:.1f}x "
+            f"(budget {budget}x) {'OK' if ratio <= budget else 'OVER'}"
+        )
+    return rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", default="/root/testdata/sf0.01")
+    ap.add_argument("--big", default="/root/testdata/sf0.1")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    rows = run_growth(args.names or None, args.small, args.big, args.runs)
+    print(json.dumps({"growth": rows}))
+    sys.exit(0 if all(r["ok"] for r in rows) else 1)
+
+
+if __name__ == "__main__":
+    main()
