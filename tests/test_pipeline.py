@@ -161,13 +161,33 @@ class TestSimilarity:
 
 class TestMultimodal:
     def test_decode_stub_pipeline(self, spark):
-        import __spark_entry__ as e
+        """The stub plumbing path (text payloads, fake geometry) stays
+        exercised even though the declared key now runs the real
+        codec."""
+        from spark_clustering_spark.sources.multimodal import (
+            decode_media,
+            synthetic_media,
+        )
 
-        out = e.queries()["q_multimodal_decode"](spark, SF_SMALL)
-        rows = out.collect()
+        rows = decode_media(synthetic_media(spark, SF_SMALL)).collect()
         assert len(rows) == 500
         assert all(16 <= r["width"] < 256 and 16 <= r["height"] < 256 for r in rows)
         assert {r["modality"] for r in rows} == {"image", "audio", "video"}
+
+    def test_declared_decode_runs_real_codec(self, spark):
+        """VERDICT r5 task 5: the declared key decodes genuine
+        BMP/PPM/PNG containers with the real parser — dimensions come
+        from the container bytes, not doc arithmetic on the Spark side
+        (the oracle independently predicts them from doc_id)."""
+        import __spark_entry__ as e
+
+        rows = e.queries()["q_multimodal_decode"](spark, SF_SMALL).collect()
+        assert len(rows) == 500
+        assert {r["modality"] for r in rows} == {"bmp", "ppm", "png"}
+        for r in rows:
+            assert r["width"] == 8 + r["item_id"] % 16
+            assert r["height"] == 8 + r["item_id"] % 23
+            assert r["n_frames"] == 1
 
     def test_decode_real_codec_on_text_payload_raises(self, spark):
         """The synthetic media payloads are plain text, not containers:
