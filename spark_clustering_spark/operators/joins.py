@@ -419,7 +419,8 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS DECIMAL(38,8))), 4) AS VARCHAR) AS DOUBLE) AS sum_unit
     FROM part p
     JOIN lineitem l
-      ON abs(l.l_extendedprice / l.l_quantity - p.p_retailprice) < 2.0
+      ON l.l_extendedprice / l.l_quantity > p.p_retailprice - 2.0
+     AND l.l_extendedprice / l.l_quantity < p.p_retailprice + 2.0
     GROUP BY p.p_partkey
     """,
 )
@@ -478,7 +479,14 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lb.join(F.broadcast(pb), "bucket")
-        .filter(F.abs(F.col("unit") - F.col("p_retailprice")) < delta)
+        # two-inequality residual, NOT abs(a-b)<δ: bit-identical to the
+        # oracle's IEJoin-friendly predicate (a-b and b+δ round
+        # differently at the boundary), and DuckDB plans the oracle as
+        # an IEJoin instead of a 1.2e12-pair nested loop at sf1
+        .filter(
+            (F.col("unit") > F.col("p_retailprice") - delta)
+            & (F.col("unit") < F.col("p_retailprice") + delta)
+        )
         .groupBy("p_partkey")
         .agg(
             F.sum("n").alias("n_near"),
