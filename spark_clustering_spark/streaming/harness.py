@@ -16,6 +16,7 @@ streaming results and the strict batch emulations).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import time
 
@@ -70,7 +71,12 @@ def _read_stream(spark: SparkSession, replay: str) -> DataFrame:
     )
 
 
-def _run_to_completion(stream_df: DataFrame, output_mode: str, name: str) -> DataFrame:
+def _run_to_completion(
+    stream_df: DataFrame, output_mode: str, name: str, cleanup: str | None = None
+) -> DataFrame:
+    """Drain the stream into a memory sink; once drained, the replay
+    dir (``cleanup``) is no longer read and is removed (ADVICE r5:
+    harness tempdirs used to accumulate for the session lifetime)."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
@@ -80,6 +86,8 @@ def _run_to_completion(stream_df: DataFrame, output_mode: str, name: str) -> Dat
         .start()
     )
     q.awaitTermination(300)
+    if cleanup:
+        shutil.rmtree(cleanup, ignore_errors=True)
     return spark.table(name)
 
 
@@ -96,7 +104,7 @@ def stream_tumbling_counts(
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    res = _run_to_completion(agg, "append", f"tumbling_{id(src)}")
+    res = _run_to_completion(agg, "append", f"tumbling_{id(src)}", cleanup=replay)
     return res.select(
         F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
         "event_type",
@@ -145,7 +153,7 @@ def stream_dedup(
     dedup = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
-    res = _run_to_completion(dedup, "append", f"dedup_{id(src)}")
+    res = _run_to_completion(dedup, "append", f"dedup_{id(src)}", cleanup=replay)
     return res.select("user_id", "event_type", "event_id", "ts")
 
 
@@ -185,7 +193,7 @@ def stream_stream_join(
         & (F.col("c_ts") > F.col("v_ts"))
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 4 HOURS")),
     )
-    res = _run_to_completion(j, "append", f"ssjoin_{id(j)}")
+    res = _run_to_completion(j, "append", f"ssjoin_{id(j)}", cleanup=replay)
     return res.select(
         "view_id",
         "click_id",
@@ -227,15 +235,21 @@ def stream_cluster_volume(
     max_id = timed.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
     n = int(max_id) + 1
     chunk = max(1, n // n_chunks + (n % n_chunks > 0))
+    base = time.time()
     for ci, lo in enumerate(range(0, n, chunk)):
+        cdir = os.path.join(out, f"chunk_{ci:04d}")
         (
             timed.filter(
                 (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + chunk)
             )
             .coalesce(1)
             .write.mode("overwrite")
-            .parquet(os.path.join(out, f"chunk_{ci:04d}"))
+            .parquet(cdir)
         )
+        # pin arrival order (FileStreamSource sorts by mtime)
+        for root, _, files in os.walk(cdir):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + ci, base + ci))
     timed.unpersist()
     src = (
         spark.readStream.schema("vec_id BIGINT, cluster_id BIGINT, ts TIMESTAMP")
@@ -247,7 +261,7 @@ def stream_cluster_volume(
         .groupBy(F.window("ts", "1 hour").alias("w"), "cluster_id")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
-    res = _run_to_completion(agg, "append", f"clustervol_{id(src)}")
+    res = _run_to_completion(agg, "append", f"clustervol_{id(src)}", cleanup=out)
     return res.select(
         F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
         "cluster_id",
@@ -270,7 +284,7 @@ def stream_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     agg = src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    res = _run_to_completion(agg, "complete", f"topk_{id(src)}")
+    res = _run_to_completion(agg, "complete", f"topk_{id(src)}", cleanup=replay)
     wr = Window.partitionBy("w").orderBy(
         F.col("n_events").desc(), F.col("event_type")
     )
@@ -347,6 +361,7 @@ def stream_upsert(
         .start()
     )
     q.awaitTermination(300)
+    shutil.rmtree(replay, ignore_errors=True)  # state dir must survive
     final = spark.read.parquet(state["cur"])
     return final.filter(F.col("event_type") != "error").select(
         "user_id",
@@ -370,7 +385,7 @@ def stream_sliding_counts(
     agg = src.groupBy(
         F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    res = _run_to_completion(agg, "complete", f"sliding_{n_chunks}_{id(src)}")
+    res = _run_to_completion(agg, "complete", f"sliding_{n_chunks}_{id(src)}", cleanup=replay)
     return res.select(
         F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
         "event_type",
@@ -392,7 +407,7 @@ def stream_session_counts(
     agg = src.groupBy(
         F.session_window("ts", "30 minutes").alias("w"), "user_id"
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    res = _run_to_completion(agg, "complete", f"session_{n_chunks}_{id(src)}")
+    res = _run_to_completion(agg, "complete", f"session_{n_chunks}_{id(src)}", cleanup=replay)
     return res.select(
         "user_id",
         F.unix_timestamp(F.col("w.start")).cast("bigint").alias("session_start"),
@@ -414,7 +429,7 @@ def stream_enrich_counts(
     agg = j.groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    res = _run_to_completion(agg, "complete", f"enrich_{n_chunks}_{id(src)}")
+    res = _run_to_completion(agg, "complete", f"enrich_{n_chunks}_{id(src)}", cleanup=replay)
     return res.select(
         F.unix_timestamp(F.col("w.start")).cast("bigint").alias("win_start"),
         F.col("c_mktsegment").alias("segment"),
