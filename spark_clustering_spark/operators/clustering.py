@@ -1763,7 +1763,8 @@ STUMP_BINS_PER_UNIT = 16  # ln-unit-price resolution: 1/16-nat bins
            cast(nl AS BIGINT) AS n_left, cast(pl AS BIGINT) AS pos_left,
            cast(nr AS BIGINT) AS n_right, cast(pr AS BIGINT) AS pos_right,
            cast(cast(round(cast(score AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS score
-    FROM sc ORDER BY score DESC, bin LIMIT 1
+    -- qualified: the bare name would bind the ROUNDED output alias
+    FROM sc ORDER BY sc.score DESC, bin LIMIT 1
     """,
 )
 def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -373,13 +373,16 @@ _ES_A, _ES_C, _ES_M = 1103515245, 12345, 2**31
     WITH keyed AS (
       SELECT doc_id, lang, n_chars,
              -ln(((doc_id * {_ES_A} + {_ES_C + ES_SEED}) % {_ES_M} + 0.5)
-                 / {float(_ES_M)}) / n_chars AS ekey
+                 / {float(_ES_M)}) / n_chars AS rawkey
       FROM documents WHERE n_chars > 0
     )
     SELECT doc_id, lang, n_chars,
-           cast(cast(round(cast(cast((ekey) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS ekey
+           cast(cast(round(cast(cast((rawkey) AS VARCHAR) AS DECIMAL(38,12)), 6) AS VARCHAR) AS DOUBLE) AS ekey
     FROM keyed
-    ORDER BY ekey, doc_id LIMIT {ES_K}
+    -- order by the RAW key (the alias `ekey` would resolve to the
+    -- 6dp-ROUNDED output, whose sf1-scale tie groups select different
+    -- rows than Spark's raw-key TakeOrdered — caught by the sf1 sweep)
+    ORDER BY rawkey, doc_id LIMIT {ES_K}
     """,
 )
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
