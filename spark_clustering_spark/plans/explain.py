@@ -59,6 +59,38 @@ def num_shuffles(df: DataFrame) -> int:
     return count_node(df, "Exchange")
 
 
+def broadcast_subtrees(df: DataFrame) -> list[str]:
+    """The text of the (sub)plan under each BroadcastExchange — lets a
+    contract assert WHAT gets broadcast, not just that one exists: a
+    broadcast of a constant-sized Range/meta table is fine at any
+    scale, a broadcast whose subtree scans a data table grows with the
+    data and dies at 100×. Inspects the executedPlan (where
+    EnsureRequirements has inserted the exchanges — sparkPlan() shows
+    the join strategy but not the BroadcastExchange nodes); for an
+    unexecuted AQE query this is the initial physical plan, i.e. the
+    static planner's choice."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        m = re.search(r"[:+]- ", ln)
+        return m.start() if m else -1
+
+    out: list[str] = []
+    i = 0
+    while i < len(lines):
+        if "BroadcastExchange" in lines[i]:
+            d = depth(lines[i])
+            j = i + 1
+            while j < len(lines) and depth(lines[j]) > d:
+                j += 1
+            out.append("\n".join(lines[i:j]))
+            i = j
+        else:
+            i += 1
+    return out
+
+
 def codegen_span_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen regions — wider spans = more fused."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))

@@ -717,13 +717,24 @@ def test_scene_change_framing_has_no_shuffle_before_window(spark, qs):
     assert "SinglePartition" not in plan, plan[:800]
 
 
-def test_knn_classify_broadcasts_corpus(spark, qs):
-    """The classify pair pass broadcasts the corpus exactly like
-    q_sim_topk_cosine — a shuffled n×n join would be the wrong plan."""
-    plan = formatted_plan(qs["q_ml_knn_classify"](spark, SF_SMALL))
-    assert (
-        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    ), plan[:800]
+def test_knn_pair_generation_never_broadcasts_corpus(spark, qs):
+    """r6 verdict task 1: the exact-kNN pair pass must never put a
+    data-derived table inside a BroadcastExchange — the old
+    crossJoin(F.broadcast(corpus)) grew with the corpus and was the
+    one declared plan guaranteed to die at 100×. The only permitted
+    broadcast is the constant-sized Range block list; the corpus side
+    rides a ShuffledHashJoin partitioned by vec_id block."""
+    from spark_clustering_spark.plans.explain import broadcast_subtrees
+
+    for key in ("q_ml_knn_classify", "q_vec_knn_graph"):
+        df = qs[key](spark, SF_SMALL)
+        for sub in broadcast_subtrees(df):
+            assert "FileScan" not in sub and "parquet" not in sub, (
+                key,
+                sub[:400],
+            )
+        plan = formatted_plan(df)
+        assert "ShuffledHashJoin" in plan, (key, plan[:800])
 
 
 def test_gains_curve_has_no_single_partition_exchange(spark, qs):

@@ -43,6 +43,11 @@ DEFAULT_QUERIES = [
     "q_dedup_lsh_tuning",
     "q_sim_topk_ivf",
     "q_sample_cluster_balanced",
+    # r6 verdict task 1: the two ex-broadcast keys, now blocked-shuffle
+    # pair generation — gated so a broadcast (or width) regression that
+    # reserializes the n_sub×n pair volume fails CI
+    "q_ml_knn_classify",
+    "q_vec_knn_graph",
 ]
 
 # wall-ratio budget on 10x rows (default 15.0)
