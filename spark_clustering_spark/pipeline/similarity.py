@@ -1629,6 +1629,67 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe kNN majority vote — the data plane of
+    q_ml_knn_classify, exposed separately so the sf1 closure check
+    (tools/knn_sf1_check.py) can row-verify predictions for a
+    deterministic probe sample against an oracle that would be
+    O(n²·d)-infeasible over the full subset. Returns one row per
+    subset vector: (src, true_label, lbl = predicted label). A filter
+    on src pushes below both windows (they partition by src), so
+    restricting to a probe sample prunes the pair stream itself."""
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("vec")
+    )
+    n = ve.select(
+        "vec_id",
+        "label",
+        "vec",
+        F.sqrt(dot_dec(F.col("vec"), F.col("vec")).cast("double")).alias(
+            "nrm"
+        ),
+    )
+    sub = n.filter(F.col("vec_id") % KNN_MOD == 0).select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("true_label"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    corpus = n.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("lbl"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = (
+        _blocked_cross(sub, corpus, "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "true_label",
+            "dst",
+            "lbl",
+            (
+                dot_dec(F.col("va"), F.col("vb")).cast("double")
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    topk = scored.select(
+        "src", "true_label", "lbl", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= KNN_K)
+    votes = topk.groupBy("src", "true_label", "lbl").agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    wv = Window.partitionBy("src").orderBy(
+        F.col("nv").desc(), F.col("lbl")
+    )
+    return votes.select(
+        "src", "true_label", "lbl", F.row_number().over(wv).alias("pr")
+    ).filter(F.col("pr") == 1)
+
+
 @query(
     "q_ml_knn_classify",
     oracle=f"""
@@ -1713,56 +1774,7 @@ def q_ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps to the IVF/LSH routing in this module and the vote tail is
     unchanged. The vote and accuracy aggregates reduce to
     |labels|-bounded rows with map-side combine."""
-    ve = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double_array("embedding").alias("vec")
-    )
-    n = ve.select(
-        "vec_id",
-        "label",
-        "vec",
-        F.sqrt(dot_dec(F.col("vec"), F.col("vec")).cast("double")).alias(
-            "nrm"
-        ),
-    )
-    sub = n.filter(F.col("vec_id") % KNN_MOD == 0).select(
-        F.col("vec_id").alias("src"),
-        F.col("label").alias("true_label"),
-        F.col("vec").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    corpus = n.select(
-        F.col("vec_id").alias("dst"),
-        F.col("label").alias("lbl"),
-        F.col("vec").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    scored = (
-        _blocked_cross(sub, corpus, "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "true_label",
-            "dst",
-            "lbl",
-            (
-                dot_dec(F.col("va"), F.col("vb")).cast("double")
-                / (F.col("na") * F.col("nb"))
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
-    topk = scored.select(
-        "src", "true_label", "lbl", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= KNN_K)
-    votes = topk.groupBy("src", "true_label", "lbl").agg(
-        F.count(F.lit(1)).alias("nv")
-    )
-    wv = Window.partitionBy("src").orderBy(
-        F.col("nv").desc(), F.col("lbl")
-    )
-    pred = votes.select(
-        "src", "true_label", "lbl", F.row_number().over(wv).alias("pr")
-    ).filter(F.col("pr") == 1)
+    pred = knn_predictions(spark, sf_dir)
     return pred.groupBy(F.col("true_label").alias("label")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.sum(F.when(F.col("lbl") == F.col("true_label"), 1).otherwise(0))

@@ -76,14 +76,22 @@ def decode_payload(b: bytes) -> tuple[int, int, int]:
     import struct
 
     try:
+        from PIL import Image
+    except ImportError:
+        Image = None
+    if Image is not None:
         import io
 
-        from PIL import Image
-
-        im = Image.open(io.BytesIO(b))
-        return im.width, im.height, int(getattr(im, "n_frames", 1))
-    except ImportError:
-        pass
+        try:
+            im = Image.open(io.BytesIO(b))
+            return im.width, im.height, int(getattr(im, "n_frames", 1))
+        except Exception:
+            # PIL raises UnidentifiedImageError/OSError on bytes it
+            # doesn't recognize — fall through to the pure-Python
+            # decoders so behavior (including the final ValueError
+            # message below) is identical with and without PIL
+            # (ADVICE r6).
+            pass
 
     if b[:2] == b"BM" and len(b) >= 54:
         data_off = struct.unpack_from("<I", b, 10)[0]

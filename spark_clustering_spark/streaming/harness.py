@@ -85,7 +85,14 @@ def _run_to_completion(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    terminated = q.awaitTermination(300)
+    if not terminated:
+        # drain exceeded the timeout: stop the query BEFORE touching
+        # its source dir — deleting a live FileStreamSource's input
+        # turns a benign partial-result timeout into a stream failure
+        # (ADVICE r6)
+        q.stop()
+        q.awaitTermination(30)
     if cleanup:
         shutil.rmtree(cleanup, ignore_errors=True)
     return spark.table(name)

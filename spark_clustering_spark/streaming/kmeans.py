@@ -13,8 +13,12 @@ decay-weighted mini-batch update:
     c ← (n_eff·c + Σ_batch x) / (n_eff + n_batch),  n_eff = decay·n
 
 This is a sequential mini-batch fold (Spark's old StreamingKMeans
-update rule exactly — cross-checked against
-pyspark.mllib.clustering.StreamingKMeansModel in tests): each batch
+center-update rule — cross-checked against
+pyspark.mllib.clustering.StreamingKMeansModel in tests; the one MLlib
+behavior NOT implemented is the dying-cluster rule, which splits the
+largest cluster when minWeight < 1e-8·maxWeight, so the cross-check
+can diverge under decay < 1 with persistently empty clusters — the
+test fixtures keep every cluster fed): each batch
 assigns against the centers as updated by the batches before it, so
 arrival order matters and is pinned by stamped mtimes; decay < 1
 forgets the past, decay = 1.0 accumulates all mass. Only k·d floats

@@ -28,7 +28,12 @@ def test_global_windows_are_allowlisted(spark):
         if name.startswith("fit_"):
             continue
         try:
-            plan = fn(spark, SF_SMALL)._jdf.queryExecution().analyzed().toString()
+            # optimizedPlan: constant partition keys fold away there,
+            # exposing truly-global windows the analyzed plan hides
+            # (ADVICE r6)
+            plan = (
+                fn(spark, SF_SMALL)._jdf.queryExecution().optimizedPlan().toString()
+            )
         except Exception:
             continue
         if global_windows_in_plan(plan):

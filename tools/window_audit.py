@@ -61,6 +61,26 @@ def global_windows_in_plan(plan: str) -> list[str]:
             or first.startswith("specifiedwindowframe")
         ):
             specs.append(first)
+            continue
+        # a window partitioned only by LITERALS is global at runtime —
+        # the optimizer folds the constant away into a true
+        # single-partition WindowExec (ADVICE r6; the hazard behind
+        # [[constant-partition-key-folds]]). Partition exprs are the
+        # args before the first ORDER-direction arg; flag the spec if
+        # every one of them is a bare literal.
+        part = []
+        for a in args:
+            if (
+                re.search(r"\b(ASC|DESC) NULLS (FIRST|LAST)$", a)
+                or a.startswith("specifiedwindowframe")
+            ):
+                break
+            part.append(a)
+        if part and all(
+            re.fullmatch(r"-?\d+(\.\d+)?[A-Za-z]*|\"[^\"]*\"|''|'[^']*'", p)
+            for p in part
+        ):
+            specs.append(f"literal-partition: {', '.join(part)}")
     return specs
 
 
@@ -80,7 +100,11 @@ def main() -> None:
             continue  # iterative fits: audited via their kernel design
         try:
             df = qs[name](spark, args.sf)
-            plan = df._jdf.queryExecution().analyzed().toString()
+            # optimizedPlan, not analyzed(): constant partition keys
+            # survive analysis but fold away in optimization, leaving
+            # a truly global WindowExec the analyzed-plan audit would
+            # miss (ADVICE r6)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
         except Exception as ex:
             print(f"skip {name}: {type(ex).__name__}")
             continue
