@@ -557,12 +557,16 @@ OUTLIER_TOPK = 20  # reported outliers
       FROM dims d JOIN s USING (pos)
     ),
     sc AS (
-      SELECT vec_id, cast(sum(t) AS DOUBLE) AS m2
+      SELECT vec_id, cast(sum(t) AS DOUBLE) AS raw_m2
       FROM terms GROUP BY vec_id
     )
     SELECT vec_id,
-           cast(cast(round(cast(cast(m2 AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS m2
-    FROM sc ORDER BY m2 DESC, vec_id LIMIT {OUTLIER_TOPK}
+           cast(cast(round(cast(cast(raw_m2 AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE) AS m2
+    -- order by the RAW score (an `m2` here would resolve to the
+    -- 4dp-ROUNDED output alias; the Spark side TakeOrders on the raw
+    -- value — the 14c6aba bug class, caught by the oracle audit in
+    -- tests/test_parity_sample.py)
+    FROM sc ORDER BY raw_m2 DESC, vec_id LIMIT {OUTLIER_TOPK}
     """,
 )
 def q_vec_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
