@@ -11,6 +11,15 @@ script.
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
 
+sf1 mode (VERDICT r6 task 4 — carry real-10x-data walls round over
+round, not as one-off parity observations):
+  python bench.py --sf /root/repo/testdata_sf1 --top 40 \
+      --detail BENCH_r07_sf1.json
+benches the N heaviest declared keys (ranked by the committed sf0.1
+BENCH_DETAIL.json) plus every fit_* surface, same min-of-2/escalate-
+on-2x-spread protocol and canary. The driver's no-arg invocation is
+unchanged.
+
 Each query executes fully via the no-op sink (measures scan + compute +
 shuffle, excludes driver-side result transfer). Timing starts after one
 warmup query so JVM/codegen startup isn't charged to the first query.
@@ -54,7 +63,26 @@ WINDOW_ALLOWLIST = {
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", help="override SPARK_GRAFT_SF_DIR")
+    ap.add_argument(
+        "--top",
+        type=int,
+        help="bench only the N heaviest keys (by the committed sf0.1 "
+        "BENCH_DETAIL.json) plus every fit_* surface",
+    )
+    ap.add_argument(
+        "--detail",
+        default="BENCH_DETAIL.json",
+        help="per-query detail output file (relative to the repo root)",
+    )
+    args = ap.parse_args()
+
+    sf_dir = args.sf or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
@@ -63,9 +91,21 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = entrymod.queries()
+    if args.top:
+        ranked = json.loads((_REPO / "BENCH_DETAIL.json").read_text())[
+            "queries"
+        ]
+        heavy = sorted(
+            (n for n in qs if not n.startswith("fit_")),
+            key=lambda n: -ranked.get(n, 0.0),
+        )[: args.top]
+        qs = {n: qs[n] for n in qs if n in set(heavy) or n.startswith("fit_")}
 
-    # warmup: JVM + codegen + parquet footer caches
-    qs["q_agg_hash"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warmup: JVM + codegen + parquet footer caches (from the full
+    # registry — --top mode may have filtered the warmup key out)
+    entrymod.queries()["q_agg_hash"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     # warmup 2: spin up the Arrow Python workers (spark.python.worker.reuse
     # keeps them alive), so the first Pandas-kernel query — alphabetically
     # fit_gka — isn't charged the one-time worker fork/import cost
@@ -159,7 +199,7 @@ def main() -> None:
     total = round(
         sum(t for n, t in timings.items() if t >= 0 and n in qs), 3
     )
-    detail_path = _REPO / "BENCH_DETAIL.json"
+    detail_path = _REPO / args.detail
     detail_path.write_text(
         json.dumps(
             {
