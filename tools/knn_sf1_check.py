@@ -49,7 +49,9 @@ def check_knn_graph(spark, con, sf: str, sample_mod: int) -> dict:
     from spark_clustering_spark.pipeline.similarity import KNN_K, KNN_MOD
 
     t0 = time.time()
-    sdf = entrymod.queries()["q_vec_knn_graph"](spark, sf)
+    # persist: the filtered collect and the full count below otherwise
+    # recompute the whole n² pair pass twice
+    sdf = entrymod.queries()["q_vec_knn_graph"](spark, sf).persist()
     from pyspark.sql import functions as F
 
     srows = sorted(
@@ -60,6 +62,7 @@ def check_knn_graph(spark, con, sf: str, sample_mod: int) -> dict:
         ).collect()
     )
     n_full = sdf.count()
+    sdf.unpersist()
     t_spark = round(time.time() - t0, 1)
 
     t0 = time.time()
