@@ -172,10 +172,12 @@ NOTES = {
         "by a hash LeftAnti join; final top-50 is TakeOrderedAndProject."
     ),
     "q_vec_knn_graph": (
-        "pairwise cosine as per-row exact-decimal codegen folds over a "
-        "BroadcastNestedLoopJoin of the bounded subset (no "
-        "dimension-cardinality shuffle); per-src window top-k; mutual "
-        "filter is an equi self-join."
+        "pairwise cosine as per-row exact-decimal folds over the "
+        "blocked shuffle cross (_blocked_cross): corpus hash-partitioned "
+        "by vec_id block + ShuffledHashJoin build on the corpus side, "
+        "probe side replicated via the constant Range block list (the "
+        "only BroadcastExchange — no data-derived broadcast, r6 task 1); "
+        "per-src window top-k; mutual filter is an equi self-join."
     ),
     "q_ml_naive_bayes": (
         "model tables (per-lang counts/totals/priors/vocab) broadcast "
@@ -248,10 +250,12 @@ NOTES = {
         "rollup both hash-partition by item_id."
     ),
     "q_ml_knn_classify": (
-        "bounded probe subset crossJoins the BROADCAST corpus (one "
-        "narrow pair pass, dot products as per-row codegen folds); "
-        "per-src top-k windows partition by probe; the vote and "
-        "accuracy aggregates reduce to |labels| rows map-side."
+        "pair generation via the blocked shuffle cross: corpus "
+        "shuffled once by vec_id block (ShuffledHashJoin build side, "
+        "n/width rows per task), probe subset replicated across the "
+        "Range block list — no corpus broadcast (r6 task 1); per-src "
+        "top-k windows partition by probe; the vote and accuracy "
+        "aggregates reduce to |labels| rows map-side."
     ),
 }
 
