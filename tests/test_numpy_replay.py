@@ -111,6 +111,55 @@ def test_pso_matches_numpy_replay(spark):
     np.testing.assert_allclose(res.gbest, gbest, rtol=1e-9, atol=1e-8)
 
 
+def test_gmm_matches_numpy_replay(spark):
+    """Three spherical-GMM EM iterations replayed: deterministic
+    lowest-vec_id init, log-sum-exp responsibilities with the per-row
+    max shift, weighted-sum M-step with the starved-component guard —
+    asserted against the gmm_soft_stats kernel loop per iteration
+    (loglik) and at the end (means, weights)."""
+    from spark_clustering_spark.ml.gmm import fit_gmm
+    from spark_clustering_spark.operators.clustering import points_df
+
+    k, iters, sigma2 = 5, 3, 4.0
+    res = fit_gmm(
+        spark, points_df(spark, SF), k=k, num_iter=iters, sigma2=sigma2
+    )
+
+    ids, mat = _collect_points(spark)
+    n = len(ids)
+    means = mat[:k].copy()  # init: k lowest vec_ids
+    weights = np.full(k, 1.0 / k)
+    for it in range(iters):
+        D = _dm(mat, means)
+        with np.errstate(divide="ignore"):
+            logw = np.log(weights)
+        logL = logw[None, :] - (D * D) / (2.0 * sigma2)
+        m = logL.max(axis=1)
+        E = np.exp(logL - m[:, None])
+        z = E.sum(axis=1)
+        ll = float((m + np.log(z)).sum())
+        R = E / z[:, None]
+        rsum = R.sum(axis=0)
+        WX = R.T @ mat
+        assert math.isclose(
+            res.logliks[it], ll, rel_tol=1e-9, abs_tol=1e-6
+        ), (it, res.logliks[it], ll)
+        means = np.array(
+            [
+                WX[c] / rsum[c] if rsum[c] > 1e-12 else means[c]
+                for c in range(k)
+            ]
+        )
+        weights = rsum / n
+
+    np.testing.assert_allclose(
+        np.array(res.means), means, rtol=1e-9, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.array(res.weights), weights, rtol=1e-9, atol=1e-10
+    )
+
+
 def test_gka_matches_numpy_replay(spark):
     """Two full GKA generations replayed: seeded init labels, KMO
     (member centers → argmin reassignment with the Q9 missing-center
