@@ -111,6 +111,82 @@ def test_pso_matches_numpy_replay(spark):
     np.testing.assert_allclose(res.gbest, gbest, rtol=1e-9, atol=1e-8)
 
 
+def test_kmeans_matches_numpy_replay(spark):
+    """Two lockstep Lloyd restarts × four iterations replayed: the
+    seeded LCG init draw per run, nearest-center assignment (ties →
+    lower cid), Q4 unsquared objectives measured against PRE-update
+    centers (Q7), the Q1 empty-cluster reseed draw, the Q9 stale-center
+    guard, and run-major best tracking."""
+    from spark_clustering_spark.functions.rng import py_lcg_uniform
+    from spark_clustering_spark.ml.kmeans import fit_kmeans
+    from spark_clustering_spark.operators.clustering import points_df
+
+    k, iters, runs, seed = 6, 4, 2, 42
+    res = fit_kmeans(
+        spark, points_df(spark, SF), k=k, num_iter=iters, num_run=runs,
+        seed=seed,
+    )
+
+    ids, mat = _collect_points(spark)
+    n = len(ids)
+
+    def lcg_pick(draw_seed: int, count: int) -> np.ndarray:
+        u = np.array([py_lcg_uniform(int(i), draw_seed) for i in ids])
+        return np.lexsort((ids, u))[:count]  # (u, vec_id) order
+
+    centers = {
+        run: mat[lcg_pick(seed + 1000 * run, k)].copy()
+        for run in range(runs)
+    }
+    hist = []
+    for it in range(iters):
+        stats = {}
+        for run in range(runs):
+            D = _dm(mat, centers[run])
+            lab = D.argmin(axis=1)
+            md = D[np.arange(n), lab]
+            stats[run] = (lab, md)
+        n_needed = max(
+            k - len(np.unique(stats[run][0])) for run in range(runs)
+        )
+        fresh = mat[lcg_pick(seed + 7000 + it, n_needed)] if n_needed else None
+        for run in range(runs):
+            lab, md = stats[run]
+            obj = float(md.sum())
+            obj_sq = float((md * md).sum())
+            hist.append(
+                {"run": run, "iter": it, "objective": obj,
+                 "objective_sq": obj_sq}
+            )
+            empty = [c for c in range(k) if not (lab == c).any()]
+            new_c = centers[run].copy()
+            for c in range(k):
+                sel = lab == c
+                if sel.any():
+                    new_c[c] = mat[sel].mean(axis=0)
+            for j, c in enumerate(empty):
+                new_c[c] = fresh[j]
+            centers[run] = new_c
+
+    # fit history is run-major; the replay loop is iter-major
+    hist.sort(key=lambda h: (h["run"], h["iter"]))
+    assert len(res.history) == len(hist)
+    for got, exp in zip(res.history, hist):
+        assert (got["run"], got["iter"]) == (exp["run"], exp["iter"])
+        assert math.isclose(
+            got["objective"], exp["objective"], rel_tol=1e-9, abs_tol=1e-6
+        ), (got, exp)
+        assert math.isclose(
+            got["objective_sq"], exp["objective_sq"],
+            rel_tol=1e-9, abs_tol=1e-6,
+        )
+    assert math.isclose(
+        res.best_objective,
+        min(h["objective"] for h in hist),
+        rel_tol=1e-9, abs_tol=1e-6,
+    )
+
+
 def test_gmm_matches_numpy_replay(spark):
     """Three spherical-GMM EM iterations replayed: deterministic
     lowest-vec_id init, log-sum-exp responsibilities with the per-row
