@@ -712,3 +712,141 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.row_number().over(w).cast("int").alias("draw"),
     )
+
+
+CORESET_M = 80       # coreset size
+CORESET_SEED = 31
+
+
+@query(
+    "q_sample_coreset",
+    oracle=f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    unn AS (
+      SELECT vec_id, unnest(vec) AS v, generate_subscripts(vec, 1) AS pos
+      FROM ve
+    ),
+    mu AS (
+      SELECT pos,
+             cast(cast(sum(cast(cast(v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+               / (SELECT count(*) FROM ve) AS m
+      FROM unn GROUP BY pos
+    ),
+    d2 AS (
+      SELECT u.vec_id,
+             cast(cast(sum(cast(cast((u.v - mu.m) * (u.v - mu.m) AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS d2raw
+      FROM unn u JOIN mu USING (pos) GROUP BY u.vec_id
+    ),
+    tot AS (
+      SELECT cast(cast(sum(cast(cast(d2raw AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS total,
+             count(*) AS n FROM d2
+    ),
+    keyed AS (
+      SELECT d.vec_id, d.d2raw,
+             0.5 / t.n + 0.5 * d.d2raw / t.total AS qraw,
+             -ln(((d.vec_id * {_ES_A} + {_ES_C + CORESET_SEED}) % {_ES_M} + 0.5)
+                 / {float(_ES_M)})
+               / (0.5 / t.n + 0.5 * d.d2raw / t.total) AS ekraw
+      FROM d2 d CROSS JOIN tot t
+    )
+    SELECT vec_id,
+           {sql_dround('d2raw', 4)} AS d2,
+           {sql_dround('qraw', 10)} AS q,
+           {sql_dround(f'1.0 / ({float(CORESET_M)} * qraw)', 4)} AS w,
+           {sql_dround('ekraw', 6)} AS ekey
+    FROM keyed
+    -- order by the RAW key, never the rounded alias (14c6aba class)
+    ORDER BY ekraw, vec_id LIMIT {CORESET_M}
+    """,
+)
+def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight k-means coreset (Bachem, Lucic & Krause 2018):
+    sensitivity q(x) = 1/2n + d2(x, mu)/(2 Sum d2) against the ONE
+    global mean, then an Efraimidis-Spirakis weighted draw of
+    {CORESET_M} points with importance weights w = 1/(M*q) - the
+    standard recipe for shrinking a 100 TB corpus to a laptop-sized
+    weighted set whose k-means cost approximates the full data's.
+    Complements q_sample_weighted (weights given as a column) by
+    COMPUTING the weight from the geometry, and q_sample_kcenter
+    (coverage-greedy, distance-pass-hungry) with a two-scan
+    closed-form alternative.
+
+    Determinism: mu and the normalizer are exact decimal sums (the
+    dot_dec envelope, per-term DECIMAL(28,8) folds Spark-side); q and
+    the -ln(u)/q race key are fixed-order double expressions on
+    identical inputs; the draw u is the shared integer LCG with the
+    +0.5 offset (u in (0,1) strictly, ln never sees 0); winners rank
+    on the RAW key with vec_id tie-break (oracle-audit compliant).
+
+    Scale: two map-side-combined aggregate passes (per-dim mean, then
+    the sensitivity normalizer - d-sized / 1-row driver state, the
+    R19 inversion), one stateless scoring projection, and a
+    TakeOrderedAndProject bounded heap for the M winners. No
+    data-sized shuffle, no window, nothing grows with n."""
+    from spark_clustering_spark.functions.detagg import DEC
+    from spark_clustering_spark.functions.distance import as_double_array
+
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    n = ve.count()
+    mu_rows = (
+        ve.select(F.posexplode("vec").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("v").cast(DEC)).cast("double").alias("s"))
+        .orderBy("pos")
+        .collect()
+    )
+    mu = [r["s"] / n for r in mu_rows]
+
+    mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+    term = F.zip_with(
+        F.col("vec"), mu_arr,
+        lambda x, y: ((x - y) * (x - y)).cast("decimal(28,8)"),
+    )
+    d2 = (
+        F.aggregate(
+            term,
+            F.lit(0).cast("decimal(28,8)"),
+            lambda a, v: (a + v).cast("decimal(28,8)"),
+        )
+        .cast("double")
+        .alias("d2raw")
+    )
+    scored = ve.select("vec_id", d2)
+    total = float(
+        scored.agg(F.sum(F.col("d2raw").cast(DEC)).cast("double")).head()[0]
+    )
+
+    q_col = (
+        F.lit(0.5) / F.lit(float(n))
+        + F.lit(0.5) * F.col("d2raw") / F.lit(total)
+    )
+    u = (
+        (
+            (F.col("vec_id") * F.lit(_ES_A) + F.lit(_ES_C + CORESET_SEED))
+            % F.lit(_ES_M)
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_ES_M))
+    keyed = scored.select(
+        "vec_id",
+        "d2raw",
+        q_col.alias("qraw"),
+        (-F.log(u) / q_col).alias("ekraw"),
+    )
+    return (
+        keyed.orderBy("ekraw", "vec_id")
+        .limit(CORESET_M)
+        .select(
+            "vec_id",
+            dround("d2raw", 4).alias("d2"),
+            dround("qraw", 10).alias("q"),
+            dround(
+                F.lit(1.0) / (F.lit(float(CORESET_M)) * F.col("qraw")), 4
+            ).alias("w"),
+            dround("ekraw", 6).alias("ekey"),
+        )
+    )

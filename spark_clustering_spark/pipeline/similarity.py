@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_clustering_spark.functions.detagg import DEC, dround
+from spark_clustering_spark.functions.detagg import DEC, dround, sql_dround
 from spark_clustering_spark.functions.distance import as_double_array, cosine, dot_dec
 from spark_clustering_spark.functions.rng import py_lcg_uniform
 from spark_clustering_spark.io import table
@@ -2319,5 +2319,119 @@ def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_id",
             F.col("rank").cast("int").alias("rank"),
             dround("rrf_raw", 6).alias("rrf"),
+        )
+    )
+
+
+HN_LO, HN_HI = 6, 15  # hard-negative band: just past the easy top-5
+
+
+@query(
+    "q_sim_hard_negatives",
+    oracle=f"""
+    WITH ve AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    unn AS (
+      SELECT vec_id, unnest(vec) AS v, generate_subscripts(vec, 1) AS pos FROM ve
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(cast(cast(sum(cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm
+      FROM unn GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+             cast(cast(sum(cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot
+      FROM unn a JOIN unn b ON a.pos = b.pos
+      WHERE a.vec_id < {N_PROBES} AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.probe_id, d.cand_id,
+             vp.label AS probe_label, vc.label AS cand_label,
+             d.dot / (na.nrm * nb.nrm) AS cos
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.probe_id
+      JOIN norms nb ON nb.vec_id = d.cand_id
+      JOIN ve vp ON vp.vec_id = d.probe_id
+      JOIN ve vc ON vc.vec_id = d.cand_id
+      WHERE vp.label <> vc.label
+    ),
+    ranked AS (
+      SELECT probe_id, cand_id, cand_label, cos,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, cand_id) AS rn
+      FROM scored
+    )
+    SELECT probe_id, cand_id, cand_label,
+           {sql_dround('cos')} AS cos,
+           rn::INT AS rn
+    FROM ranked WHERE rn BETWEEN {HN_LO} AND {HN_HI}
+    """,
+)
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each probe (vec_id < {N_PROBES}), the OTHER-label candidates
+    ranked {HN_LO}..{HN_HI} by cosine — close enough to the probe to
+    be informative negatives, past the head where near-duplicates and
+    same-concept items live. The standard batch-construction op for
+    training retrievers/encoders (the counterpart of q_sim_topk_cosine,
+    which mines the positives/head).
+
+    Determinism: exact-decimal dot products (the q_sim_topk_cosine
+    envelope), ranking on identical doubles with cand_id tie-break,
+    and the label filter applied BEFORE ranking so both engines rank
+    the same candidate set.
+
+    Scale: identical plan shape to q_sim_topk_cosine — the bounded
+    probe side broadcasts (never the corpus); the label filter is a
+    stateless predicate on the pair stream; per-probe ranking windows
+    partition by probe_id (never global); output is probes x band
+    rows. At IVF scale the candidate stream swaps to the routed lists
+    and the band tail is unchanged."""
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array("embedding").alias("vec")
+    )
+    unn = ve.select("vec_id", F.posexplode("vec").alias("pos", "v"))
+    norms = unn.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double")).alias("nrm")
+    )
+    a = unn.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "pos", F.col("v").alias("va")
+    )
+    b = unn.select(F.col("vec_id").alias("cand_id"), "pos", F.col("v").alias("vb"))
+    dots = (
+        F.broadcast(a).join(b, "pos")
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .groupBy("probe_id", "cand_id")
+        .agg(F.sum((F.col("va") * F.col("vb")).cast(DEC)).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("probe_id"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("cand_id"), F.col("nrm").alias("nb"))
+    lp = ve.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("probe_label"))
+    lc = ve.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label"))
+    scored = (
+        dots.join(na, "probe_id")
+        .join(nb, "cand_id")
+        .join(F.broadcast(lp), "probe_id")
+        .join(lc, "cand_id")
+        .filter(F.col("probe_label") != F.col("cand_label"))
+        .select(
+            "probe_id", "cand_id", "cand_label",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("cand_id"))
+    return (
+        scored.select(
+            "probe_id", "cand_id", "cand_label", "cos",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") >= HN_LO) & (F.col("rn") <= HN_HI))
+        .select(
+            "probe_id", "cand_id", "cand_label",
+            dround("cos").alias("cos"),
+            F.col("rn").cast("int").alias("rn"),
         )
     )
