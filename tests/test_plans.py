@@ -752,3 +752,24 @@ def test_bpe_merge_uses_heap_topk(spark, qs):
 def test_user_streaks_windows_are_user_partitioned(spark, qs):
     plan = formatted_plan(qs["q_ts_user_streaks"](spark, SF_SMALL))
     assert "SinglePartition" not in plan, plan[:800]
+
+
+def test_coreset_uses_heap_topk_and_no_data_broadcast(spark, qs):
+    """The coreset winners ride a TakeOrderedAndProject bounded heap
+    (never a global sort); the only broadcast-shaped state is the
+    d-sized mean literal baked into the projection."""
+    df = qs["q_sample_coreset"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    from spark_clustering_spark.plans.explain import broadcast_subtrees
+
+    for sub in broadcast_subtrees(df):
+        assert "FileScan" not in sub and "parquet" not in sub, sub[:400]
+
+
+def test_hard_negatives_broadcasts_probe_side(spark, qs):
+    """Pair generation must broadcast the bounded probe side (the
+    q_sim_topk_cosine shape) — a shuffled join on `pos` would put 1/d
+    of the corpus on one reducer."""
+    plan = formatted_plan(qs["q_sim_hard_negatives"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan[:800]
