@@ -2435,3 +2435,110 @@ def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+@query(
+    "q_vec_residual_energy",
+    oracle=f"""
+    WITH ve AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    {_ivf_train_ctes(IVF_NLIST, IVF_TRAIN_ITERS)},
+    lists AS (
+      SELECT v.vec_id, v.vec, c.cid, c.cvec
+      FROM ve v CROSS JOIN coarse c
+      QUALIFY row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY list_distance(v.vec, c.cvec), c.cid) = 1
+    ),
+    unn AS (
+      SELECT vec_id, cid, unnest(vec) AS v,
+             generate_subscripts(vec, 1) AS pos FROM lists
+    ),
+    cunn AS (
+      SELECT cid, unnest(cvec) AS c,
+             generate_subscripts(cvec, 1) AS pos FROM coarse
+    ),
+    pervec AS (
+      SELECT u.vec_id, u.cid,
+             cast(cast(sum(cast(cast((u.v - cu.c) * (u.v - cu.c) AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS d2res,
+             cast(cast(sum(cast(cast(u.v * u.v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS d2tot
+      FROM unn u JOIN cunn cu ON cu.cid = u.cid AND cu.pos = u.pos
+      GROUP BY u.vec_id, u.cid
+    ),
+    perlist AS (
+      SELECT cid, count(*) AS n_vecs,
+             cast(cast(sum(cast(cast(d2res AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS eres,
+             cast(cast(sum(cast(cast(d2tot AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS etot
+      FROM pervec GROUP BY cid
+    )
+    SELECT cid, cast(n_vecs AS BIGINT) AS n_vecs,
+           {sql_dround('eres', 4)} AS e_res,
+           {sql_dround('etot', 4)} AS e_tot,
+           {sql_dround('eres / etot', 6)} AS residual_ratio
+    FROM perlist
+    """,
+)
+def q_vec_residual_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF residual-energy audit: per inverted list, the fraction of
+    vector energy the coarse quantizer FAILS to explain —
+    Σ|x−c|² / Σ|x|² over the list's members. The index-design
+    diagnostic that complements q_sim_ivf_recall's behavioral probe:
+    high residual ratio on a list means its centroid is a poor proxy
+    (PQ codebooks trained on those residuals will be coarse, recall
+    drops) and is the signal to split lists / retrain — at 100 TB you
+    run THIS before re-encoding a petabyte of codes.
+
+    Determinism: coarse training replays the shared decimal-exact
+    Lloyd CTEs (ivf_train twin); assignment argmin on the bit-matched
+    euclidean/list_distance pair with cid tie-break; per-vector and
+    per-list energies are exact decimal sums; the ratio is one double
+    division, stable-rounded.
+
+    Scale: one broadcast of the nlist·d centroid table, per-vector
+    residuals computed where the vectors live (zip_with fold — no
+    dimension explosion leaves the map side), one map-side-combined
+    groupBy(cid) down to nlist rows. Nothing data-sized shuffles."""
+    ve = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+    cents = ivf_train(ve)
+    from spark_clustering_spark.functions.distance import euclidean
+
+    pairs = ve.crossJoin(F.broadcast(cents)).withColumn(
+        "cdist", euclidean(F.col("vec"), F.col("cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("cdist", "cid")
+    lists = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "vec", "cvec")
+    )
+    res_term = F.zip_with(
+        F.col("vec"), F.col("cvec"),
+        lambda x, y: ((x - y) * (x - y)).cast("decimal(28,8)"),
+    )
+    d2res = F.aggregate(
+        res_term,
+        F.lit(0).cast("decimal(28,8)"),
+        lambda a, v: (a + v).cast("decimal(28,8)"),
+    ).cast("double")
+    pervec = lists.select(
+        "cid",
+        d2res.alias("d2res"),
+        dot_dec(F.col("vec"), F.col("vec")).cast("double").alias("d2tot"),
+    )
+    return (
+        pervec.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.col("d2res").cast(DEC)).cast("double").alias("eres"),
+            F.sum(F.col("d2tot").cast(DEC)).cast("double").alias("etot"),
+        )
+        .select(
+            "cid",
+            "n_vecs",
+            dround("eres", 4).alias("e_res"),
+            dround("etot", 4).alias("e_tot"),
+            dround(F.col("eres") / F.col("etot"), 6).alias("residual_ratio"),
+        )
+    )
