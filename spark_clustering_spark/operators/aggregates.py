@@ -2335,3 +2335,135 @@ def q_dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id->event day count stability",
     )
     return fd1.unionByName(fd2).unionByName(fd3)
+
+
+def _kmv_merge_oracle() -> str:
+    from spark_clustering_spark.functions.porthash import sql_hex_int
+
+    h_int = sql_hex_int("hx", 1, 8)
+    est = f"({KMV_K} - 1) * 4294967296.0 / hk"
+    return f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hv AS (
+      SELECT event_type, user_id, {h_int} AS h FROM (
+        SELECT event_type, user_id,
+               md5('kmv' || user_id::VARCHAR) AS hx FROM du)
+    ),
+    shard_sketch AS (
+      SELECT event_type, user_id, h FROM (
+        SELECT event_type, user_id, h,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY h, user_id) AS rn
+        FROM hv) WHERE rn <= {KMV_K}
+    ),
+    merged_members AS (
+      SELECT DISTINCT user_id, h FROM shard_sketch
+    ),
+    merged_kth AS (
+      SELECT max(h) AS hk, count(*) AS nk FROM (
+        SELECT h FROM merged_members ORDER BY h, user_id LIMIT {KMV_K})
+    ),
+    direct_members AS (
+      SELECT DISTINCT user_id, h FROM hv
+    ),
+    direct_kth AS (
+      SELECT max(h) AS hk, count(*) AS nk FROM (
+        SELECT h FROM direct_members ORDER BY h, user_id LIMIT {KMV_K})
+    ),
+    stats AS (
+      SELECT count(DISTINCT event_type) AS n_shards,
+             count(DISTINCT user_id) AS n_exact FROM du
+    )
+    SELECT s.n_shards, s.n_exact,
+           {sql_dround(f"CASE WHEN d.nk >= {KMV_K} THEN ({est.replace('hk', 'd.hk')}) ELSE s.n_exact::DOUBLE END")} AS kmv_direct,
+           {sql_dround(f"CASE WHEN m.nk >= {KMV_K} THEN ({est.replace('hk', 'm.hk')}) ELSE s.n_exact::DOUBLE END")} AS kmv_merged,
+           (d.hk = m.hk AND d.nk = m.nk) AS merged_equals_direct
+    FROM stats s CROSS JOIN direct_kth d CROSS JOIN merged_kth m
+    """
+
+
+@query("q_agg_kmv_shard_merge", oracle=_kmv_merge_oracle())
+def q_agg_kmv_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGEABILITY audit — the property that makes
+    bounded-state approximate aggregation distributable at all: the
+    global K-minimum-values sketch equals the K smallest of the UNION
+    of per-shard sketches (any global top-K hash is in its own shard's
+    top-K), so per-executor sketches of {KMV_K} hashes merge into the
+    exact same global estimate a full-data pass produces. The declared
+    query builds both sides — per-event-type (shard) sketches merged,
+    and the direct global sketch — and emits both estimates plus the
+    equality flag next to the exact distinct count. At 100 TB this IS
+    the plan: shards never exchange members, only K-hash sketches.
+
+    Determinism: the sketch is defined purely by the portable md5
+    hash (the q_agg_kmv_distinct envelope); both k-th order statistics
+    take the same (h, user_id) total order; estimates round through
+    the shared decimal pivot.
+
+    Scale: per-shard sketches are K-row windows partitioned by shard;
+    both global k-th selections are TakeOrdered bounded heaps over
+    (shard-count x K) and distinct-member streams; output is ONE row."""
+    from pyspark.sql.window import Window
+
+    from spark_clustering_spark.functions.porthash import md5_int32
+
+    e = table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    hv = du.select(
+        "event_type",
+        "user_id",
+        md5_int32(
+            F.concat(F.lit("kmv"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("h", "user_id")
+    shard_sketch = (
+        hv.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= KMV_K)
+        .select("user_id", "h")
+    )
+
+    def kth_of(members):
+        return (
+            members.distinct()
+            .orderBy("h", "user_id")
+            .limit(KMV_K)
+            .agg(
+                F.max("h").alias("hk"),
+                F.count(F.lit(1)).alias("nk"),
+            )
+        )
+
+    merged = kth_of(shard_sketch).select(
+        F.col("hk").alias("m_hk"), F.col("nk").alias("m_nk")
+    )
+    direct = kth_of(hv.select("user_id", "h")).select(
+        F.col("hk").alias("d_hk"), F.col("nk").alias("d_nk")
+    )
+    stats = du.agg(
+        F.countDistinct("event_type").alias("n_shards"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+
+    def est(hk, nk):
+        return F.when(
+            F.col(nk) >= KMV_K,
+            (KMV_K - 1) * F.lit(4294967296.0) / F.col(hk),
+        ).otherwise(F.col("n_exact").cast("double"))
+
+    return (
+        stats.crossJoin(direct)
+        .crossJoin(merged)
+        .select(
+            "n_shards",
+            "n_exact",
+            dround(est("d_hk", "d_nk")).alias("kmv_direct"),
+            dround(est("m_hk", "m_nk")).alias("kmv_merged"),
+            (
+                (F.col("d_hk") == F.col("m_hk"))
+                & (F.col("d_nk") == F.col("m_nk"))
+            ).alias("merged_equals_direct"),
+        )
+    )
