@@ -49,14 +49,18 @@ def _collect_points(spark):
     return ids, mat
 
 
-def test_pso_matches_numpy_replay(spark):
+@pytest.mark.parametrize("reference_compat", [False, True])
+def test_pso_matches_numpy_replay(spark, reference_compat):
+    """Both velocity rules replayed: canonical inertia AND the Q2
+    reference_compat flavor (pso.java:139-141 overwrites the inertia
+    term, so V = social only)."""
     from spark_clustering_spark.ml.pso import fit_pso
     from spark_clustering_spark.operators.clustering import points_df
 
     k, P, iters, seed = 4, 6, 3, 7
     res = fit_pso(
         spark, points_df(spark, SF), k=k, num_particles=P,
-        num_iter=iters, seed=seed,
+        num_iter=iters, seed=seed, reference_compat=reference_compat,
     )
 
     ids, mat = _collect_points(spark)
@@ -83,9 +87,8 @@ def test_pso_matches_numpy_replay(spark):
         w_now = w_max - (w_max - w_min) * it / iters
         r1 = rng.random((P, k, d))
         r2 = rng.random((P, k, d))
-        V = w_now * V + c1 * r1 * (pbest - X) + c2 * r2 * (
-            gbest[None, :, :] - X
-        )
+        social = c1 * r1 * (pbest - X) + c2 * r2 * (gbest[None, :, :] - X)
+        V = social if reference_compat else w_now * V + social
         V = np.clip(V, -v_max, v_max)
         X = X + V
         obj = ev(X)
