@@ -718,12 +718,14 @@ def test_scene_change_framing_has_no_shuffle_before_window(spark, qs):
 
 
 def test_knn_pair_generation_never_broadcasts_corpus(spark, qs):
-    """r6 verdict task 1: the exact-kNN pair pass must never put a
-    data-derived table inside a BroadcastExchange — the old
-    crossJoin(F.broadcast(corpus)) grew with the corpus and was the
-    one declared plan guaranteed to die at 100×. The only permitted
-    broadcast is the constant-sized Range block list; the corpus side
-    rides a ShuffledHashJoin partitioned by vec_id block."""
+    """r6 verdict task 1 (tightened by the r7 GEMM swap): the
+    exact-kNN keys must never put a data-derived table inside a
+    BroadcastExchange — the old crossJoin(F.broadcast(corpus)) grew
+    with the corpus and was the one declared plan guaranteed to die at
+    100×. The only permitted broadcasts are the constant-sized Range
+    block lists; pair generation rides the blocked cogroup GEMM
+    (FlatMapCoGroupsInPandas) whose survivors are exact-decimal
+    re-ranked."""
     from spark_clustering_spark.plans.explain import broadcast_subtrees
 
     for key in ("q_ml_knn_classify", "q_vec_knn_graph"):
@@ -734,7 +736,7 @@ def test_knn_pair_generation_never_broadcasts_corpus(spark, qs):
                 sub[:400],
             )
         plan = formatted_plan(df)
-        assert "ShuffledHashJoin" in plan, (key, plan[:800])
+        assert "FlatMapCoGroupsInPandas" in plan, (key, plan[:800])
 
 
 def test_gains_curve_has_no_single_partition_exchange(spark, qs):
