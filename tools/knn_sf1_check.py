@@ -17,8 +17,10 @@ plans produce that touches P:
   incident edge, including both ranks).
 - q_ml_knn_classify: per-probe predictions (src, true_label,
   predicted) from the SAME data plane the declared key aggregates
-  (pipeline.similarity.knn_predictions — the src filter pushes below
-  the per-src windows into the pair stream), against a DuckDB
+  (pipeline.similarity.knn_predictions — since the r7 GEMM swap the
+  src filter does NOT push through the Arrow cogroup kernels, so the
+  Spark side runs the full blocked GEMM pair pass, seconds at sf1,
+  and the sample filter applies on its output), against a DuckDB
   leave-one-out vote over P × full corpus.
 
 Sample volumes at sf1 (n=20000, d=64): graph oracle ≤ (100+500)·2500·64
