@@ -178,35 +178,14 @@ def main() -> None:
         timings[name] = best
         samples[name] = len(runs)
 
-    # fit_gka_ref_config (pop=20 reference-scale GKA) is a DECLARED key
-    # since r6 and benches through the normal inventory path above.
-
-    # symmetric PSO diagnostic: the reference README's 20-particle swarm
-    try:
-        from spark_clustering_spark.ml.pso import fit_pso
-        from spark_clustering_spark.operators.clustering import points_df
-
-        t0 = time.time()
-        fit_pso(
-            spark,
-            points_df(spark, sf_dir),
-            k=8,
-            num_particles=20,
-            num_iter=5,
-            seed=42,
-        ).metrics.write.format("noop").mode("overwrite").save()
-        timings["fit_pso_ref_config"] = round(time.time() - t0, 3)
-        samples["fit_pso_ref_config"] = 1
-    except Exception as ex:
-        timings["fit_pso_ref_config"] = -1.0
-        print(f"# bench error fit_pso_ref_config: {ex}", file=sys.stderr)
+    # fit_gka_ref_config (r6) and fit_pso_ref_config (r8) — the two
+    # reference-README-scale configs — are DECLARED keys and bench
+    # through the normal inventory path above.
 
     canary_runs.append(_canary())
     canary_spread = round(max(canary_runs) / max(min(canary_runs), 1e-9), 3)
 
-    # headline total covers the declared inventory only; the ref-config
-    # GKA diagnostic is reported per-query but kept out of the sum so
-    # round-over-round totals stay apples-to-apples
+    # headline total covers the declared inventory only
     total = round(
         sum(t for n, t in timings.items() if t >= 0 and n in qs), 3
     )

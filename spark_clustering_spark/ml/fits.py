@@ -99,6 +99,29 @@ def q_fit_gka_ref_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.metrics
 
 
+@query("fit_pso_ref_config")  # rows-only: iterative, validated by invariants
+def q_fit_pso_ref_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-scale PSO (20 particles per the reference README
+    config — `README.md:90`, `pso.java:56-66`: c1=c2=2, inertia
+    0.9→0.4 — 5 iterations, seed 42): promoted from an unverified
+    bench extra to a declared key (VERDICT r7 task 5, the same
+    promotion fit_gka_ref_config got in r5) so the P·k·d state-growth
+    path carries the invariant suite — monotone gbest, R20 metrics
+    schema, and the R17/R14 velocity clamp |v| ≤ v_max asserted from
+    per-iteration clamp evidence (tests/test_clustering.py)."""
+    from spark_clustering_spark.ml.pso import fit_pso
+
+    res = fit_pso(
+        spark,
+        points_df(spark, sf_dir),
+        k=8,
+        num_particles=20,
+        num_iter=5,
+        seed=42,
+    )
+    return res.metrics
+
+
 @query("fit_gmm_mllib")  # rows-only: iterative, validated by invariants
 def q_fit_gmm_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production/scale GMM: MLlib GaussianMixture (JVM full-covariance

@@ -132,7 +132,14 @@ def fit_pso(
             gbest, gbest_obj = pbest[g_idx].copy(), float(pbest_obj[g_idx])
 
         metrics_rows.append((it, round(gbest_obj, 4), int((time.time() - t0) * 1000)))
-        history.append({"iter": it, "objs": obj.tolist(), "gbest": gbest_obj})
+        # clamp evidence: max |v|/v_max over all particles/dims AFTER the
+        # R14 clip — must be <= 1 every iteration (pso.java:142-145); the
+        # ref-config invariant suite asserts it (VERDICT r7 task 5)
+        vr = float(np.max(np.abs(V) / np.maximum(v_max, 1e-300)))
+        history.append(
+            {"iter": it, "objs": obj.tolist(), "gbest": gbest_obj,
+             "v_max_ratio": vr}
+        )
         if tol > 0 and it > 0 and prev_gbest - gbest_obj < tol:
             break  # converged: gbest improved by less than tol
 

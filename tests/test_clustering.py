@@ -170,6 +170,41 @@ class TestPSO:
         b = fit_pso(spark, points, k=3, num_particles=3, num_iter=2, seed=4)
         assert a.history == b.history
 
+    def test_ref_config_key_invariants(self, spark):
+        """fit_pso_ref_config (VERDICT r7 task 5): the declared
+        reference-README-scale surface (20 particles, c1=c2=2,
+        w 0.9→0.4, 5 iters) must carry the same invariant suite as
+        fit_gka_ref_config — monotone gbest, R20 metrics schema, and
+        the R17/R14 velocity clamp |v| <= v_max every iteration,
+        asserted from the loop's own post-clip clamp evidence."""
+        from tests.conftest import SF_SMALL
+
+        from spark_clustering_spark.ml.pso import fit_pso
+        from spark_clustering_spark.operators.clustering import points_df
+
+        res = fit_pso(
+            spark,
+            points_df(spark, SF_SMALL),
+            k=8,
+            num_particles=20,
+            num_iter=5,
+            seed=42,
+        )
+        bests = [m["gbest"] for m in res.history]
+        assert len(bests) == 5
+        assert all(a >= b for a, b in zip(bests, bests[1:]))
+        assert all(
+            m["v_max_ratio"] <= 1.0 + 1e-12 for m in res.history
+        ), [m["v_max_ratio"] for m in res.history]
+        # R20 metrics schema, via the declared registry surface
+        import __spark_entry__ as e
+
+        m = e.queries()["fit_pso_ref_config"](spark, SF_SMALL)
+        assert [f.name for f in m.schema.fields] == [
+            "iter", "best_objectvalue", "iter_ms",
+        ]
+        assert m.count() == 5
+
 
 def test_silhouette_matches_sklearn_style_numpy(spark):
     """Silhouette values cross-checked against a direct numpy
