@@ -48,6 +48,10 @@ DEFAULT_QUERIES = [
     # reserializes the n_sub×n pair volume fails CI
     "q_ml_knn_classify",
     "q_vec_knn_graph",
+    # r7 verdict task 8: the density-bound join family — budgets derive
+    # from the measured pair volume, like the wedge family
+    "q_join_theta_range",
+    "q_join_range_bucketed",
 ]
 
 # wall-ratio budget on 10x rows (default 15.0)
@@ -103,6 +107,61 @@ def wedge_count(sf_dir: str, cap: int | None) -> int:
     )
 
 
+def theta_pair_count(sf_dir: str) -> int:
+    """Output volume of q_join_theta_range: Σ over brands of the
+    ordered (size_a < size_b) pair count — pure combinatorics over the
+    (brand, size) histogram, so DuckDB computes it from ~brand·size
+    group rows regardless of part cardinality. The key's wall IS this
+    output volume (the join itself is a hash equi-join on brand), so
+    the budget must scale with it (VERDICT r7 task 8)."""
+    import duckdb
+
+    return int(
+        duckdb.sql(
+            f"""WITH h AS (
+              SELECT p_brand AS b, p_size AS s, count(*) AS n
+              FROM read_parquet('{sf_dir}/part.parquet')
+              GROUP BY 1, 2)
+            SELECT COALESCE(sum(a.n * c.n), 0)
+            FROM h a JOIN h c ON a.b = c.b AND a.s < c.s"""
+        ).fetchone()[0]
+    )
+
+
+def band_pair_count(sf_dir: str) -> int:
+    """Join work of q_join_range_bucketed: the number of
+    (part, distinct-unit-price) pairs inside the ±2.0 band — exactly
+    the rows the bucketed plan's residual filter passes (the fact side
+    is pre-aggregated to distinct units before the fanout join, so
+    distinct-unit pairs, not lineitem pairs, are what the engine
+    touches). Band density, not row count, drives the wall."""
+    import duckdb
+
+    return int(
+        duckdb.sql(
+            f"""WITH u AS (
+              SELECT DISTINCT l_extendedprice / l_quantity AS unit
+              FROM read_parquet('{sf_dir}/lineitem.parquet'))
+            SELECT count(*)
+            FROM read_parquet('{sf_dir}/part.parquet') p JOIN u
+              ON u.unit > p.p_retailprice - 2.0
+             AND u.unit < p.p_retailprice + 2.0"""
+        ).fetchone()[0]
+    )
+
+
+# Keys whose work is the measured PAIR volume (output rows for the
+# theta join, band-density join rows for the bucketed range join) —
+# same treatment as WEDGE_FAMILY: budget = measured pair-count growth
+# × slack, floored where fixed overheads dominate.
+PAIR_FAMILY = {
+    "q_join_theta_range": theta_pair_count,
+    "q_join_range_bucketed": band_pair_count,
+}
+PAIR_SLACK = 2.5
+PAIR_FLOOR = 4.0
+
+
 def measure(spark, fn, sf_dir: str, runs: int) -> float:
     best = float("inf")
     for _ in range(runs):
@@ -143,6 +202,11 @@ def run_growth(
                 )
             row["wedge_ratio"] = round(wedge_ratios[cap], 2)
             budget = max(WEDGE_FLOOR, wedge_ratios[cap] * WEDGE_SLACK)
+        elif name in PAIR_FAMILY:
+            counter = PAIR_FAMILY[name]
+            pair_ratio = counter(big) / max(counter(small), 1)
+            row["pair_ratio"] = round(pair_ratio, 2)
+            budget = max(PAIR_FLOOR, pair_ratio * PAIR_SLACK)
         else:
             budget = BUDGETS.get(name, 15.0)
         row["budget"] = round(budget, 2)
