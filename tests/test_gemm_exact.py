@@ -75,6 +75,32 @@ def test_gemm_exact_equals_declared_all_pairs(spark, sf_dir):
     assert d == g  # same neighbours, same ranks, bit-identical cosines
 
 
+def test_gemm_exact_equality_holds_on_multiblock_grid(spark):
+    """The derived grid collapses the small test corpora to 1x1 —
+    which would leave the MULTI-block machinery (per-block top-k
+    union, global k-th off the union, survivor pass across block
+    pairs) untested. Force an asymmetric 3x5 grid on sf0.01 and
+    assert bit-identical output to the derived grid (itself proven
+    equal to the declared all-pairs path above): equality must hold
+    for ANY grid, which is exactly the losslessness argument."""
+    from spark_clustering_spark.pipeline.similarity import (
+        KNN_K,
+        KNN_MOD,
+        knn_topk_gemm_exact,
+    )
+
+    a, b, _ = _declared_topk(spark, "/root/testdata/sf0.01", KNN_MOD, KNN_K)
+    derived = {
+        (r["src"], r["rn"]): (r["dst"], r["cos"])
+        for r in knn_topk_gemm_exact(a, b, KNN_K).collect()
+    }
+    forced = {
+        (r["src"], r["rn"]): (r["dst"], r["cos"])
+        for r in knn_topk_gemm_exact(a, b, KNN_K, bs=3, bc=5).collect()
+    }
+    assert derived == forced
+
+
 def test_gemm_grid_tile_bounded_and_task_count_linear():
     """The scale gate for VERDICT r7 task 1: across a 10^6x corpus
     sweep the per-task GEMM working set (score tile + both input
