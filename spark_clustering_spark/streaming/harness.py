@@ -366,17 +366,23 @@ def stream_upsert(
         state["cur"] = nxt
         state["flip"] = 1 - state["flip"]
 
+    ck = _tf.mkdtemp(prefix="stream_upsert_ck_")
     q = (
         _read_stream(spark, replay)
         .writeStream.foreachBatch(handle)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", _tf.mkdtemp(prefix="stream_upsert_ck_")
-        )
+        .option("checkpointLocation", ck)
         .start()
     )
     _drain(q)  # guarded: never rmtree under a live FileStreamSource
-    shutil.rmtree(replay, ignore_errors=True)  # state dir must survive
+    # the CURRENT state dir must survive (the returned df reads it
+    # lazily); the drained query's checkpoint and the stale alternate
+    # state dir are dead weight (ADVICE r5 tempdir hygiene)
+    shutil.rmtree(replay, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    stale = dirs[1 - dirs.index(state["cur"])] if state["cur"] in dirs else None
+    if stale:
+        shutil.rmtree(stale, ignore_errors=True)
     final = spark.read.parquet(state["cur"])
     return final.filter(F.col("event_type") != "error").select(
         "user_id",
