@@ -78,7 +78,17 @@ def main() -> None:
         default="BENCH_DETAIL.json",
         help="per-query detail output file (relative to the repo root)",
     )
+    ap.add_argument(
+        "--keys",
+        help="bench only this comma-separated key list (exact names). "
+        "Unlike --top, nothing else is added — used for scale tiers "
+        "(sf10) where the top-N ranking would pull in keys whose cost "
+        "is OUTPUT volume (e.g. q_join_theta_range's quadratic pair "
+        "stream), which measures the sink, not the engine",
+    )
     args = ap.parse_args()
+    if args.keys and args.detail == "BENCH_DETAIL.json":
+        raise SystemExit("--keys requires an explicit --detail name")
     if args.top and args.detail == "BENCH_DETAIL.json":
         # --top ranks queries FROM the committed BENCH_DETAIL.json;
         # letting it also write there would overwrite the full ranking
@@ -102,7 +112,13 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = entrymod.queries()
-    if args.top:
+    if args.keys:
+        wanted = [k.strip() for k in args.keys.split(",") if k.strip()]
+        unknown = sorted(set(wanted) - set(qs))
+        if unknown:
+            raise SystemExit(f"--keys not in registry: {unknown}")
+        qs = {n: qs[n] for n in wanted}
+    elif args.top:
         ranked = json.loads((_REPO / "BENCH_DETAIL.json").read_text())[
             "queries"
         ]
