@@ -84,6 +84,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--json", help="write per-query results to this JSON file")
+    ap.add_argument(
+        "--max-result",
+        default=None,
+        help="spark.driver.maxResultSize for the comparator session "
+        "(e.g. 8g). This sizes the harness's collect-and-compare step, "
+        "not the engine: detail-shaped keys (q_join_broadcast returns "
+        "the full lineitem fanout) exceed the 1g default at sf10 purely "
+        "because parity materializes BOTH engines' full outputs driver-"
+        "side to value-compare them",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -94,7 +104,12 @@ def main():
     oracles = entrymod.oracle_sql()
     names = args.names or sorted(qs)
 
-    spark = get_spark("parity")
+    extra = (
+        {"spark.driver.maxResultSize": args.max_result}
+        if args.max_result
+        else None
+    )
+    spark = get_spark("parity", extra_conf=extra)
     con = duck_conn(args.sf)
 
     results: dict[str, dict] = {}
