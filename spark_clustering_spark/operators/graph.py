@@ -1098,3 +1098,145 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lcc"), F.desc("triangles"), "node")
         .limit(50)
     )
+
+
+LP_ROUNDS = 2  # synchronous label-propagation rounds (unrolled)
+LP_SEED_MOD = 10  # parts with p_partkey % MOD == 0 are the labeled seeds
+
+
+def _label_prop_sql() -> str:
+    """Oracle: the same two unrolled rounds as the Spark plan, with the
+    focused-basket edge fragment shared by the linkpred family."""
+    head = """
+    WITH lp0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    small AS (SELECT o FROM lp0 GROUP BY o HAVING count(*) <= 5),
+    lp AS (SELECT lp0.o, lp0.p FROM lp0 JOIN small USING (o)),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (
+      SELECT u AS node, v AS nbr FROM e
+      UNION ALL SELECT v AS node, u AS nbr FROM e
+    ),
+    nodes AS (SELECT DISTINCT node FROM adj),
+    l0 AS (
+      SELECT n.node, p.p_brand AS label
+      FROM nodes n JOIN part p ON p.p_partkey = n.node
+      WHERE n.node % {mod} = 0
+    )""".format(mod=LP_SEED_MOD)
+    rounds = []
+    prev = "l0"
+    for t in (1, 2):
+        rounds.append(
+            """
+    votes{t} AS (
+      SELECT a.node, l.label, count(*) AS c
+      FROM adj a
+      JOIN {prev} l ON l.node = a.nbr
+      WHERE a.node NOT IN (SELECT node FROM {prev})
+      GROUP BY a.node, l.label
+    ),
+    new{t} AS (
+      SELECT node, label,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY c DESC, label) AS rn
+      FROM votes{t} QUALIFY rn = 1
+    ),
+    l{t} AS (
+      SELECT node, label FROM {prev}
+      UNION ALL SELECT node, label FROM new{t}
+    )""".format(t=t, prev=prev)
+        )
+        prev = f"l{t}"
+    tail = """
+    SELECT cast(0 AS BIGINT) AS round, label,
+           cast(count(*) AS BIGINT) AS n_assigned
+    FROM l0 GROUP BY label
+    UNION ALL
+    SELECT cast(1 AS BIGINT), label, cast(count(*) AS BIGINT)
+    FROM new1 GROUP BY label
+    UNION ALL
+    SELECT cast(2 AS BIGINT), label, cast(count(*) AS BIGINT)
+    FROM new2 GROUP BY label
+    """
+    return head + "," + ",".join(rounds) + tail
+
+
+@query("q_graph_label_prop", oracle=_label_prop_sql())
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation on the focused-basket
+    co-purchase graph: 10% of parts (p_partkey % {mod} == 0) are seeded
+    with their brand; each synchronous round, every still-unlabeled
+    node takes the majority label of its labeled neighbors (integer
+    votes over DISTINCT edges, ties broken by lexicographic min label)
+    and is then frozen — hard-clamped seeds, monotone label set, the
+    classic community-bootstrap pass a curation pipeline uses to spread
+    sparse taxonomy labels over an item graph. Output is the bounded
+    audit surface (round x brand newly-assigned counts, round 0 = the
+    seed census), not the node-sized assignment — same discipline as
+    q_graph_kcore's per-round survivor audit.
+
+    Completes the iterative-graph triptych: q_graph_pagerank moves
+    CONTINUOUS mass along edges, q_dedup_clusters propagates the MIN
+    label to a fixpoint, this key propagates CATEGORICAL labels by
+    weighted vote. All three share the Pregel-in-DataFrames shape
+    (reference analogue: the broadcast-state iteration of
+    kmeans.java:94-123, inverted so per-step state stays node-sized
+    and only edge-sized shuffles move).
+
+    Scale: per round exactly one adjacency-sized shuffle (adj JOIN
+    labels on the neighbor key) then a (node,label)-keyed count; label
+    state is node-cardinality and pinned (localCheckpoint) so round
+    t+1 starts from materialized state, not a replayed lineage of
+    round t. Votes never materialize more than |adj| rows; the argmax
+    window partitions by node (never global). At 1000 executors:
+    co-partition adj and labels on the node key, rounds stay
+    constant-state like the pagerank loop."""
+    e = basket_edges(spark, sf_dir, cap=5)  # cached pin, shared build
+    adj = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = adj.select(F.col("u").alias("node")).distinct()
+    part = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
+    )
+    labels = (
+        nodes.filter(F.col("node") % LP_SEED_MOD == 0)
+        .join(part, "node")
+        .localCheckpoint(eager=True)
+    )
+    out = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned")
+    ).select(F.lit(0).cast("bigint").alias("round"), "label", "n_assigned")
+
+    from pyspark.sql.window import Window
+
+    for t in range(1, LP_ROUNDS + 1):
+        votes = (
+            adj.join(
+                labels.select(F.col("node").alias("u"), "label"), "u"
+            )
+            .select(F.col("v").alias("node"), "label")
+            .join(labels.select("node"), "node", "left_anti")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        newly = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+        labels = labels.unionByName(newly).localCheckpoint(eager=True)
+        out = out.unionByName(
+            newly.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_assigned"))
+            .select(
+                F.lit(t).cast("bigint").alias("round"), "label", "n_assigned"
+            )
+        )
+    return out

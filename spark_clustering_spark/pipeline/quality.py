@@ -509,3 +509,68 @@ def q_pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_unique_kept"),
     )
+
+
+@query(
+    "q_pipeline_dataset_card",
+    oracle="""
+    WITH m AS (
+      SELECT lang, source,
+             md5(text) AS h,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> ''))::BIGINT AS toks,
+             n_chars
+      FROM documents
+    )
+    SELECT lang, source,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(toks) AS BIGINT) AS n_tokens,
+           cast(sum(n_chars) AS BIGINT) AS n_chars,
+           cast(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+           cast(cast(round(cast(cast(
+             (1.0 - cast(count(DISTINCT h) AS DOUBLE) / count(*))
+             AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE)
+             AS dup_rate
+    FROM m
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one query: per (lang, source), per lang, and
+    corpus-total rows (ROLLUP) with the numbers every data release
+    publishes — document count, whitespace-token count (the same split
+    as q_text_token_count so the card agrees with the per-doc table),
+    character volume, distinct-content count, and exact-duplicate rate.
+    The summary a curator checks before and after every pipeline
+    change, and the shape Spark's grouping-sets Expand was built for.
+
+    Scale: the Expand triples the stream, but only AFTER the per-doc
+    projection narrows it to (lang, source, 16-byte digest, 2 ints) —
+    text itself never enters the shuffle (same digest-only discipline
+    as q_text_dedup_paragraph). The distinct-count per rollup level is
+    exact by (group, digest) hash aggregation; at 100 TB swap
+    count_distinct for the already-declared KMV sketch family
+    (q_agg_kmv_shard_merge) if an approximate card is acceptable.
+    dup_rate is the one float: both engines derive it from identical
+    integers and round through the decimal pivot."""
+    d = table(spark, sf_dir, "documents")
+    m = d.select(
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        .cast("bigint")
+        .alias("toks"),
+        "n_chars",
+    )
+    n_docs = F.count(F.lit(1)).cast("bigint")
+    n_unique = F.count_distinct(F.col("h")).cast("bigint")
+    return m.rollup("lang", "source").agg(
+        n_docs.alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        n_unique.alias("n_unique_texts"),
+        dround(
+            F.lit(1.0) - n_unique.cast("double") / n_docs.cast("double")
+        ).alias("dup_rate"),
+    )
