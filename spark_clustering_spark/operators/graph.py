@@ -1163,6 +1163,31 @@ def _label_prop_sql() -> str:
     return head + "," + ",".join(rounds) + tail
 
 
+def label_prop_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous vote round, pre-materialization: labeled
+    neighbors vote along adj, still-unlabeled nodes take the argmax
+    (count DESC, label ASC). Exposed so plan contracts can inspect the
+    per-round physical plan — the declared key eagerly checkpoints each
+    round, which hides this machinery from the final explain."""
+    from pyspark.sql.window import Window
+
+    votes = (
+        adj.join(labels.select(F.col("node").alias("u"), "label"), "u")
+        .select(F.col("v").alias("node"), "label")
+        .join(labels.select("node"), "node", "left_anti")
+        .groupBy("node", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("node", "label")
+    )
+
+
 @query("q_graph_label_prop", oracle=_label_prop_sql())
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label propagation on the focused-basket
@@ -1210,27 +1235,8 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_assigned")
     ).select(F.lit(0).cast("bigint").alias("round"), "label", "n_assigned")
 
-    from pyspark.sql.window import Window
-
     for t in range(1, LP_ROUNDS + 1):
-        votes = (
-            adj.join(
-                labels.select(F.col("node").alias("u"), "label"), "u"
-            )
-            .select(F.col("v").alias("node"), "label")
-            .join(labels.select("node"), "node", "left_anti")
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        w = Window.partitionBy("node").orderBy(
-            F.col("c").desc(), F.col("label").asc()
-        )
-        newly = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=True)
-        )
+        newly = label_prop_round(adj, labels).localCheckpoint(eager=True)
         labels = labels.unionByName(newly).localCheckpoint(eager=True)
         out = out.unionByName(
             newly.groupBy("label")

@@ -775,3 +775,59 @@ def test_hard_negatives_broadcasts_probe_side(spark, qs):
     of the corpus on one reducer."""
     plan = formatted_plan(qs["q_sim_hard_negatives"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan, plan[:800]
+
+
+def test_dataset_card_digest_narrows_before_expand(spark, qs):
+    """The grouping-sets Expand triples the stream, so the per-doc
+    projection must replace text with its 16-byte digest FIRST: an
+    Expand carrying the text column would triple the full corpus
+    bytes through the shuffle at 100 TB."""
+    df = qs["q_pipeline_dataset_card"](spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Expand" in plan, plan[:800]
+    # the Expand node's argument list must never reference the raw
+    # text column — only the md5 digest alias survives the projection
+    expand = next(
+        seg for seg in plan.split("\n(") if seg.startswith(tuple("0123456789"))
+        and "Expand" in seg.split("\n")[0]
+    )
+    assert "md5" not in expand or "text#" not in expand.split("Arguments")[-1], (
+        expand[:600]
+    )
+    assert "partial_count" in plan  # map-side combine under the rollup
+
+
+def test_label_prop_round_window_partitions_by_node(spark, qs):
+    """Per-round argmax windows partition by node (never global) and
+    the vote aggregation combines map-side. The declared key eagerly
+    checkpoints each round, so the contract inspects the exposed
+    round function's pre-materialization plan."""
+    from pyspark.sql import functions as F
+
+    from spark_clustering_spark.operators.graph import (
+        LP_SEED_MOD,
+        basket_edges,
+        label_prop_round,
+    )
+    from spark_clustering_spark.io import table
+
+    e = basket_edges(spark, SF_SMALL, cap=5)
+    adj = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    part = table(spark, SF_SMALL, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
+    )
+    labels = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .filter(F.col("node") % LP_SEED_MOD == 0)
+        .join(part, "node")
+    )
+    plan = formatted_plan(label_prop_round(adj, labels))
+    assert "Window" in plan, plan[:800]
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(node#\d+L?,", plan)
+    assert specs, plan[:1200]  # every window spec is node-partitioned
+    assert "partial_count" in plan  # vote counts combine map-side
