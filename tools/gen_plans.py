@@ -262,6 +262,21 @@ NOTES = {
         "vote and accuracy aggregates reduce to |labels| rows "
         "map-side."
     ),
+    "q_pipeline_dataset_card": (
+        "the per-doc Project replaces text with its md5 digest BEFORE "
+        "the x3 grouping-sets Expand, so the shuffle carries (lang, "
+        "source, 16-byte digest, 2 ints) — never text; exact distinct "
+        "per rollup level via two-phase (group, digest) HashAggregate "
+        "with map-side partials."
+    ),
+    "q_graph_label_prop": (
+        "declared output is the bounded per-round census over eagerly "
+        "checkpointed rounds; the per-round machinery (contracted via "
+        "label_prop_round in test_plans.py) runs ONE adjacency-sized "
+        "shuffle join against node-sized label state, map-side partial "
+        "vote counts, and a node-partitioned argmax window — never a "
+        "global window, never a baked-in data broadcast."
+    ),
 }
 
 
