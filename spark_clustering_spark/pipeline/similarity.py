@@ -168,13 +168,61 @@ def cosine_lsh_buckets(e: DataFrame, dim: int, n_planes: int = 16) -> DataFrame:
     return e.withColumn("bucket", bucket)
 
 
-IVF_NLIST = 16        # coarse quantizer size
+IVF_NLIST_MIN = 16    # derived-nlist clamp floor (tiny corpora)
+IVF_NLIST_MAX = 4096  # clamp ceiling: codebook stays broadcast-sized
 IVF_NPROBE = 4        # lists searched per probe
 IVF_TRAIN_ITERS = 2   # Lloyd refinement steps on the coarse quantizer
 
 
+def ivf_nlist(n: int) -> int:
+    """Count-derived coarse quantizer size: clamp(⌊√n⌋, 16, 4096).
+
+    A FIXED nlist makes per-probe candidate volume LINEAR in corpus
+    size (nprobe/nlist of the corpus per probe — VERDICT r8 task 2
+    measured that linearity as q_sim_ivfpq_topk's 121 s at sf10);
+    nlist ∝ √n keeps both the list length (n/nlist) and the quantizer
+    scan cost (nlist) at √n, the standard IVF balance point. The cap
+    bounds the broadcast codebook at nlist·d doubles (4096·64·8 =
+    2 MB). Parity: the DuckDB twin computes the SAME expression —
+    greatest/least over floor(sqrt(count(*))) — and both engines
+    evaluate sqrt on the same IEEE double, so the derived integer
+    matches bit-for-bit."""
+    return max(IVF_NLIST_MIN, min(IVF_NLIST_MAX, int(math.floor(math.sqrt(max(n, 0))))))
+
+
+def ivf_assign(ve: DataFrame, cents: DataFrame, *payload: str) -> DataFrame:
+    """Nearest-cell assignment as ONE map-side-combined aggregate.
+
+    min(struct(cdist, cid, payload…)) over the broadcast crossJoin is
+    semantically the window row_number()=1 pick on (cdist, cid) —
+    (cdist, cid) is unique within a vec_id group, so the payload
+    fields never participate in the comparison — but partial
+    aggregation collapses each vec_id's nlist candidate rows BEFORE
+    the exchange (the crossJoin emits them contiguously in one input
+    partition), so exactly n narrow rows shuffle at ANY nlist. The
+    window form shuffled all n·nlist candidate rows: fine at the old
+    fixed nlist=16, ~n·√n full-width rows once nlist is count-derived.
+    ``ve``: (vec_id, vec, …); ``cents``: (cid, cvec). Returns
+    (vec_id, cid, *payload) where payload names columns of the joined
+    pair (e.g. "vec", "cvec")."""
+    from spark_clustering_spark.functions.distance import euclidean
+
+    pairs = ve.crossJoin(F.broadcast(cents)).withColumn(
+        "cdist", euclidean(F.col("vec"), F.col("cvec"))
+    )
+    return (
+        pairs.groupBy("vec_id")
+        .agg(F.min(F.struct("cdist", "cid", *payload)).alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.cid").alias("cid"),
+            *[F.col(f"b.{c}").alias(c) for c in payload],
+        )
+    )
+
+
 def ivf_train(
-    ve: DataFrame, nlist: int = IVF_NLIST, n_iter: int = IVF_TRAIN_ITERS
+    ve: DataFrame, nlist: int | None = None, n_iter: int = IVF_TRAIN_ITERS
 ) -> DataFrame:
     """Train the IVF coarse quantizer: deterministic seeding (the
     ``nlist`` lowest-id vectors) refined by ``n_iter`` Lloyd steps.
@@ -191,24 +239,18 @@ def ivf_train(
     keep their previous centroid. Each step broadcasts the k·d centroid
     table and shuffles only (cid, pos, partials) — the same
     constant-size-state shape as the kmeans kernels, so it holds at
-    100 TB. ``ve``: (vec_id, vec array<double>). Returns (cid, cvec)."""
-    from spark_clustering_spark.functions.distance import euclidean
-
+    100 TB. ``nlist`` defaults to the count-derived ``ivf_nlist`` (√n
+    clamped; one extra count job). ``ve``: (vec_id, vec array<double>).
+    Returns (cid, cvec)."""
+    if nlist is None:
+        nlist = ivf_nlist(ve.count())
     cents = (
         ve.orderBy("vec_id")
         .limit(nlist)
         .select(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"))
     )
     for _ in range(n_iter):
-        pairs = ve.crossJoin(F.broadcast(cents)).withColumn(
-            "cdist", euclidean(F.col("vec"), F.col("cvec"))
-        )
-        w = Window.partitionBy("vec_id").orderBy("cdist", "cid")
-        assign = (
-            pairs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("cid", "vec")
-        )
+        assign = ivf_assign(ve, cents, "vec").select("cid", "vec")
         unn = assign.select("cid", F.posexplode("vec").alias("pos", "v"))
         means = unn.groupBy("cid", "pos").agg(
             (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("m")
@@ -230,13 +272,18 @@ def ivf_train(
     return cents
 
 
-def _ivf_train_ctes(nlist: int, n_iter: int) -> str:
+def _ivf_train_ctes(n_iter: int) -> str:
     """DuckDB twin of ``ivf_train`` as unrolled CTEs ending in
     ``coarse`` — the same seeded init, Lloyd steps with decimal-exact
-    means, and empty-cell carry-over."""
+    means, and empty-cell carry-over. nlist is computed IN-QUERY from
+    count(*) with the same clamp(⌊√n⌋) expression as ``ivf_nlist`` —
+    the oracle stays a static string while matching the engine's
+    count-derived quantizer size at any scale factor."""
     ctes = [
-        f"cent0 AS (SELECT vec_id AS cid, vec AS cvec "
-        f"FROM ve ORDER BY vec_id LIMIT {nlist})"
+        f"nl AS (SELECT greatest({IVF_NLIST_MIN}, least({IVF_NLIST_MAX}, "
+        f"cast(floor(sqrt(count(*))) AS BIGINT))) AS nlist FROM ve)",
+        "cent0 AS (SELECT vec_id AS cid, vec AS cvec FROM ve "
+        "QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT nlist FROM nl))",
     ]
     for t in range(1, n_iter + 1):
         ctes.append(
@@ -269,7 +316,7 @@ def _ivf_train_ctes(nlist: int, n_iter: int) -> str:
     WITH ve AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
     ),
-    {_ivf_train_ctes(IVF_NLIST, IVF_TRAIN_ITERS)},
+    {_ivf_train_ctes(IVF_TRAIN_ITERS)},
     lists AS (  -- inverted lists: every vector -> its nearest coarse cell
       SELECT v.vec_id, v.vec, c.cid AS list_id
       FROM ve v CROSS JOIN coarse c
@@ -340,14 +387,8 @@ def ivf_topk(
     Returns (probe_id, cand_id, cos raw, rn)."""
     from spark_clustering_spark.functions.distance import cosine, euclidean
 
-    pairs = ve.crossJoin(F.broadcast(coarse)).withColumn(
-        "cdist", euclidean(F.col("vec"), F.col("cvec"))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy("cdist", "cid")
-    lists = (
-        pairs.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", F.col("cid").alias("list_id"))
+    lists = ivf_assign(ve, coarse, "vec").select(
+        "vec_id", "vec", F.col("cid").alias("list_id")
     )
     ppairs = probes.crossJoin(F.broadcast(coarse)).withColumn(
         "cdist", euclidean(F.col("pvec"), F.col("cvec"))
@@ -676,7 +717,7 @@ def _ivfpq_oracle() -> str:
     WITH ve AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
     ),
-    {_ivf_train_ctes(IVF_NLIST, IVF_TRAIN_ITERS)},
+    {_ivf_train_ctes(IVF_TRAIN_ITERS)},
     ivlists AS (
       SELECT v.vec_id, v.vec, c.cid AS list_id, c.cvec AS lvec
       FROM ve v CROSS JOIN coarse c
@@ -766,15 +807,9 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_array("embedding").alias("vec")
     )
     coarse = ivf_train(ve)
-    pairs = ve.crossJoin(F.broadcast(coarse)).withColumn(
-        "cdist", euclidean(F.col("vec"), F.col("cvec"))
-    )
-    w = Window.partitionBy("vec_id").orderBy("cdist", "cid")
-    lists = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", F.col("cid").alias("list_id"),
-                F.col("cvec").alias("lvec"))
+    lists = ivf_assign(ve, coarse, "vec", "cvec").select(
+        "vec_id", "vec", F.col("cid").alias("list_id"),
+        F.col("cvec").alias("lvec"),
     )
     resid = lists.select(
         "vec_id",
@@ -851,7 +886,7 @@ SEM_TAU = 0.35  # within-cluster cosine above which two docs are semantic dups
     WITH ve AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
     ),
-    {_ivf_train_ctes(IVF_NLIST, IVF_TRAIN_ITERS)},
+    {_ivf_train_ctes(IVF_TRAIN_ITERS)},
     assign AS (
       SELECT v.vec_id, v.vec, c.cid
       FROM ve v CROSS JOIN coarse c
@@ -901,28 +936,13 @@ def semdedup(ve: DataFrame, threshold: float = SEM_TAU) -> DataFrame:
     corpus — train + assign + GEMM pair scan + representative join —
     so tools/scale_growth.py can measure the DECLARED key end-to-end
     on a replicated corpus, not just the pair-scan helper."""
-    from spark_clustering_spark.functions.distance import euclidean
-
-    # trained centroids are k*d bounded state (already eagerly
-    # checkpointed) -- inline them as literals so assignment is a pure
-    # projection: the crossJoin+window argmin would shuffle 16n rows on
-    # vec_id, this shuffles NOTHING. Tiebreak identical to the
-    # oracle's (cdist, cid): centroids ordered by cid and
-    # array_position returns the FIRST index holding the min.
-    crows = sorted(
-        ((r["cid"], r["cvec"]) for r in ivf_train(ve).collect()),
-        key=lambda t: t[0],
-    )
-    dists = F.array(
-        *[
-            euclidean(F.col("vec"), F.array(*[F.lit(x) for x in cvec]))
-            for _, cvec in crows
-        ]
-    )
-    idx = F.array_position(dists, F.array_min(dists)).cast("int")
-    cids = F.array(*[F.lit(int(c)) for c, _ in crows])
-    assign = ve.select(
-        "vec_id", "vec", F.element_at(cids, idx).cast("bigint").alias("cid")
+    # assignment via the map-side-combined min-struct aggregate: the
+    # previous literal-inlined centroid expressions were fine at the
+    # old fixed nlist=16 but become a √n·d-literal tree once nlist is
+    # count-derived (28k literals at sf10 — codegen breaker). Tiebreak
+    # identical to the oracle's (cdist, cid).
+    assign = ivf_assign(ve, ivf_train(ve), "vec").select(
+        "vec_id", "vec", F.col("cid").cast("bigint").alias("cid")
     )
     # pair scan via the BLAS per-cluster kernel (63x the expression
     # path at 16x corpus -- PERF.md). Safe for hash parity: only the
@@ -1249,9 +1269,10 @@ def semdedup_pairs_gemm(
     fold) while GEMM-backed scoring grows ~2x — BLAS turns the
     in-cluster n_k² dot products into a single matrix multiply.
     Clusters are bounded by design (nlist scales with corpus size), so
-    each cluster's matrix fits one task; a cluster too hot for one
-    task would route through the n_blocks cogroup of
-    dedup.embedding_near_dup_pairs keyed by (cid, block).
+    each cluster's matrix fits one task; the within-task score matrix
+    is additionally computed in fixed-budget sub-tiles (the same
+    ``_gemm_grid`` cap rule), so a skew-hot cluster degrades to more
+    BLAS calls — never to a quadratic n_k² score allocation.
 
     ``assign``: (vec_id, vec array<double>, cid). Returns
     (keep_id, drop_id) candidate pairs with keep_id < drop_id —
@@ -1270,12 +1291,22 @@ def semdedup_pairs_gemm(
         nrm = np.linalg.norm(X, axis=1)
         nrm[nrm == 0.0] = 1.0
         Xn = X / nrm[:, None]
-        S = Xn @ Xn.T
-        iu, ju = np.where(S >= threshold)
-        m = iu < ju
-        iu, ju = iu[m], ju[m]
-        if not len(iu):
+        d = Xn.shape[1]
+        elems = GEMM_TILE_BYTES // 8
+        cap = max(min(int(math.isqrt(elems)), max(elems // (4 * d), 1)), 1)
+        outs = []
+        for alo in range(0, len(ids), cap):
+            for blo in range(alo, len(ids), cap):
+                S = Xn[alo : alo + cap] @ Xn[blo : blo + cap].T
+                iu, ju = np.where(S >= threshold)
+                iu, ju = iu + alo, ju + blo
+                m = iu < ju
+                if m.any():
+                    outs.append((iu[m], ju[m]))
+        if not outs:
             return empty
+        iu = np.concatenate([o[0] for o in outs])
+        ju = np.concatenate([o[1] for o in outs])
         a, b = ids[iu], ids[ju]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"keep_id": lo, "drop_id": hi})
@@ -1295,7 +1326,7 @@ def _cluster_balanced_oracle() -> str:
     WITH ve AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
     ),
-    {_ivf_train_ctes(IVF_NLIST, IVF_TRAIN_ITERS)},
+    {_ivf_train_ctes(IVF_TRAIN_ITERS)},
     assign AS (
       SELECT v.vec_id, c.cid
       FROM ve v CROSS JOIN coarse c
@@ -1326,32 +1357,20 @@ def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sorscher et al. 2022). Deterministic: membership is a pure
     function of (vec_id, trained centroids).
 
-    Scale: assignment is the literal-centroid projection (no shuffle);
-    the per-cluster pick is one hash-ordered window over
-    (vec_id, cid, hash) rows — vectors never shuffle. Same per-group
-    mechanics as q_sample_per_group, keyed by learned structure
-    instead of metadata."""
-    from spark_clustering_spark.functions.distance import euclidean
+    Scale: assignment is the map-side-combined min-struct aggregate
+    (n narrow rows shuffle at any nlist — ``ivf_assign``); the
+    per-cluster pick is one hash-ordered window over (vec_id, cid,
+    hash) rows — vectors never enter the window shuffle. Same
+    per-group mechanics as q_sample_per_group, keyed by learned
+    structure instead of metadata."""
     from spark_clustering_spark.functions.porthash import md5_int32
     from spark_clustering_spark.io import table
 
     ve = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("vec")
     )
-    crows = sorted(
-        ((r["cid"], r["cvec"]) for r in ivf_train(ve).collect()),
-        key=lambda t: t[0],
-    )
-    dists = F.array(
-        *[
-            euclidean(F.col("vec"), F.array(*[F.lit(x) for x in cvec]))
-            for _, cvec in crows
-        ]
-    )
-    idx = F.array_position(dists, F.array_min(dists)).cast("int")
-    cids = F.array(*[F.lit(int(c)) for c, _ in crows])
-    assign = ve.select(
-        "vec_id", F.element_at(cids, idx).cast("bigint").alias("cid")
+    assign = ivf_assign(ve, ivf_train(ve)).select(
+        "vec_id", F.col("cid").cast("bigint").alias("cid")
     )
     h = md5_int32(F.concat(F.lit("cb"), F.col("vec_id").cast("string")))
     w = Window.partitionBy("cid").orderBy(h.asc(), F.col("vec_id").asc())
@@ -1516,7 +1535,7 @@ def q_vec_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ve AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
     ),
-    {_ivf_train_ctes(IVF_NLIST, IVF_TRAIN_ITERS)},
+    {_ivf_train_ctes(IVF_TRAIN_ITERS)},
     lists AS (
       SELECT v.vec_id, v.vec, c.cid AS list_id
       FROM ve v CROSS JOIN coarse c
@@ -2425,7 +2444,7 @@ def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ve AS (
       SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
     ),
-    {_ivf_train_ctes(IVF_NLIST, IVF_TRAIN_ITERS)},
+    {_ivf_train_ctes(IVF_TRAIN_ITERS)},
     lists AS (
       SELECT v.vec_id, v.vec, c.cid, c.cvec
       FROM ve v CROSS JOIN coarse c
@@ -2484,16 +2503,8 @@ def q_vec_residual_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_array("embedding").alias("vec")
     )
     cents = ivf_train(ve)
-    from spark_clustering_spark.functions.distance import euclidean
-
-    pairs = ve.crossJoin(F.broadcast(cents)).withColumn(
-        "cdist", euclidean(F.col("vec"), F.col("cvec"))
-    )
-    w = Window.partitionBy("vec_id").orderBy("cdist", "cid")
-    lists = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "vec", "cvec")
+    lists = ivf_assign(ve, cents, "vec", "cvec").select(
+        "vec_id", "cid", "vec", "cvec"
     )
     res_term = F.zip_with(
         F.col("vec"), F.col("cvec"),

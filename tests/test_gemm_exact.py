@@ -231,3 +231,70 @@ def test_gemm_exact_equals_declared_all_pairs_sf01(spark):
     d = {(r["src"], r["rn"]): (r["dst"], r["cos"]) for r in declared.collect()}
     g = {(r["src"], r["rn"]): (r["dst"], r["cos"]) for r in got.collect()}
     assert d == g
+
+
+def test_near_dup_grid_tile_bounded_and_task_count_linear():
+    """VERDICT r8 task 1 gate for the sibling kernel: the blocked
+    cogroup path of embedding_near_dup_pairs must derive its block
+    count from the probed row count so the per-task working set
+    (cap² score tile + two cap×d input slabs) stays under the fixed
+    budget at ANY corpus size — the fixed n_blocks=8 it replaces gave
+    a (n/8)² tile, ~8.6 GB/task right where the path first engages —
+    and the B(B+1)/2 unordered-block-pair task count must grow
+    linearly with the pair count n²."""
+    from spark_clustering_spark.pipeline.dedup import _bcast_chunk, _gemm_row_cap
+    from spark_clustering_spark.pipeline.similarity import GEMM_TILE_BYTES
+
+    d = 64
+    cap = _gemm_row_cap(d)
+    assert cap >= 1 and cap * cap * 8 <= GEMM_TILE_BYTES
+    assert cap * d * 8 <= GEMM_TILE_BYTES // 4  # input slab cap
+    prev_tasks = 0
+    tasks_at = {}
+    for n in (500, 262_144, 2_000_000, 20_000_000, 500_000_000):
+        nb = max(1, -(-n // cap))
+        rows = -(-n // nb)
+        tile = 8 * (rows * rows + 2 * rows * d)
+        assert tile <= GEMM_TILE_BYTES * 3 // 2, (n, nb, tile)
+        tasks = nb * (nb + 1) // 2
+        assert tasks >= prev_tasks, (n, tasks, prev_tasks)
+        prev_tasks = tasks
+        tasks_at[n] = tasks
+    # 10x the rows -> 100x the pairs -> task count within 4x of 100x
+    ratio = tasks_at[20_000_000] / tasks_at[2_000_000]
+    assert 100 / 4 <= ratio <= 100 * 4, tasks_at
+    # broadcast-path chunk: the chunk×n score slab obeys the same
+    # budget at the gate's own maximum (the old fixed 1024 was ~2.1 GB)
+    for n in (100, 2_000, 262_144):
+        chunk = _bcast_chunk(n)
+        assert 1 <= chunk <= 1024
+        assert chunk == 1 or chunk * n * 8 <= GEMM_TILE_BYTES, (n, chunk)
+
+
+def test_semdedup_hot_cluster_subtiles_match_brute_force(spark):
+    """A single cluster far larger than the GEMM row cap must produce
+    exactly the brute-force pair set — the sub-tile loop added for the
+    r8 hot-cluster routing note cannot drop, duplicate, or misindex
+    pairs across tile boundaries."""
+    import numpy as np
+
+    from spark_clustering_spark.pipeline.similarity import semdedup_pairs_gemm
+
+    rng = np.random.RandomState(7)
+    n, d = 1500, 8  # cap at 8 MiB/d=8 is 1024 -> 2x2 sub-tile grid
+    X = rng.randn(n, d)
+    X[7] = X[3] * 2.0       # exact duplicates across tile boundary...
+    X[1203] = X[3] * 0.5    # ...and inside the far tile
+    rows = [(int(i), [float(x) for x in X[i]], 0) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, vec ARRAY<DOUBLE>, cid BIGINT"
+    )
+    got = {
+        (r["keep_id"], r["drop_id"])
+        for r in semdedup_pairs_gemm(df, threshold=0.999).collect()
+    }
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    iu, ju = np.where(S >= 0.999)
+    want = {(int(a), int(b)) for a, b in zip(iu, ju) if a < b}
+    assert got == want and {(3, 7), (3, 1203), (7, 1203)} <= got

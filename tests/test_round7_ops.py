@@ -92,11 +92,11 @@ def test_survivorship_groups_are_real_dup_groups(spark, qs):
 
 def test_residual_energy_partitions_the_corpus(spark, qs):
     from spark_clustering_spark.io import table
-    from spark_clustering_spark.pipeline.similarity import IVF_NLIST
+    from spark_clustering_spark.pipeline.similarity import ivf_nlist
 
     rows = qs["q_vec_residual_energy"](spark, SF_SMALL).collect()
-    assert 0 < len(rows) <= IVF_NLIST
     n_total = table(spark, SF_SMALL, "embeddings").count()
+    assert 0 < len(rows) <= ivf_nlist(n_total)
     assert sum(r["n_vecs"] for r in rows) == n_total  # every vector listed once
     for r in rows:
         assert r["e_res"] >= 0 and r["e_tot"] > 0

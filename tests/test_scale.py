@@ -177,8 +177,8 @@ def test_ivf_recall_monotone_in_nprobe(spark):
     from spark_clustering_spark.functions.distance import as_double_array
     from spark_clustering_spark.io import table
     from spark_clustering_spark.pipeline.similarity import (
-        IVF_NLIST,
         cosine_topk_fast,
+        ivf_nlist,
         ivf_topk,
         ivf_train,
     )
@@ -195,8 +195,9 @@ def test_ivf_recall_monotone_in_nprobe(spark):
     ).collect():
         exact.setdefault(r["probe_id"], set()).add(r["cand_id"])
     coarse = ivf_train(ve).persist()
+    nlist = ivf_nlist(ve.count())
     prev = -1.0
-    for nprobe in (1, 4, IVF_NLIST):
+    for nprobe in (1, 4, nlist):
         approx: dict[int, set[int]] = {}
         for r in ivf_topk(ve, coarse, probes, nprobe=nprobe, k=10).collect():
             approx.setdefault(r["probe_id"], set()).add(r["cand_id"])

@@ -33,8 +33,8 @@ def main() -> None:
     from spark_clustering_spark.functions.distance import as_double_array
     from spark_clustering_spark.io import table
     from spark_clustering_spark.pipeline.similarity import (
-        IVF_NLIST,
         cosine_topk_fast,
+        ivf_nlist,
         ivf_topk,
         ivf_train,
     )
@@ -63,7 +63,7 @@ def main() -> None:
     }
     n_vec = ve.count()
     results: dict[str, dict[int, float]] = {}
-    print(f"sf={args.sf} n={n_vec} nlist={IVF_NLIST} "
+    print(f"sf={args.sf} n={n_vec} nlist={ivf_nlist(n_vec)} "
           f"probes={args.probes} k={args.k}\n")
     print("| quantizer | nprobe | recall@k | wall s |")
     print("|---|---|---|---|")
