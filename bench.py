@@ -87,6 +87,9 @@ def main() -> None:
         "stream), which measures the sink, not the engine",
     )
     args = ap.parse_args()
+    if args.keys and args.top:
+        # the if/elif below would silently ignore --top (ADVICE r8)
+        raise SystemExit("--keys and --top are mutually exclusive")
     if args.keys and args.detail == "BENCH_DETAIL.json":
         raise SystemExit("--keys requires an explicit --detail name")
     if args.top and args.detail == "BENCH_DETAIL.json":

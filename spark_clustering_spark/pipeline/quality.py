@@ -574,3 +574,173 @@ def q_pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - n_unique.cast("double") / n_docs.cast("double")
         ).alias("dup_rate"),
     )
+
+
+def _dataset_card_kmv_oracle() -> str:
+    from spark_clustering_spark.operators.aggregates import KMV_K
+
+    h_int = sql_hex_int("hx", 1, 8)
+    k = KMV_K
+    est = (
+        f"CASE WHEN hk IS NOT NULL THEN ({k} - 1) * 4294967296.0 / hk "
+        f"ELSE cast(nk AS DOUBLE) END"
+    )
+    lvl = []
+    for keys, sk in (("lang, source", "sk2"), ("lang", "sk1"), ("", "sk0")):
+        kb = f"GROUP BY {keys}" if keys else ""
+        sel_lang = "lang" if "lang" in keys else "cast(NULL AS VARCHAR) AS lang"
+        sel_src = (
+            "source" if "source" in keys
+            else "cast(NULL AS VARCHAR) AS source"
+        )
+        join_on = (
+            " AND ".join(f"e.{c.strip()} = v.{c.strip()}"
+                         for c in keys.split(",") if c.strip())
+            or "TRUE"
+        )
+        lvl.append(f"""
+    SELECT {('v.' + ', v.'.join(c.strip() for c in keys.split(',') if c.strip()) + ',') if keys else 'cast(NULL AS VARCHAR) AS lang, cast(NULL AS VARCHAR) AS source,'}
+           {('cast(NULL AS VARCHAR) AS source,' if keys == 'lang' else '')}
+           v.n_docs, v.n_tokens, v.n_chars,
+           cast(e.nk AS BIGINT) AS n_sketch,
+           {sql_dround(est, 4)} AS kmv_unique_est
+    FROM (SELECT {sel_lang}, {sel_src},
+                 max(CASE WHEN rn = {k} THEN h END) AS hk,
+                 count(*) AS nk
+          FROM {sk} {kb}) e
+    JOIN (SELECT {sel_lang}, {sel_src},
+                 cast(count(*) AS BIGINT) AS n_docs,
+                 cast(sum(toks) AS BIGINT) AS n_tokens,
+                 cast(sum(n_chars) AS BIGINT) AS n_chars
+          FROM b {kb}) v ON {join_on}""")
+    return f"""
+    WITH b AS (
+      SELECT lang, source, md5(text) AS hx,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> ''))::BIGINT AS toks,
+             n_chars
+      FROM documents
+    ),
+    mem AS (SELECT DISTINCT lang, source, hx FROM b),
+    hv AS (SELECT lang, source, hx, {h_int} AS h FROM mem),
+    sk2 AS (
+      SELECT lang, source, hx, h,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY h, hx) AS rn
+      FROM hv QUALIFY rn <= {k}
+    ),
+    m1 AS (SELECT DISTINCT lang, hx, h FROM sk2),
+    sk1 AS (
+      SELECT lang, hx, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h, hx) AS rn
+      FROM m1 QUALIFY rn <= {k}
+    ),
+    m0 AS (SELECT DISTINCT hx, h FROM sk1),
+    sk0 AS (
+      SELECT hx, h, row_number() OVER (ORDER BY h, hx) AS rn
+      FROM m0 QUALIFY rn <= {k}
+    )
+    {" UNION ALL ".join(lvl)}
+    """
+
+
+@query("q_pipeline_dataset_card_kmv", oracle=_dataset_card_kmv_oracle())
+def q_pipeline_dataset_card_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card at its declared 100 TB design point:
+    q_pipeline_dataset_card's exact count_distinct swapped for the KMV
+    sketch family (the swap that card's docstring names), emitted at
+    the same three rollup levels — per (lang, source), per lang, and
+    corpus total. The unique-text count becomes the portable-hash
+    K-minimum-values estimate (Bar-Yossef et al. 2002), and the HIGHER
+    levels are built by MERGING the leaf sketches (union members,
+    re-take K smallest — the q_agg_kmv_shard_merge property), so no
+    level ever recounts the corpus: exactly how a 100 TB card is
+    assembled from per-shard sketches without a global distinct.
+
+    Determinism: members are the distinct text digests; the sketch
+    order is (h, hx) — h is the digest's own leading 8 hex chars as an
+    integer, hx the full digest, so ranking is a total order on
+    identical values in both engines, and the estimate hash-matches
+    the DuckDB replay bit-for-bit like the other KMV keys. Groups with
+    fewer than K distinct texts fall back to the sketch cardinality,
+    which is their exact count.
+
+    Scale: volume sums are plain map-side-combined aggregates; the
+    sketch input is the digest-narrowed distinct stream (text never
+    shuffles); each merge level ranks at most (child groups)·K rows.
+    The global window at the top level sees ≤ n_langs·K rows —
+    bounded state, not a corpus sort."""
+    from pyspark.sql.window import Window
+
+    from spark_clustering_spark.operators.aggregates import KMV_K
+
+    d = table(spark, sf_dir, "documents")
+    b = d.select(
+        "lang",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("hx"),
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        .cast("bigint")
+        .alias("toks"),
+        "n_chars",
+    )
+    hv = b.select("lang", "source", "hx").distinct().withColumn(
+        "h", F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint")
+    )
+    w2 = Window.partitionBy("lang", "source").orderBy("h", "hx")
+    sk2 = (
+        hv.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    m1 = sk2.select("lang", "hx", "h").distinct()
+    w1 = Window.partitionBy("lang").orderBy("h", "hx")
+    sk1 = m1.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= KMV_K
+    )
+    m0 = sk1.select("hx", "h").distinct()
+    w0 = Window.partitionBy().orderBy("h", "hx")  # ≤ n_langs·K rows
+    sk0 = m0.withColumn("rn", F.row_number().over(w0)).filter(
+        F.col("rn") <= KMV_K
+    )
+
+    def est_cols():
+        hk = F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk")
+        nk = F.count(F.lit(1)).alias("nk")
+        return hk, nk
+
+    def est_expr():
+        return F.when(
+            F.col("hk").isNotNull(),
+            (KMV_K - 1) * F.lit(4294967296.0) / F.col("hk"),
+        ).otherwise(F.col("nk").cast("double"))
+
+    def vol(keys):
+        g = b.groupBy(*keys) if keys else b.groupBy()
+        return g.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+
+    hk, nk = est_cols()
+    e2 = sk2.groupBy("lang", "source").agg(hk, nk)
+    e1 = sk1.groupBy("lang").agg(hk, nk)
+    e0 = sk0.groupBy().agg(hk, nk)
+    nul = F.lit(None).cast("string")
+
+    def finish(v, e, keys):
+        j = v.join(F.broadcast(e), keys) if keys else v.crossJoin(e)
+        sel = [
+            F.col("lang") if "lang" in keys else nul.alias("lang"),
+            F.col("source") if "source" in keys else nul.alias("source"),
+            "n_docs", "n_tokens", "n_chars",
+            F.col("nk").cast("bigint").alias("n_sketch"),
+            dround(est_expr()).alias("kmv_unique_est"),
+        ]
+        return j.select(*sel)
+
+    return (
+        finish(vol(["lang", "source"]), e2, ["lang", "source"])
+        .unionByName(finish(vol(["lang"]), e1, ["lang"]))
+        .unionByName(finish(vol([]), e0, []))
+    )

@@ -788,12 +788,18 @@ def test_dataset_card_digest_narrows_before_expand(spark, qs):
     # the Expand node's argument list must never reference the raw
     # text column — only the md5 digest alias survives the projection
     expand = next(
-        seg for seg in plan.split("\n(") if seg.startswith(tuple("0123456789"))
-        and "Expand" in seg.split("\n")[0]
+        (
+            seg for seg in plan.split("\n(")
+            if seg.startswith(tuple("0123456789"))
+            and "Expand" in seg.split("\n")[0]
+        ),
+        None,
     )
-    assert "md5" not in expand or "text#" not in expand.split("Arguments")[-1], (
-        expand[:600]
-    )
+    assert expand is not None, plan[:800]
+    # direct assertion (ADVICE r8): the raw text column must not appear
+    # in the Expand arguments AT ALL — the old 'md5 not in' disjunct was
+    # satisfiable by the exact leak it guards against
+    assert "text#" not in expand.split("Arguments")[-1], expand[:600]
     assert "partial_count" in plan  # map-side combine under the rollup
 
 

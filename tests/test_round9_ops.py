@@ -123,3 +123,38 @@ def test_near_dup_derived_grid_matches_forced_grids(spark):
         for r in embedding_near_dup_pairs(e, threshold=0.4).collect()
     }
     assert derived == forced == bcast and len(derived) > 0
+
+
+def test_dataset_card_kmv_invariants(spark):
+    """The KMV card must agree with the exact card on every volume
+    column, keep each sketch ≤ K members, fall back to the exact
+    distinct count when a group has < K distinct texts, and estimate
+    within the KMV error envelope (~1/√K ≈ 12.5%, allow 4σ) when the
+    sketch saturates."""
+    import __spark_entry__ as ent
+
+    from spark_clustering_spark.operators.aggregates import KMV_K
+
+    qs = ent.queries()
+    kmv = {
+        (r["lang"], r["source"]): r
+        for r in qs["q_pipeline_dataset_card_kmv"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        (r["lang"], r["source"]): r
+        for r in qs["q_pipeline_dataset_card"](spark, SF_SMALL).collect()
+    }
+    assert set(kmv) == set(exact)
+    for key, r in kmv.items():
+        e = exact[key]
+        assert (r["n_docs"], r["n_tokens"], r["n_chars"]) == (
+            e["n_docs"], e["n_tokens"], e["n_chars"]
+        ), key
+        assert 0 < r["n_sketch"] <= KMV_K, key
+        if r["n_sketch"] < KMV_K:
+            assert r["kmv_unique_est"] == float(e["n_unique_texts"]), key
+        else:
+            rel = abs(r["kmv_unique_est"] - e["n_unique_texts"]) / e[
+                "n_unique_texts"
+            ]
+            assert rel <= 0.5, (key, rel)

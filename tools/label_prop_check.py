@@ -21,6 +21,7 @@ import argparse
 import json
 import sys
 import time
+from itertools import zip_longest
 from pathlib import Path
 
 _REPO = Path(__file__).resolve().parent.parent
@@ -118,8 +119,15 @@ def main() -> None:
         "n_oracle_rows": len(drows),
         "sec_spark": t_spark,
         "sec_duck": t_duck,
+        # zip_longest (ADVICE r8): a strict-prefix mismatch (extra or
+        # missing trailing rows) must surface its first divergent row
+        # instead of reporting match=false with first_diff=null
         "first_diff": next(
-            ({"spark": s, "duck": d} for s, d in zip(srows, drows) if s != d),
+            (
+                {"spark": s, "duck": d}
+                for s, d in zip_longest(srows, drows, fillvalue="<missing>")
+                if s != d
+            ),
             None,
         )
         if not ok
