@@ -52,6 +52,7 @@ WINDOW_ALLOWLIST = {
     "q_ml_decision_stump": "distinct candidate thresholds (<=50 quantities)",
     "q_ml_gains_curve": "decile curve: percentile grid rows",
     "q_olap_survival": "KM risk set: distinct day series",
+    "q_pipeline_dataset_card_kmv": "top-level KMV merge: <=n_langs*K sketch rows",
     "q_roulette_cdf": "<=P-member population fitness table",
     "q_sample_reservoir": "top-k reservoir winners",
     "q_ts_anomaly": "distinct day series",
