@@ -191,33 +191,70 @@ def ivf_nlist(n: int) -> int:
 
 
 def ivf_assign(ve: DataFrame, cents: DataFrame, *payload: str) -> DataFrame:
-    """Nearest-cell assignment as ONE map-side-combined aggregate.
+    """Nearest-cell assignment as ONE narrow Arrow pass — no shuffle,
+    no per-pair interpreted fold.
 
-    min(struct(cdist, cid, payload…)) over the broadcast crossJoin is
-    semantically the window row_number()=1 pick on (cdist, cid) —
-    (cdist, cid) is unique within a vec_id group, so the payload
-    fields never participate in the comparison — but partial
-    aggregation collapses each vec_id's nlist candidate rows BEFORE
-    the exchange (the crossJoin emits them contiguously in one input
-    partition), so exactly n narrow rows shuffle at ANY nlist. The
-    window form shuffled all n·nlist candidate rows: fine at the old
-    fixed nlist=16, ~n·√n full-width rows once nlist is count-derived.
+    The expression form (crossJoin + euclidean + argmin) evaluates an
+    interpreted zip_with/aggregate fold per (vector, centroid) pair —
+    Spark's higher-order functions are CodegenFallback, so at a
+    count-derived nlist the n·√n·d fold cost dominates (measured 7×
+    regression on every IVF key at sf1 when nlist went 16 → 141).
+    This kernel broadcasts the cid-sorted centroid matrix (nlist·d ≤
+    2 MB by the IVF_NLIST_MAX clamp) and computes squared distances
+    DIMS-SEQUENTIAL, ROWS-VECTORIZED:
+
+        acc = 0; for j in 0..d-1: acc += (x_j − c_j)²
+
+    which executes the IDENTICAL IEEE operation sequence per row as
+    the left-to-right ``aggregate(zip_with(...))`` fold and DuckDB's
+    ``list_distance`` — same doubles, bit-for-bit (sqrt is skipped:
+    it is monotone, so the argmin and every tie are unchanged).
+    Columns are ordered by ascending cid, so numpy's first-minimum
+    argmin IS the oracle's (cdist, cid) tiebreak. Equality with the
+    window argmin is asserted in tests/test_round9_ops.py.
+
     ``ve``: (vec_id, vec, …); ``cents``: (cid, cvec). Returns
-    (vec_id, cid, *payload) where payload names columns of the joined
-    pair (e.g. "vec", "cvec")."""
-    from spark_clustering_spark.functions.distance import euclidean
+    (vec_id, cid, *payload) where payload ⊆ {"vec", "cvec"}."""
+    import numpy as np
 
-    pairs = ve.crossJoin(F.broadcast(cents)).withColumn(
-        "cdist", euclidean(F.col("vec"), F.col("cvec"))
+    spark = ve.sparkSession
+    crows = sorted(
+        ((int(r["cid"]), list(r["cvec"])) for r in cents.collect()),
+        key=lambda t: t[0],
     )
-    return (
-        pairs.groupBy("vec_id")
-        .agg(F.min(F.struct("cdist", "cid", *payload)).alias("b"))
-        .select(
-            "vec_id",
-            F.col("b.cid").alias("cid"),
-            *[F.col(f"b.{c}").alias(c) for c in payload],
-        )
+    cids = np.array([c for c, _ in crows], dtype=np.int64)
+    cmat = np.array([v for _, v in crows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cids, cmat))
+    fields = ["vec_id bigint", "cid bigint"]
+    if "vec" in payload:
+        fields.append("vec array<double>")
+    if "cvec" in payload:
+        fields.append("cvec array<double>")
+    want_vec, want_cvec = "vec" in payload, "cvec" in payload
+
+    def assign(batches):
+        import pandas as pd
+
+        kids, C = bc.value
+        d = C.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["vec"]), dtype=np.float64)
+            acc = np.zeros((len(X), C.shape[0]))
+            for j in range(d):
+                t = X[:, j, None] - C[None, :, j]
+                acc += t * t
+            idx = np.argmin(acc, axis=1)
+            out = {"vec_id": pdf["vec_id"].to_numpy(), "cid": kids[idx]}
+            if want_vec:
+                out["vec"] = pdf["vec"]
+            if want_cvec:
+                out["cvec"] = [C[i] for i in idx]
+            yield pd.DataFrame(out)
+
+    return ve.select("vec_id", "vec").mapInPandas(
+        assign, ", ".join(fields)
     )
 
 
