@@ -214,8 +214,16 @@ def ivf_assign(ve: DataFrame, cents: DataFrame, *payload: str) -> DataFrame:
     window argmin is asserted in tests/test_round9_ops.py.
 
     ``ve``: (vec_id, vec, …); ``cents``: (cid, cvec). Returns
-    (vec_id, cid, *payload) where payload ⊆ {"vec", "cvec"}."""
+    (vec_id, cid, *payload) where payload ⊆ {"vec", "cvec"}.
+
+    The input rides ``io.spread``: a compacted embedding table can be
+    ONE parquet row group (the sf10 file is), which would pin this
+    n·nlist·d kernel — the classic work-amplifying map — to a single
+    core; one narrow shuffle buys full parallelism, and the gate never
+    fires once the table has real splits."""
     import numpy as np
+
+    from spark_clustering_spark.io import spread
 
     spark = ve.sparkSession
     crows = sorted(
@@ -253,7 +261,7 @@ def ivf_assign(ve: DataFrame, cents: DataFrame, *payload: str) -> DataFrame:
                 out["cvec"] = [C[i] for i in idx]
             yield pd.DataFrame(out)
 
-    return ve.select("vec_id", "vec").mapInPandas(
+    return spread(ve.select("vec_id", "vec"), "vec_id").mapInPandas(
         assign, ", ".join(fields)
     )
 
@@ -500,15 +508,22 @@ def pq_train(ve: DataFrame, n_subs: int = PQ_SUBS, subdim: int = PQ_SUBDIM,
     DECIMAL means, (distance, cid) argmin tiebreak, empty cells keep
     their centroid. Returns (s, cid, cvec). The per-step shuffle is
     (s, cid, pos, partials): n_subs·k·subdim rows of state, constant in
-    the corpus size."""
+    the corpus size. The subvector stream rides ``io.spread`` so a
+    single-row-group input can't pin the n·n_subs·k fold stage to one
+    core (the explode and the broadcast-join fold would otherwise run
+    in the SCAN's split count)."""
     from spark_clustering_spark.functions.distance import euclidean
+    from spark_clustering_spark.io import spread
 
-    subs = ve.select(
+    subs = spread(
+        ve.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[F.slice("vec", s * subdim + 1, subdim)
+                          for s in range(n_subs)])
+            ).alias("s", "sub"),
+        ),
         "vec_id",
-        F.posexplode(
-            F.array(*[F.slice("vec", s * subdim + 1, subdim)
-                      for s in range(n_subs)])
-        ).alias("s", "sub"),
     )
     wseed = Window.partitionBy("s").orderBy("vec_id")
     cents = (
@@ -546,15 +561,20 @@ def pq_encode(ve: DataFrame, cents: DataFrame,
               n_subs: int = PQ_SUBS, subdim: int = PQ_SUBDIM) -> DataFrame:
     """Assign every (vector, subspace) its nearest sub-centroid.
     Returns (vec_id, s, code, qdist) — qdist is the subspace
-    quantization L2 error."""
+    quantization L2 error. Spread like pq_train: the per-pair fold is
+    the work-amplifying stage."""
     from spark_clustering_spark.functions.distance import euclidean
+    from spark_clustering_spark.io import spread
 
-    subs = ve.select(
+    subs = spread(
+        ve.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[F.slice("vec", s * subdim + 1, subdim)
+                          for s in range(n_subs)])
+            ).alias("s", "sub"),
+        ),
         "vec_id",
-        F.posexplode(
-            F.array(*[F.slice("vec", s * subdim + 1, subdim)
-                      for s in range(n_subs)])
-        ).alias("s", "sub"),
     )
     pairs = subs.join(F.broadcast(cents), "s").withColumn(
         "cdist", euclidean(F.col("sub"), F.col("cvec"))
