@@ -54,26 +54,29 @@ def basket_edges(spark: SparkSession, sf_dir: str, cap: int | None = None):
         li = li.join(small.select("o"), "o")
     a = li.select("o", F.col("p").alias("u"))
     b = li.select("o", F.col("p").alias("v"))
-    # Pre-partition the pair stream on the dedup key BEFORE distinct:
-    # without it the planner puts a partial hash aggregate in the join
+    # Pre-partition the pair stream on the dedup key BEFORE distinct —
+    # but only above a fact-count threshold: without the explicit
+    # exchange the planner puts a partial hash aggregate in the join
     # stage, and at sf10 the 32 concurrent full-keyspace maps exceed
     # the 16 GB local-JVM execution pool (PERF round-8 needed a 48g
     # override). Behind the explicit hash exchange, the aggregate runs
     # on one key-slice per task; width derives from the fact count so
     # per-task key cardinality stays bounded at ANY scale factor (and
-    # AQE never coalesces a user-specified repartition). Same rows
-    # out — dedup placement is an execution detail.
+    # AQE never coalesces a user-specified repartition). Below the
+    # threshold (sf≲1) the partial aggregate fits comfortably and the
+    # extra exchange + eager materialization is pure tax — round-9's
+    # sf0.1 graph-family regression (modularity 0.52→1.17 s) — so the
+    # small path keeps the planner's own placement and a LAZY
+    # checkpoint (pinned on first use, still shared by all consumers).
+    # Same rows out either way — dedup placement is an execution detail.
     n_li = table(spark, sf_dir, "lineitem").count()  # parquet-metadata fast
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    width = min(4096, max(width, -(-n_li // 250_000)))
-    e = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .repartition(width, "u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    pairs = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v")
+    if n_li >= 5_000_000:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        width = min(4096, max(width, -(-n_li // 250_000)))
+        e = pairs.repartition(width, "u", "v").distinct().localCheckpoint(eager=True)
+    else:
+        e = pairs.distinct().localCheckpoint(eager=False)
     _EDGE_CACHE[key] = e
     return e
 

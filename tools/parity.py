@@ -3,7 +3,21 @@
 For each declared query: run the Spark callable and the oracle SQL on
 the same sf dir, sort columns by name, sort rows, compare exactly.
 
-Usage: python tools/parity.py [--sf /root/testdata/sf0.01] [names...]
+Two escape hatches for at-scale runs (sf1/sf10), where some outputs are
+too large to materialize driver-side (q_join_nullsafe is ~6B rows at
+sf10 — the full-output compare OOMed round 9's comparator JVM):
+
+- ``--max-rows N``: probe the Spark output count first; above N the key
+  routes through *aggregate parity* — a schema-derived contract of
+  order-proof, overflow-free aggregates (exact decimal sums of integer
+  columns, length-sums + distinct counts of strings, min/max + distinct
+  counts of floats/timestamps) computed IN-ENGINE on both sides, so
+  nothing row-sized ever crosses a driver. This generalizes the bespoke
+  round-8/9 closure tools (theta_check.py, nullsafe_check.py).
+- ``--agg``: force the aggregate contract for every named key.
+
+Usage: python tools/parity.py [--sf /root/testdata/sf0.01]
+           [--max-rows N] [--agg] [--json OUT] [names...]
 """
 
 from __future__ import annotations
@@ -80,6 +94,107 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
     return problems
 
 
+def agg_contract(schema) -> list[tuple[str, object, str]]:
+    """Schema-derived aggregate-parity contract: (alias, spark Column,
+    duckdb SQL expr) triples, all order-proof and overflow-free.
+
+    - integral / decimal columns: exact SUM(CAST AS DECIMAL(38,0|s)) —
+      both engines accumulate exactly (DuckDB int128, Spark decimal),
+      plus COUNT(DISTINCT).
+    - string: SUM(LENGTH) + COUNT(DISTINCT).
+    - float/double: COUNT(DISTINCT) + MIN + MAX (each exact given
+      identical value sets; float SUMs are order-dependent, so never
+      summed).
+    - boolean: SUM(CAST AS INT).
+    - date/timestamp: COUNT(DISTINCT) + MIN/MAX (compared as strings).
+    - nested/binary: non-null COUNT only.
+    Every contract includes COUNT(*).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    specs: list[tuple[str, object, str]] = [
+        ("n_rows", F.count(F.lit(1)), "count(*)")
+    ]
+    for f in schema.fields:
+        c, q = f.name, f'"{f.name}"'
+        dt = f.dataType
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            specs.append(
+                (f"sum_{c}",
+                 F.sum(F.col(c).cast(T.DecimalType(38, 0))),
+                 f"sum(cast({q} AS DECIMAL(38,0)))"))
+            specs.append((f"dc_{c}", F.count_distinct(F.col(c)),
+                          f"count(DISTINCT {q})"))
+        elif isinstance(dt, T.DecimalType):
+            specs.append(
+                (f"sum_{c}",
+                 F.sum(F.col(c).cast(T.DecimalType(38, dt.scale))),
+                 f"sum(cast({q} AS DECIMAL(38,{dt.scale})))"))
+            specs.append((f"dc_{c}", F.count_distinct(F.col(c)),
+                          f"count(DISTINCT {q})"))
+        elif isinstance(dt, T.StringType):
+            specs.append((f"lensum_{c}", F.sum(F.length(F.col(c))),
+                          f"sum(length({q}))"))
+            specs.append((f"dc_{c}", F.count_distinct(F.col(c)),
+                          f"count(DISTINCT {q})"))
+        elif isinstance(dt, (T.FloatType, T.DoubleType)):
+            specs.append((f"dc_{c}", F.count_distinct(F.col(c)),
+                          f"count(DISTINCT {q})"))
+            specs.append((f"min_{c}", F.min(F.col(c)), f"min({q})"))
+            specs.append((f"max_{c}", F.max(F.col(c)), f"max({q})"))
+        elif isinstance(dt, T.BooleanType):
+            specs.append((f"sum_{c}", F.sum(F.col(c).cast("int")),
+                          f"sum(cast({q} AS INT))"))
+        elif isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            specs.append((f"dc_{c}", F.count_distinct(F.col(c)),
+                          f"count(DISTINCT {q})"))
+            specs.append((f"min_{c}", F.min(F.col(c)), f"min({q})"))
+            specs.append((f"max_{c}", F.max(F.col(c)), f"max({q})"))
+        else:  # array/map/struct/binary — membership only
+            specs.append((f"nn_{c}", F.count(F.col(c)), f"count({q})"))
+    return specs
+
+
+def _agg_norm(v):
+    """Normalize one aggregate value for cross-engine comparison."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, (decimal.Decimal, np.integer)):
+        # decimal sums of integer-valued columns compare as ints;
+        # fractional decimals compare on the exact string form
+        d = decimal.Decimal(v)
+        return int(d) if d == d.to_integral_value() else str(d.normalize())
+    if isinstance(v, (datetime.datetime, datetime.date, pd.Timestamp)):
+        return str(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    return v
+
+
+def agg_compare(name: str, spark, sdf, con, oracle: str) -> dict:
+    """In-engine aggregate parity: run the schema-derived contract on
+    both engines, compare the (tiny) summary rows exactly."""
+    specs = agg_contract(sdf.schema)
+    srow = sdf.agg(*[col.alias(a) for a, col, _ in specs]).collect()[0]
+    spark_agg = {a: _agg_norm(srow[a]) for a, _, _ in specs}
+    duck_sql = (
+        "SELECT " + ", ".join(f'{expr} AS "{a}"' for a, _, expr in specs)
+        + " FROM (" + oracle + ")"
+    )
+    drow = con.execute(duck_sql).fetchone()
+    duck_agg = {a: _agg_norm(v) for (a, _, _), v in zip(specs, drow)}
+    mism = {
+        a: {"spark": spark_agg[a], "duck": duck_agg[a]}
+        for a in spark_agg
+        if spark_agg[a] != duck_agg[a]
+    }
+    return {"spark": spark_agg, "duck": duck_agg, "mismatch": mism}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -93,6 +208,19 @@ def main():
         "the full lineitem fanout) exceed the 1g default at sf10 purely "
         "because parity materializes BOTH engines' full outputs driver-"
         "side to value-compare them",
+    )
+    ap.add_argument(
+        "--agg",
+        action="store_true",
+        help="force schema-derived aggregate parity for every named key "
+        "(in-engine summaries, no row materialization)",
+    )
+    ap.add_argument(
+        "--max-rows",
+        type=int,
+        default=None,
+        help="probe the Spark output count first; above this, route the "
+        "key through aggregate parity instead of full materialization",
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -134,8 +262,58 @@ def main():
 
     for name in names:
         t0 = time.time()
+        use_agg = args.agg and name in oracles
         try:
             sdf = qs[name](spark, args.sf)
+            if args.max_rows is not None and not use_agg:
+                n_out = sdf.count()
+                if n_out > args.max_rows:
+                    if name in oracles:
+                        use_agg = True
+                    else:
+                        print(
+                            f"rows {name}: {n_out} rows "
+                            f"({time.time()-t0:.1f}s) [rows-only, uncollected]"
+                        )
+                        results[name] = {
+                            "status": "rows_only",
+                            "spark_rows": int(n_out),
+                        }
+                        n_rowsonly += 1
+                        _flush()
+                        continue
+            if use_agg:
+                try:
+                    rep = agg_compare(name, spark, sdf, con, oracles[name])
+                except Exception:
+                    print(f"FAIL {name}: agg error\n{traceback.format_exc()}")
+                    results[name] = {"status": "fail", "err": "agg error"}
+                    n_fail += 1
+                    _flush()
+                    continue
+                ok = not rep["mismatch"]
+                sec = round(time.time() - t0, 2)
+                if ok:
+                    print(
+                        f"PASS {name}: aggregate parity, "
+                        f"{rep['spark']['n_rows']} rows in-engine ({sec}s)"
+                    )
+                    results[name] = {
+                        "status": "agg_pass",
+                        "spark_rows": rep["spark"]["n_rows"],
+                        "agg": rep["spark"],
+                        "sec": sec,
+                    }
+                    n_pass += 1
+                else:
+                    print(f"FAIL {name}: agg mismatch {rep['mismatch']}")
+                    results[name] = {
+                        "status": "fail",
+                        "err": f"agg mismatch: {rep['mismatch']}",
+                    }
+                    n_fail += 1
+                _flush()
+                continue
             spark_pd = sdf.toPandas()
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
