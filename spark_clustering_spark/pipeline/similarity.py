@@ -207,11 +207,21 @@ def ivf_assign(ve: DataFrame, cents: DataFrame, *payload: str) -> DataFrame:
 
     which executes the IDENTICAL IEEE operation sequence per row as
     the left-to-right ``aggregate(zip_with(...))`` fold and DuckDB's
-    ``list_distance`` — same doubles, bit-for-bit (sqrt is skipped:
-    it is monotone, so the argmin and every tie are unchanged).
-    Columns are ordered by ascending cid, so numpy's first-minimum
-    argmin IS the oracle's (cdist, cid) tiebreak. Equality with the
-    window argmin is asserted in tests/test_round9_ops.py.
+    ``list_distance`` — same doubles, bit-for-bit. The argmin runs on
+    ``np.sqrt(acc)``, not the squared accumulator: sqrt is only
+    WEAKLY monotone on doubles (two distinct squares can round to the
+    same sqrt), and the oracle tiebreaks on (sqrt distance, cid) —
+    taking sqrt first makes numpy's first-minimum argmin reproduce
+    that tiebreak exactly, while every non-tied result is unchanged
+    (ADVICE r9). Columns are ordered by ascending cid. Equality with
+    the window argmin is asserted in tests/test_round9_ops.py.
+
+    Per-task memory is budgeted like every GEMM path: rows are
+    processed in chunks of ceil(GEMM_TILE_BYTES / (8·nlist)), so the
+    (rows × nlist) accumulator and its per-dim temp stay ≤ 8 MiB each
+    even at the nlist=4096 clamp ceiling (ADVICE r9 — the default
+    10k-row Arrow batch × 4096 cells would otherwise be ~330 MB ×2
+    per concurrent task).
 
     ``ve``: (vec_id, vec, …); ``cents``: (cid, cvec). Returns
     (vec_id, cid, *payload) where payload ⊆ {"vec", "cvec"}.
@@ -245,15 +255,20 @@ def ivf_assign(ve: DataFrame, cents: DataFrame, *payload: str) -> DataFrame:
 
         kids, C = bc.value
         d = C.shape[1]
+        nlist = C.shape[0]
+        rows_chunk = max(1, GEMM_TILE_BYTES // (8 * nlist))
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.array(list(pdf["vec"]), dtype=np.float64)
-            acc = np.zeros((len(X), C.shape[0]))
-            for j in range(d):
-                t = X[:, j, None] - C[None, :, j]
-                acc += t * t
-            idx = np.argmin(acc, axis=1)
+            idx = np.empty(len(X), dtype=np.int64)
+            for s in range(0, len(X), rows_chunk):
+                Xc = X[s : s + rows_chunk]
+                acc = np.zeros((len(Xc), nlist))
+                for j in range(d):
+                    t = Xc[:, j, None] - C[None, :, j]
+                    acc += t * t
+                idx[s : s + len(Xc)] = np.argmin(np.sqrt(acc), axis=1)
             out = {"vec_id": pdf["vec_id"].to_numpy(), "cid": kids[idx]}
             if want_vec:
                 out["vec"] = pdf["vec"]

@@ -263,12 +263,18 @@ def test_near_dup_grid_tile_bounded_and_task_count_linear():
     # 10x the rows -> 100x the pairs -> task count within 4x of 100x
     ratio = tasks_at[20_000_000] / tasks_at[2_000_000]
     assert 100 / 4 <= ratio <= 100 * 4, tasks_at
-    # broadcast-path chunk: the chunk×n score slab obeys the same
-    # budget at the gate's own maximum (the old fixed 1024 was ~2.1 GB)
-    for n in (100, 2_000, 262_144):
+    # broadcast-path chunk: the row-chunk × col-chunk score slab obeys
+    # the budget for ALL (n, d) — including the low-dim extreme where
+    # the broadcast gate admits n=2^24 at d=1 and the row chunk bottoms
+    # out at 1 (the column dimension is sub-tiled there; ADVICE r9
+    # retired the old chunk==1 exemption)
+    from spark_clustering_spark.pipeline.dedup import _bcast_col_chunk
+
+    for n in (100, 2_000, 262_144, 2**24):
         chunk = _bcast_chunk(n)
         assert 1 <= chunk <= 1024
-        assert chunk == 1 or chunk * n * 8 <= GEMM_TILE_BYTES, (n, chunk)
+        ccap = _bcast_col_chunk(chunk)
+        assert chunk * ccap * 8 <= GEMM_TILE_BYTES, (n, chunk, ccap)
 
 
 def test_semdedup_hot_cluster_subtiles_match_brute_force(spark):

@@ -186,8 +186,17 @@ def main() -> None:
 
     # file-backed db: the shared training tables are built ONCE and
     # survive per-key connections (a key whose oracle OOMs DuckDB can
-    # then fail alone instead of taking the whole run down)
-    dbfile = f"/tmp/duck_ivf_cache_{abs(hash(args.sf)) % 10**8}.db"
+    # then fail alone instead of taking the whole run down); the name
+    # derives from a STABLE digest of the sf dir — Python's hash() is
+    # per-process randomized, which silently defeated cross-run cache
+    # reuse and leaked stale /tmp files (ADVICE r9)
+    import hashlib
+
+    dbfile = (
+        "/tmp/duck_ivf_cache_"
+        + hashlib.sha1(args.sf.encode()).hexdigest()[:8]
+        + ".db"
+    )
 
     def connect():
         c = duckdb.connect(dbfile)
