@@ -161,10 +161,18 @@ def main() -> None:
     # >2x spread between samples is the burst signature, so only then
     # is a third sample worth its cost. The min is the steady-state
     # number — the one that actually scales to cluster sizing.
-    # Fixed scan-only canary, measured first / mid / last: identical
-    # work each time, so its spread (max/min) is a pure host-contention
-    # gauge — it lets a reader of BENCH.json tell a steal episode from
-    # a plan regression without re-running anything (VERDICT r4 task 3).
+    # The two samples are INTERLEAVED ACROSS FULL PASSES over the key
+    # list (pass 2 rotated by half), not run back-to-back: a steal
+    # burst lasts seconds while a pass lasts minutes, so correlated
+    # contention can no longer land on both samples of the same key —
+    # round 9's driver run showed 13x graph-key walls that min-of-2
+    # back-to-back could not distinguish from a regression (VERDICT r9
+    # task 6). Escalation reruns happen in a final pass.
+    # Fixed scan-only canary, measured first / between passes / last:
+    # identical work each time, so its spread (max/min) is a pure
+    # host-contention gauge — it lets a reader of BENCH.json tell a
+    # steal episode from a plan regression without re-running anything
+    # (VERDICT r4 task 3).
     def _canary() -> float:
         t0 = time.time()
         spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).agg(
@@ -174,35 +182,47 @@ def main() -> None:
 
     canary_runs: list[float] = [_canary()]
 
-    timings: dict[str, float] = {}
-    samples: dict[str, int] = {}
     names = sorted(qs)
-    mid = names[len(names) // 2]
-    for name in names:
-        if name == mid:
-            canary_runs.append(_canary())
-        runs: list[float] = []
+    runs_by_key: dict[str, list[float]] = {n: [] for n in names}
+    errored: set[str] = set()
+
+    def _run_once(name: str) -> None:
         try:
-            for attempt in range(3):
-                t0 = time.time()
-                qs[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                runs.append(round(time.time() - t0, 3))
-                if attempt == 1 and max(runs) <= 2 * max(min(runs), 0.05):
-                    break  # two consistent samples: no escalation
-            best = min(runs)
-        except Exception as ex:  # keep the harness alive; surface the failure
-            best = -1.0
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs_by_key[name].append(round(time.time() - t0, 3))
+        except Exception as ex:  # keep the harness alive; surface it
+            errored.add(name)
             print(f"# bench error {name}: {ex}", file=sys.stderr)
-        timings[name] = best
-        samples[name] = len(runs)
+
+    half = len(names) // 2
+    for order in (names, names[half:] + names[:half]):
+        for name in order:
+            if name not in errored:
+                _run_once(name)
+        canary_runs.append(_canary())
+    # escalation pass: a >2x spread between the two (pass-separated)
+    # samples is the burst signature — only then buy a third
+    for name in names:
+        runs = runs_by_key[name]
+        if name not in errored and len(runs) == 2 and max(runs) > 2 * max(
+            min(runs), 0.05
+        ):
+            _run_once(name)
+    canary_runs.append(_canary())
+
+    timings: dict[str, float] = {
+        n: (min(r) if r and n not in errored else -1.0)
+        for n, r in runs_by_key.items()
+    }
+    samples: dict[str, int] = {n: len(r) for n, r in runs_by_key.items()}
 
     # fit_gka_ref_config (r6) and fit_pso_ref_config (r8) — the two
     # reference-README-scale configs — are DECLARED keys and bench
     # through the normal inventory path above.
 
-    canary_runs.append(_canary())
     canary_spread = round(max(canary_runs) / max(min(canary_runs), 1e-9), 3)
 
     # headline total covers the declared inventory only
@@ -239,7 +259,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "canary_spread": canary_spread,
-                "protocol": "min_of_2_escalate_3_on_2x_spread",
+                "protocol": "interleaved_min_of_2_escalate_3_on_2x_spread",
                 "n_escalated": sum(1 for v in samples.values() if v > 2),
                 "escalated": sorted(n for n, v in samples.items() if v > 2),
                 "errors": sorted(n for n, t in timings.items() if t < 0),
