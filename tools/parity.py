@@ -42,6 +42,13 @@ TABLES = (
 
 def duck_conn(sf_dir: str):
     con = duckdb.connect()
+    # bound the oracle's footprint so an sf10 aggregate spills to disk
+    # instead of OOM-racing the Spark JVM for the box (defaults to 80%
+    # of RAM otherwise); override via DUCK_MEM
+    import os
+
+    con.execute(f"PRAGMA memory_limit='{os.environ.get('DUCK_MEM', '48GB')}'")
+    con.execute("PRAGMA temp_directory='/tmp/duck_parity_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
