@@ -273,18 +273,22 @@ def main():
         try:
             sdf = qs[name](spark, args.sf)
             if args.max_rows is not None and not use_agg:
-                n_out = sdf.count()
+                # probe with limit(N+1).count(), not count(): LocalLimit
+                # is pipelined, so a quadratic-output join short-circuits
+                # after N+1 rows instead of paying a full extra pass;
+                # small-output keys cost the same either way
+                n_out = sdf.limit(args.max_rows + 1).count()
                 if n_out > args.max_rows:
                     if name in oracles:
                         use_agg = True
                     else:
                         print(
-                            f"rows {name}: {n_out} rows "
+                            f"rows {name}: >{args.max_rows} rows "
                             f"({time.time()-t0:.1f}s) [rows-only, uncollected]"
                         )
                         results[name] = {
                             "status": "rows_only",
-                            "spark_rows": int(n_out),
+                            "spark_rows_min": int(n_out),
                         }
                         n_rowsonly += 1
                         _flush()

@@ -45,6 +45,11 @@ sys.path.insert(0, str(_REPO))
 # mismatch, which re-running won't change)
 _TRANSIENT_ERRS = ("spark error", "agg error", "crash", "timeout")
 
+# keys whose output is quadratic in sf (full materialization is known
+# infeasible at sf>=1): forced straight onto the aggregate contract in
+# their own single-key subprocess, skipping even the limit-probe
+AGG_FORCE = {"q_join_nullsafe", "q_join_theta_range"}
+
 
 def _load(path: Path) -> dict:
     if path.exists():
@@ -65,7 +70,7 @@ def _counts(queries: dict) -> dict:
     return c
 
 
-def _run_chunk(names: list[str], args, out: dict) -> list[str]:
+def _run_chunk(names: list[str], args, out: dict, agg: bool = False):
     """Run one parity subprocess over ``names``; merge whatever it
     recorded into ``out``; return the keys it did NOT record."""
     with tempfile.NamedTemporaryFile(
@@ -79,6 +84,8 @@ def _run_chunk(names: list[str], args, out: dict) -> list[str]:
         "--json", str(tmp),
         "--max-rows", str(args.max_rows),
     ]
+    if agg:
+        cmd += ["--agg"]
     if args.max_result:
         cmd += ["--max-result", args.max_result]
     cmd += names
@@ -172,15 +179,30 @@ def main() -> None:
             )
         )
 
-    i = 0
-    while i < len(todo):
-        chunk = todo[i : i + args.chunk]
-        i += args.chunk
-        missing, _ = _run_chunk(chunk, args, done)
+    # chunk plan: AGG_FORCE keys get their own single-key --agg
+    # subprocess (quadratic output, heaviest by far); the rest chunk up
+    chunks: list[tuple[list[str], bool]] = []
+    acc: list[str] = []
+    for n in todo:
+        if n in AGG_FORCE:
+            if acc:
+                chunks.append((acc, False))
+                acc = []
+            chunks.append(([n], True))
+        else:
+            acc.append(n)
+            if len(acc) == args.chunk:
+                chunks.append((acc, False))
+                acc = []
+    if acc:
+        chunks.append((acc, False))
+
+    for chunk, agg in chunks:
+        missing, _ = _run_chunk(chunk, args, done, agg=agg)
         _flush()
         # retry un-recorded keys one per fresh subprocess
         for n in missing:
-            still, t_out = _run_chunk([n], args, done)
+            still, t_out = _run_chunk([n], args, done, agg=n in AGG_FORCE)
             if still:
                 err = "timeout" if t_out else "crash"
                 done[n] = {"status": "fail", "err": err}
