@@ -166,12 +166,36 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi + theta compound join (hash on brand, residual range
-    predicate applied post-match — no cross product)."""
-    p1 = table(spark, sf_dir, "part").alias("p1")
-    p2 = table(spark, sf_dir, "part").alias("p2")
+    predicate applied post-match — no cross product).
+
+    Brand has ~25 distinct values, so the unsalted form is
+    parallelism-bounded at 25 tasks regardless of cluster size, and
+    AQE can't split them (it sees small INPUT partitions; the cost is
+    the quadratic candidate OUTPUT). Same cure as q_join_nullsafe:
+    the p2 side carries a deterministic per-row salt, p1 replicates
+    per salt — each (p1, p2) candidate pair meets exactly once, at
+    p2's salt, and each brand spans `width` partitions."""
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    p1 = (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(width - 1))))
+        .alias("p1")
+    )
+    p2 = (
+        table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            F.pmod(F.xxhash64("p_partkey"), F.lit(width)).alias("_salt"),
+        )
+        .alias("p2")
+    )
     return p1.join(
         p2,
         (F.col("p1.p_brand") == F.col("p2.p_brand"))
+        & (F.col("p1._salt") == F.col("p2._salt"))
         & (F.col("p1.p_size") < F.col("p2.p_size")),
     ).select(
         F.col("p1.p_partkey").alias("key_small"),
@@ -397,17 +421,35 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi-join (<=>): NULL keys match each other instead of
     vanishing — SQL's IS NOT DISTINCT FROM. Catalyst plans <=> as a
     normal hash join key (nulls hash to one bucket), so the usual
-    broadcast/shuffle strategies apply; a hot NULL key is exactly the
-    skew case q_join_salted handles."""
+    broadcast/shuffle strategies apply.
+
+    The key domain is the 25 nations, so an unsalted shuffle join is
+    parallelism-bounded at 25 tasks no matter the cluster — measured
+    at sf10 as a 1749 s single-threaded-tail aggregate pass vs
+    DuckDB's 190 s (PARITY_r10_nullsafe_sf10.json, pre-salt). AQE's
+    skew split can't help: it triggers on INPUT partition bytes, and
+    each nation's inputs are tiny — the blowup is the quadratic
+    OUTPUT. So the customer side carries a deterministic salt
+    (xxhash64 of its key, mod the shuffle width) and the 100×-smaller
+    supplier side replicates per salt: every (c, s) pair still meets
+    exactly once — at customer's salt — and each nation now spans
+    `width` shuffle partitions instead of one."""
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     c = table(spark, sf_dir, "customer").select(
-        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk_c")
+        "c_custkey",
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk_c"),
+        F.pmod(F.xxhash64("c_custkey"), F.lit(width)).alias("_salt_c"),
     )
     s = table(spark, sf_dir, "supplier").select(
         "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(3)).alias("nk_s")
+    ).withColumn(
+        "_salt_s", F.explode(F.sequence(F.lit(0), F.lit(width - 1)))
     )
-    return c.join(s, F.col("nk_c").eqNullSafe(F.col("nk_s"))).select(
-        "c_custkey", "s_suppkey"
-    )
+    return c.join(
+        s,
+        F.col("nk_c").eqNullSafe(F.col("nk_s"))
+        & (F.col("_salt_c") == F.col("_salt_s")),
+    ).select("c_custkey", "s_suppkey")
 
 
 @query(
