@@ -174,11 +174,17 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic candidate OUTPUT). Same cure as q_join_nullsafe:
     the p2 side carries a deterministic per-row salt, p1 replicates
     per salt — each (p1, p2) candidate pair meets exactly once, at
-    p2's salt, and each brand spans `width` partitions."""
+    p2's salt, and each brand spans `width` partitions. Under the
+    broadcast plan (p2 is the smaller side) the probe is the exploded
+    p1, whose parallelism would otherwise be the part table's parquet
+    split count (ONE split at sf10) — so p1 is explicitly
+    round-robin-repartitioned to `width` BEFORE the explode, the same
+    probe-parallelism fix as q_join_nullsafe."""
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     p1 = (
         table(spark, sf_dir, "part")
         .select("p_partkey", "p_brand", "p_size")
+        .repartition(width)
         .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(width - 1))))
         .alias("p1")
     )
@@ -192,8 +198,15 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("p2")
     )
+    # explicit hint below broadcastable size: p2 is the honest build
+    # side — Catalyst's size estimate for the exploded p1 ignores the
+    # x width Generate fanout and would otherwise pick the (width x
+    # larger) p1 to broadcast. Above it, no hint: the salted shuffle
+    # join is the scale path. (count() is parquet-metadata fast.)
+    n_part = table(spark, sf_dir, "part").count()
+    p2_side = F.broadcast(p2) if n_part <= 10_000_000 else p2
     return p1.join(
-        p2,
+        p2_side,
         (F.col("p1.p_brand") == F.col("p2.p_brand"))
         & (F.col("p1._salt") == F.col("p2._salt"))
         & (F.col("p1.p_size") < F.col("p2.p_size")),
@@ -433,12 +446,26 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (xxhash64 of its key, mod the shuffle width) and the 100×-smaller
     supplier side replicates per salt: every (c, s) pair still meets
     exactly once — at customer's salt — and each nation now spans
-    `width` shuffle partitions instead of one."""
+    `width` shuffle partitions instead of one.
+
+    The probe side is also explicitly repartitioned on (key, salt):
+    when the replicated supplier side fits the broadcast threshold the
+    join plans as BroadcastHashJoin, whose parallelism is the PROBE
+    SCAN's split count (6 single-digit-MB parquet splits at sf10 —
+    that, not the key domain, was the real shape of the measured
+    1749 s tail), and the user-specified exchange gives it `width`
+    probe partitions that AQE will not coalesce; in the at-scale
+    shuffle fallback the same exchange is the join's required
+    distribution, so it is reused, not duplicated."""
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    c = table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk_c"),
-        F.pmod(F.xxhash64("c_custkey"), F.lit(width)).alias("_salt_c"),
+    c = (
+        table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk_c"),
+            F.pmod(F.xxhash64("c_custkey"), F.lit(width)).alias("_salt_c"),
+        )
+        .repartition(width, "nk_c", "_salt_c")
     )
     s = table(spark, sf_dir, "supplier").select(
         "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(3)).alias("nk_s")
