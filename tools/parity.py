@@ -202,6 +202,20 @@ def agg_compare(name: str, spark, sdf, con, oracle: str) -> dict:
     return {"spark": spark_agg, "duck": duck_agg, "mismatch": mism}
 
 
+def _die_if_jvm_dead(spark, name: str) -> None:
+    """After a per-key exception, probe the session: if the JVM itself
+    is gone (OOM-killed, gateway dead), every later key would 'fail'
+    too — round 9 committed 223 such cascade rows. Exit immediately
+    instead, leaving later keys UNRECORDED so the sweep wrapper retries
+    each in a fresh process."""
+    try:
+        spark.range(1).count()
+    except Exception:
+        print(f"FATAL: session dead after {name}; aborting so later keys "
+              "stay unrecorded (sweep retries them in fresh processes)")
+        sys.exit(3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -298,6 +312,7 @@ def main():
                     rep = agg_compare(name, spark, sdf, con, oracles[name])
                 except Exception:
                     print(f"FAIL {name}: agg error\n{traceback.format_exc()}")
+                    _die_if_jvm_dead(spark, name)
                     results[name] = {"status": "fail", "err": "agg error"}
                     n_fail += 1
                     _flush()
@@ -328,6 +343,7 @@ def main():
             spark_pd = sdf.toPandas()
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            _die_if_jvm_dead(spark, name)
             results[name] = {"status": "fail", "err": "spark error"}
             n_fail += 1
             _flush()

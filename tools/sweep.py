@@ -108,6 +108,11 @@ def _run_chunk(names: list[str], args, out: dict, agg: bool = False):
         if isinstance(stdout, bytes):
             stdout = stdout.decode(errors="replace")
         tail = "\n".join(stdout.splitlines()[-30:])
+    # keep every subprocess's full output for post-hoc diagnosis (the
+    # per-key tracebacks live only here)
+    logdir = Path("/tmp/sweep_logs")
+    logdir.mkdir(exist_ok=True)
+    (logdir / f"{names[0]}_{int(t0)}.log").write_text(tail if timed_out else proc.stdout)
     got: dict = {}
     try:
         got = json.loads(tmp.read_text()).get("queries", {})
