@@ -1213,12 +1213,18 @@ ALS_LAMBDA = 0.1  # per-user L2 regularization in the ALS half-step
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     ),
     s AS (
+      -- each product is quantized through its VARCHAR (shortest-repr)
+      -- form before the decimal cast: DuckDB's direct double->decimal
+      -- rounds the EXACT binary expansion while Spark rounds the
+      -- shortest string, and at sf10 a handful of the ~60M products
+      -- straddle an 8dp tie (3 u-value flips in the r10 sweep); the
+      -- pivot is detagg hazard-#2's documented cure
       SELECT c, count(*) AS n_items,
-             cast(cast(sum(cast(v1 * v1 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s11,
-             cast(cast(sum(cast(v1 * v2 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s12,
-             cast(cast(sum(cast(v2 * v2 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s22,
-             cast(cast(sum(cast(r * v1 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS b1,
-             cast(cast(sum(cast(r * v2 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS b2
+             cast(cast(sum(cast(cast(v1 * v1 AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s11,
+             cast(cast(sum(cast(cast(v1 * v2 AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s12,
+             cast(cast(sum(cast(cast(v2 * v2 AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s22,
+             cast(cast(sum(cast(cast(r * v1 AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS b1,
+             cast(cast(sum(cast(cast(r * v2 AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS b2
       FROM r GROUP BY c
     )
     SELECT c AS custkey, n_items,
