@@ -211,17 +211,19 @@ def agg_compare(name: str, spark, sdf, con, oracle: str) -> dict:
 # reused across keys.
 MAT_CTES = {
     "q_graph_assortativity": ("lp", "e"),
-    "q_graph_triangles": ("lp",),
-    "q_graph_kcore": ("lp",),
+    "q_graph_triangles": ("lp", "e"),
+    "q_graph_kcore": ("lp", "e0"),
     "q_graph_degree_stats": ("e",),
-    "q_graph_jaccard_linkpred": ("lp0",),
-    "q_graph_modularity": ("lp0",),
-    "q_graph_adamic_adar": ("lp0",),
-    "q_graph_clustering_coeff": ("lp0",),
-    "q_graph_label_prop": ("lp0",),
+    "q_graph_jaccard_linkpred": ("lp0", "small", "lp", "e"),
+    "q_graph_modularity": ("lp0", "small", "lp", "e"),
+    "q_graph_adamic_adar": ("lp0", "small", "lp", "e"),
+    "q_graph_clustering_coeff": ("lp0", "small", "lp", "e"),
+    "q_graph_label_prop": ("lp0", "small", "lp", "e"),
+    "q_multimodal_phash_dedup": ("raster", "px", "agg", "fp"),
+    "q_multimodal_phash_pairs": ("raster", "px", "agg", "fp"),
 }
 
-_MAT_DONE: dict[tuple[str, str], str] = {}
+_MAT_DONE: dict[str, str] = {}
 
 
 def _split_ctes(sql: str):
@@ -297,13 +299,29 @@ def materialized_oracle(con, name: str, sql: str) -> str:
     for cname, body in ctes:
         if cname in want and not keep:
             import hashlib
+            import re as _re
 
-            h = hashlib.sha1(body.encode()).hexdigest()[:10]
-            if (cname, h) not in _MAT_DONE:
+            # chain-hash: include the current hash of every upstream
+            # materialized table the body references — two keys can
+            # share the IDENTICAL body text 'FROM lp a JOIN lp b ...'
+            # while their lp tables hold different rows (capped vs
+            # full), so body text alone would serve stale rows (found
+            # by q_graph_triangles inheriting the lp0-family's capped
+            # edge set)
+            deps = "|".join(
+                f"{n}={_MAT_DONE[n]}"
+                for n in sorted(_MAT_DONE)
+                if _re.search(rf"\b{n}\b", body)
+            )
+            h = hashlib.sha1(f"{body}|{deps}".encode()).hexdigest()[:10]
+            # track the CURRENT body per table name: two keys may use
+            # the same CTE name with different bodies, and a
+            # (name, hash) set would serve stale rows
+            if _MAT_DONE.get(cname) != h:
                 con.execute(
                     f'CREATE OR REPLACE TEMP TABLE "{cname}" AS {body}'
                 )
-                _MAT_DONE[(cname, h)] = cname
+                _MAT_DONE[cname] = h
         else:
             keep.append((cname, body))
     if keep:
