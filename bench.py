@@ -185,6 +185,12 @@ def main() -> None:
     names = sorted(qs)
     runs_by_key: dict[str, list[float]] = {n: [] for n in names}
     errored: set[str] = set()
+    # exception forensics (VERDICT r10 task 6): round 10's driver run
+    # recorded three keys as a bare -1.0 with no cause; all three passed
+    # full parity on re-run. Record the exception text so a transient is
+    # distinguishable from a real break, and retry errored keys once at
+    # end-of-run — a host-noise casualty then shows as error→ok.
+    error_texts: dict[str, str] = {}
 
     def _run_once(name: str) -> None:
         try:
@@ -195,6 +201,7 @@ def main() -> None:
             runs_by_key[name].append(round(time.time() - t0, 3))
         except Exception as ex:  # keep the harness alive; surface it
             errored.add(name)
+            error_texts[name] = f"{type(ex).__name__}: {str(ex)[:500]}"
             print(f"# bench error {name}: {ex}", file=sys.stderr)
 
     half = len(names) // 2
@@ -211,6 +218,18 @@ def main() -> None:
             min(runs), 0.05
         ):
             _run_once(name)
+    # end-of-run retry for errored keys: one fresh attempt after the
+    # whole inventory has run (transient host/JVM pressure has passed by
+    # then). A success clears the error; the original exception text is
+    # kept in error_detail with recovered=true.
+    recovered: list[str] = []
+    for name in sorted(errored):
+        errored.discard(name)
+        _run_once(name)
+        if runs_by_key[name]:
+            recovered.append(name)
+        else:
+            errored.add(name)
     canary_runs.append(_canary())
 
     timings: dict[str, float] = {
@@ -241,6 +260,11 @@ def main() -> None:
                 "canary_runs": canary_runs,
                 "canary_spread": canary_spread,
                 "escalated": sorted(n for n, v in samples.items() if v > 2),
+                "error_detail": {
+                    n: {"exc": t, "recovered": n in recovered}
+                    for n, t in sorted(error_texts.items())
+                },
+                "recovered": sorted(recovered),
                 "global_window_allowlist": WINDOW_ALLOWLIST,
                 "sf": sf,
             },
@@ -263,6 +287,7 @@ def main() -> None:
                 "n_escalated": sum(1 for v in samples.values() if v > 2),
                 "escalated": sorted(n for n, v in samples.items() if v > 2),
                 "errors": sorted(n for n, t in timings.items() if t < 0),
+                "recovered": sorted(recovered),
                 "detail": detail_path.name,
             },
             separators=(",", ":"),

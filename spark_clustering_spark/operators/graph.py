@@ -63,15 +63,19 @@ def basket_edges(spark: SparkSession, sf_dir: str, cap: int | None = None):
     # on one key-slice per task; width derives from the fact count so
     # per-task key cardinality stays bounded at ANY scale factor (and
     # AQE never coalesces a user-specified repartition). Below the
-    # threshold (sf≲1) the partial aggregate fits comfortably and the
+    # threshold (sf<=1) the partial aggregate fits comfortably and the
     # extra exchange + eager materialization is pure tax — round-9's
     # sf0.1 graph-family regression (modularity 0.52→1.17 s) — so the
     # small path keeps the planner's own placement and a LAZY
     # checkpoint (pinned on first use, still shared by all consumers).
     # Same rows out either way — dedup placement is an execution detail.
+    # Threshold 10M (ADVICE r10): sf1 lineitem is ~6.0M rows and ran
+    # green on the planner-placed path for rounds 6-8, so it belongs on
+    # the small path; the 16 GB-pool blowup the heavy path cures was
+    # only ever observed at sf10 (~60M rows).
     n_li = table(spark, sf_dir, "lineitem").count()  # parquet-metadata fast
     pairs = a.join(b, "o").filter(F.col("u") < F.col("v")).select("u", "v")
-    if n_li >= 5_000_000:
+    if n_li >= 10_000_000:
         width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         width = min(4096, max(width, -(-n_li // 250_000)))
         e = pairs.repartition(width, "u", "v").distinct().localCheckpoint(eager=True)

@@ -203,8 +203,13 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x width Generate fanout and would otherwise pick the (width x
     # larger) p1 to broadcast. Above it, no hint: the salted shuffle
     # join is the scale path. (count() is parquet-metadata fast.)
+    # The gate is BYTES-based (ADVICE r10): ~64 B/row serialized for
+    # (long, brand string, int, long) x the hash-relation expansion,
+    # capped at 256 MiB serialized (~4M rows) so the build side can
+    # never balloon to a driver-OOM-sized broadcast near a rows-only
+    # cutoff. sf10 (2M part rows) still broadcasts.
     n_part = table(spark, sf_dir, "part").count()
-    p2_side = F.broadcast(p2) if n_part <= 10_000_000 else p2
+    p2_side = F.broadcast(p2) if n_part * 64 <= 256 << 20 else p2
     return p1.join(
         p2_side,
         (F.col("p1.p_brand") == F.col("p2.p_brand"))

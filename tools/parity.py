@@ -40,6 +40,21 @@ TABLES = (
 ).split()
 
 
+def _default_duck_mem() -> str:
+    """40% of detected RAM (ADVICE r10): a fixed 48GB default is a
+    no-op guard on smaller hosts — DuckDB could still OOM-race the
+    Spark JVM, the exact failure the pragma exists to prevent."""
+    import os
+
+    try:
+        gib = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) / (
+            1 << 30
+        )
+        return f"{max(1, int(gib * 0.4))}GB"
+    except (ValueError, OSError):
+        return "48GB"
+
+
 def duck_conn(sf_dir: str):
     con = duckdb.connect()
     # bound the oracle's footprint so an sf10 aggregate spills to disk
@@ -47,7 +62,9 @@ def duck_conn(sf_dir: str):
     # of RAM otherwise); override via DUCK_MEM
     import os
 
-    con.execute(f"PRAGMA memory_limit='{os.environ.get('DUCK_MEM', '48GB')}'")
+    con.execute(
+        f"PRAGMA memory_limit='{os.environ.get('DUCK_MEM', _default_duck_mem())}'"
+    )
     con.execute("PRAGMA temp_directory='/tmp/duck_parity_spill'")
     for t in TABLES:
         con.execute(
@@ -228,7 +245,9 @@ _MAT_DONE: dict[str, str] = {}
 
 def _split_ctes(sql: str):
     """Split a (non-recursive) top-level WITH clause into
-    ([(name, body), ...], tail_sql). Handles single-quoted strings;
+    ([(name, body), ...], tail_sql). Handles single-quoted strings and
+    ``-- ...\\n`` line comments (ADVICE r10: an unbalanced paren or
+    apostrophe inside a comment must not desync the depth scanner);
     returns ([], sql) when there is no WITH prefix."""
     s = sql.lstrip()
     low = s.lower()
@@ -261,6 +280,10 @@ def _split_ctes(sql: str):
             if in_str:
                 if ch == "'":
                     in_str = False
+            elif ch == "-" and s[p : p + 2] == "--":
+                nl = s.find("\n", p)
+                p = n if nl == -1 else nl
+                continue
             elif ch == "'":
                 in_str = True
             elif ch == "(":

@@ -42,8 +42,11 @@ _REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_REPO))
 
 # fail records worth re-running after a harness fix (vs a real value
-# mismatch, which re-running won't change)
-_TRANSIENT_ERRS = ("spark error", "agg error", "crash", "timeout")
+# mismatch, which re-running won't change). "duckdb error" is here
+# because oracle-side OOM / spill-disk-full is environmental (ADVICE
+# r10): a genuine value mismatch records as "agg mismatch" or a value
+# diff, never as "duckdb error", so retrying these stays safe.
+_TRANSIENT_ERRS = ("spark error", "agg error", "crash", "timeout", "duckdb error")
 
 # keys whose output is quadratic in sf (full materialization is known
 # infeasible at sf>=1): forced straight onto the aggregate contract in
