@@ -65,7 +65,15 @@ def duck_conn(sf_dir: str):
     con.execute(
         f"PRAGMA memory_limit='{os.environ.get('DUCK_MEM', _default_duck_mem())}'"
     )
-    con.execute("PRAGMA temp_directory='/tmp/duck_parity_spill'")
+    # per-process spill dir, removed at exit: round 10's kcore/modularity
+    # oracle deaths were "No space left on device" in a SHARED spill dir
+    # that had accumulated leftovers across earlier keys/processes
+    spill = f"/tmp/duck_parity_spill_{os.getpid()}"
+    con.execute(f"PRAGMA temp_directory='{spill}'")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -229,10 +237,19 @@ def agg_compare(name: str, spark, sdf, con, oracle: str) -> dict:
 MAT_CTES = {
     "q_graph_assortativity": ("lp", "e"),
     "q_graph_triangles": ("lp", "e"),
-    "q_graph_kcore": ("lp", "e0"),
+    # kcore: materialize the ENTIRE peel chain, not just lp/e0 — the
+    # three chained join+aggregate levels (e1..e3, each referenced by
+    # the next level, its degree count, and the final scalar counts)
+    # are what spilled >60 GB and filled the disk at sf10 (r10 driver
+    # re-sweep); one-at-a-time temp tables bound the live working set
+    # to a single level, which is how the r8/r9 bespoke closures ran
+    # the same peel in 10-37 s.
+    "q_graph_kcore": (
+        "lp", "e0", "d1", "a1", "e1", "d2", "a2", "e2", "d3", "a3", "e3",
+    ),
     "q_graph_degree_stats": ("e",),
     "q_graph_jaccard_linkpred": ("lp0", "small", "lp", "e"),
-    "q_graph_modularity": ("lp0", "small", "lp", "e"),
+    "q_graph_modularity": ("lp0", "small", "lp", "e", "lab", "el"),
     "q_graph_adamic_adar": ("lp0", "small", "lp", "e"),
     "q_graph_clustering_coeff": ("lp0", "small", "lp", "e"),
     "q_graph_label_prop": ("lp0", "small", "lp", "e"),
