@@ -185,3 +185,35 @@ def test_query_matches_duckdb_oracle(spark, duck, name):
             assert (
                 (a == b) | (pd.isna(a) & pd.isna(b))
             ).all(), c
+
+
+def test_split_ctes_handles_line_comments():
+    """ADVICE r10: an unbalanced paren or apostrophe inside a `--`
+    comment must not desync the CTE body scanner."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "parity_tool", Path(__file__).parent.parent / "tools" / "parity.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    sql = (
+        "WITH a AS (\n"
+        "  SELECT 1 AS x -- don't mind the stray ) paren '\n"
+        "  FROM t\n"
+        "), b AS (SELECT x FROM a)\n"
+        "SELECT * FROM b"
+    )
+    ctes, tail = mod._split_ctes(sql)
+    assert [c[0] for c in ctes] == ["a", "b"]
+    assert "FROM t" in ctes[0][1]
+    assert tail.strip() == "SELECT * FROM b"
+
+    # no-WITH and quoted-string round-trips stay intact
+    assert mod._split_ctes("SELECT 1") == ([], "SELECT 1")
+    ctes2, tail2 = mod._split_ctes(
+        "WITH q AS (SELECT '(' AS p) SELECT * FROM q"
+    )
+    assert ctes2 == [("q", "SELECT '(' AS p")]
