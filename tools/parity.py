@@ -236,7 +236,11 @@ def agg_compare(name: str, spark, sdf, con, oracle: str) -> dict:
 # reused across keys.
 MAT_CTES = {
     "q_graph_assortativity": ("lp", "e"),
-    "q_graph_triangles": ("lp", "e"),
+    # triangles: also materialize deg and the degree-oriented edge
+    # table o — o is referenced three times in the triangle join, and
+    # as a CTE each reference can re-evaluate the e⋈deg⋈deg build at
+    # sf10 edge counts (~1e8 rows)
+    "q_graph_triangles": ("lp", "e", "deg", "o"),
     # kcore: materialize the ENTIRE peel chain, not just lp/e0 — the
     # three chained join+aggregate levels (e1..e3, each referenced by
     # the next level, its degree count, and the final scalar counts)
