@@ -1646,16 +1646,16 @@ SPECTRAL_PERIODS = list(range(2, 15))  # candidate cycles, days
 import math as _math  # noqa: E402
 
 _COS_W = [
-    [round(_math.cos(2.0 * _math.pi * k / p), 6) for k in range(p)]
+    [int(round(_math.cos(2.0 * _math.pi * k / p) * 1_000_000)) for k in range(p)]
     for p in SPECTRAL_PERIODS
 ]
 _SIN_W = [
-    [round(_math.sin(2.0 * _math.pi * k / p), 6) for k in range(p)]
+    [int(round(_math.sin(2.0 * _math.pi * k / p) * 1_000_000)) for k in range(p)]
     for p in SPECTRAL_PERIODS
 ]
 
 
-def _sql_nested(arrs: list[list[float]]) -> str:
+def _sql_nested(arrs: list[list[int]]) -> str:
     return (
         "["
         + ", ".join(
@@ -1670,33 +1670,41 @@ def _sql_nested(arrs: list[list[float]]) -> str:
     oracle=f"""
     WITH d AS (
       SELECT epoch_us(ts) // {DAY_US} AS day_id,
-             cast(cast(sum(cast(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS actual
+             cast(sum(cast(value AS DECIMAL(38,8))) AS DECIMAL(20,8)) AS actual
       FROM events GROUP BY 1
     ),
-    tot AS (
-      SELECT cast(cast(sum(cast(actual AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
-               / count(*) AS mn
-      FROM d
-    ),
     x AS (
-      SELECT p, day_id, (actual - mn) AS a,
-             (day_id % p)::INT AS phase
-      FROM d CROSS JOIN tot
+      SELECT p, actual, (day_id % p)::INT AS phase
+      FROM d
       CROSS JOIN unnest([{", ".join(str(p) for p in SPECTRAL_PERIODS)}])
         AS t(p)
     ),
     terms AS (
       SELECT p,
-             cast(a * {_sql_nested(_COS_W)}[p - 1][phase + 1]
-               AS DECIMAL(38,10)) AS ct,
-             cast(a * {_sql_nested(_SIN_W)}[p - 1][phase + 1]
-               AS DECIMAL(38,10)) AS st
+             actual * {_sql_nested(_COS_W)}[p - 1][phase + 1] AS ct,
+             actual * {_sql_nested(_SIN_W)}[p - 1][phase + 1] AS st,
+             {_sql_nested(_COS_W)}[p - 1][phase + 1] AS cw,
+             {_sql_nested(_SIN_W)}[p - 1][phase + 1] AS sw
       FROM x
     ),
-    pw AS (
-      SELECT p, cast(sum(ct) AS DOUBLE) AS cs,
-             cast(sum(st) AS DOUBLE) AS sn
+    g AS (
+      SELECT p,
+             sum(ct) AS s_cw, sum(st) AS s_sw,
+             sum(cw) AS w_c, sum(sw) AS w_s
       FROM terms GROUP BY p
+    ),
+    tot AS (
+      SELECT cast(cast(sum(actual) AS VARCHAR) AS DOUBLE) AS t_dbl,
+             cast(count(*) AS DOUBLE) AS n
+      FROM d
+    ),
+    pw AS (
+      SELECT p,
+             (cast(cast(s_cw AS VARCHAR) AS DOUBLE)
+               - (t_dbl / n) * cast(w_c AS DOUBLE)) / 1000000.0 AS cs,
+             (cast(cast(s_sw AS VARCHAR) AS DOUBLE)
+               - (t_dbl / n) * cast(w_s AS DOUBLE)) / 1000000.0 AS sn
+      FROM g CROSS JOIN tot
     )
     SELECT p::INT AS period_days,
            {sql_dround('cs * cs + sn * sn', 4)} AS power
@@ -1712,11 +1720,17 @@ def q_ts_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     peaks at p=7; an unexpected peak at p=2 means aliasing/batching
     artifacts in ingest).
 
-    Determinism: the trig weights are 6-dp literals baked into BOTH
-    plans at build time (the q_agg_histogram_log2 no-runtime-libm
-    discipline) and selected by integer phase = day mod p; per-row
-    products quantize to DECIMAL(38,10) before the order-ambiguous
-    cross-day sums; power is one fixed-order double expression.
+    Determinism: the trig weights are micro-unit INTEGER literals baked
+    into BOTH plans at build time (the q_agg_histogram_log2
+    no-runtime-libm discipline) and selected by integer phase =
+    day mod p, so every per-row product actual·w and every cross-day
+    sum is EXACT decimal/integer arithmetic — no per-row double
+    rounding whose half-way behavior could differ across engines (the
+    round-10 sf10 sweep caught exactly that: two DECIMAL(38,10)
+    quantizations of double products landed one quantum apart). The
+    mean-centering is folded out algebraically
+    (Σ(a−mn)·w = Σa·w − mn·Σw), leaving one fixed-order scalar double
+    expression per period over exact inputs.
 
     Scale: one map-side-combined groupBy to the bounded day series,
     then a 13×-row explode of that bounded table — the heavy table is
@@ -1726,14 +1740,12 @@ def q_ts_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"unix_micros(ts) div {DAY_US}").alias("day_id")
     ).agg(
         F.sum(F.col("value").cast("decimal(38,8)"))
-        .cast("double")
+        .cast("decimal(20,8)")
         .alias("actual")
     )
     tot = d.agg(
-        (
-            F.sum(F.col("actual").cast("decimal(38,8)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mn")
+        F.sum("actual").cast("double").alias("t_dbl"),
+        F.count(F.lit(1)).cast("double").alias("n"),
     )
     periods = F.array(*[F.lit(p) for p in SPECTRAL_PERIODS])
     cosw = F.array(
@@ -1742,34 +1754,53 @@ def q_ts_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     sinw = F.array(
         *[F.array(*[F.lit(w) for w in row]) for row in _SIN_W]
     )
-    x = (
-        d.crossJoin(F.broadcast(tot))
-        .select(
-            (F.col("actual") - F.col("mn")).alias("a"),
-            "day_id",
-            F.explode(periods).alias("p"),
-        )
-        .select(
+    x = d.select(
+        F.col("actual"),
+        "day_id",
+        F.explode(periods).alias("p"),
+    ).select(
+        "p",
+        "actual",
+        (F.col("day_id") % F.col("p")).cast("int").alias("phase"),
+    )
+    cw = F.element_at(
+        F.element_at(cosw, F.col("p") - 1), F.col("phase") + 1
+    )
+    sw = F.element_at(
+        F.element_at(sinw, F.col("p") - 1), F.col("phase") + 1
+    )
+    g = (
+        x.select(
             "p",
-            "a",
-            (F.col("day_id") % F.col("p")).cast("int").alias("phase"),
+            (F.col("actual") * cw).alias("ct"),
+            (F.col("actual") * sw).alias("st"),
+            cw.alias("cw"),
+            sw.alias("sw"),
+        )
+        .groupBy("p")
+        .agg(
+            F.sum("ct").alias("s_cw"),
+            F.sum("st").alias("s_sw"),
+            F.sum("cw").alias("w_c"),
+            F.sum("sw").alias("w_s"),
         )
     )
-    ct = (
-        F.col("a")
-        * F.element_at(
-            F.element_at(cosw, F.col("p") - 1), F.col("phase") + 1
-        )
-    ).cast("decimal(38,10)")
-    st = (
-        F.col("a")
-        * F.element_at(
-            F.element_at(sinw, F.col("p") - 1), F.col("phase") + 1
-        )
-    ).cast("decimal(38,10)")
-    pw = x.select("p", ct.alias("ct"), st.alias("st")).groupBy("p").agg(
-        F.sum("ct").cast("double").alias("cs"),
-        F.sum("st").cast("double").alias("sn"),
+    pw = g.crossJoin(F.broadcast(tot)).select(
+        "p",
+        (
+            (
+                F.col("s_cw").cast("double")
+                - (F.col("t_dbl") / F.col("n")) * F.col("w_c").cast("double")
+            )
+            / F.lit(1000000.0)
+        ).alias("cs"),
+        (
+            (
+                F.col("s_sw").cast("double")
+                - (F.col("t_dbl") / F.col("n")) * F.col("w_s").cast("double")
+            )
+            / F.lit(1000000.0)
+        ).alias("sn"),
     )
     return pw.select(
         F.col("p").cast("int").alias("period_days"),
