@@ -904,11 +904,28 @@ def _phash_pairs_oracle() -> str:
       FROM fp f JOIN agg USING (doc_id)
     ),
     cand AS (
-      SELECT a.doc_id AS item_a, b.doc_id AS item_b,
-             a.phash AS pa, b.phash AS pb
-      FROM fpc a JOIN fpc b ON a.doc_id < b.doc_id
-       AND (a.chunk0 = b.chunk0 OR a.chunk1 = b.chunk1
-            OR a.chunk2 = b.chunk2 OR a.chunk3 = b.chunk3)
+      -- OR-of-band-equalities decomposed into a UNION of 4 equi-joins:
+      -- identical candidate set (DISTINCT collapses multi-band hits),
+      -- but each arm is hash-joinable — the OR form degrades to an n²
+      -- nested loop (~2.5e11 comparisons at sf10's item count)
+      SELECT DISTINCT item_a, item_b, pa, pb FROM (
+        SELECT a.doc_id AS item_a, b.doc_id AS item_b,
+               a.phash AS pa, b.phash AS pb
+        FROM fpc a JOIN fpc b
+          ON a.chunk0 = b.chunk0 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id, b.doc_id, a.phash, b.phash
+        FROM fpc a JOIN fpc b
+          ON a.chunk1 = b.chunk1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id, b.doc_id, a.phash, b.phash
+        FROM fpc a JOIN fpc b
+          ON a.chunk2 = b.chunk2 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id, b.doc_id, a.phash, b.phash
+        FROM fpc a JOIN fpc b
+          ON a.chunk3 = b.chunk3 AND a.doc_id < b.doc_id
+      )
     )
     SELECT item_a, item_b, bit_count(xor(pa, pb))::INT AS hamming
     FROM cand
