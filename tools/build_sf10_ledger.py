@@ -43,6 +43,7 @@ SWEEP_ARTIFACTS = [
     "PARITY_r9_sf10_ivf.json",
     "PARITY_r10_sf10_main.json",
     "PARITY_r10_sf10_ivf.json",
+    "PARITY_r11_spectral_sf10.json",
     "PARITY_r11_sf10_tail.json",
     "PARITY_r11_sf10_graphfix.json",
 ]
@@ -56,6 +57,7 @@ CLOSURE_ARTIFACTS = [
     ("PARITY_r8_labelprop_sf10.json", ["q_graph_label_prop"]),
     ("PARITY_r11_theta_sf10.json", ["q_join_theta_range"]),
     ("PARITY_r11_spatial_sf10.json", ["q_join_spatial_grid"]),
+    ("PARITY_r11_embedding_sf10.json", ["q_dedup_embedding"]),
 ]
 
 SAMPLED_CLOSURES = [

@@ -108,6 +108,7 @@ def main() -> None:
         "key": "q_dedup_embedding",
         "sf": args.sf,
         "status": "pass" if ok else "fail",
+        "match": ok,
         "contract": "numpy-float64-dense-oracle, row-exact ids + 4dp cos",
         "n_vectors": n,
         "dim": d,
