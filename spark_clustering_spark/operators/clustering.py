@@ -1220,11 +1220,11 @@ ALS_LAMBDA = 0.1  # per-user L2 regularization in the ALS half-step
       -- straddle an 8dp tie (3 u-value flips in the r10 sweep); the
       -- pivot is detagg hazard-#2's documented cure
       SELECT c, count(*) AS n_items,
-             cast(cast(sum(cast(cast(v1 * v1 AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s11,
-             cast(cast(sum(cast(cast(v1 * v2 AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s12,
-             cast(cast(sum(cast(cast(v2 * v2 AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS s22,
-             cast(cast(sum(cast(cast(r * v1 AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS b1,
-             cast(cast(sum(cast(cast(r * v2 AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS b2
+             cast(cast(sum((CASE WHEN abs(v1 * v1) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(v1 * v1 AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS s11,
+             cast(cast(sum((CASE WHEN abs(v1 * v2) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(v1 * v2 AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS s12,
+             cast(cast(sum((CASE WHEN abs(v2 * v2) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(v2 * v2 AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS s22,
+             cast(cast(sum((CASE WHEN abs(r * v1) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(r * v1 AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS b1,
+             cast(cast(sum((CASE WHEN abs(r * v2) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(r * v2 AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS b2
       FROM r GROUP BY c
     )
     SELECT c AS custkey, n_items,

@@ -730,17 +730,17 @@ CORESET_SEED = 31
     ),
     mu AS (
       SELECT pos,
-             cast(cast(sum(cast(cast(v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+             cast(cast(sum((CASE WHEN abs(v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE)
                / (SELECT count(*) FROM ve) AS m
       FROM unn GROUP BY pos
     ),
     d2 AS (
       SELECT u.vec_id,
-             cast(cast(sum(cast(cast((u.v - mu.m) * (u.v - mu.m) AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS d2raw
+             cast(cast(sum((CASE WHEN abs((u.v - mu.m) * (u.v - mu.m)) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast((u.v - mu.m) * (u.v - mu.m) AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS d2raw
       FROM unn u JOIN mu USING (pos) GROUP BY u.vec_id
     ),
     tot AS (
-      SELECT cast(cast(sum(cast(cast(d2raw AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS total,
+      SELECT cast(cast(sum((CASE WHEN abs(d2raw) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(d2raw AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS total,
              count(*) AS n FROM d2
     ),
     keyed AS (

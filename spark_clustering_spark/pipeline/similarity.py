@@ -42,12 +42,12 @@ TOP_K = 10
     ),
     norms AS (
       SELECT vec_id,
-             sqrt(cast(cast(sum(cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm
+             sqrt(cast(cast(sum((CASE WHEN abs(v * v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE)) AS nrm
       FROM unn GROUP BY vec_id
     ),
     dots AS (
       SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
-             cast(cast(sum(cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot
+             cast(cast(sum((CASE WHEN abs(a.v * b.v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS dot
       FROM unn a JOIN unn b ON a.pos = b.pos
       WHERE a.vec_id < {N_PROBES} AND b.vec_id <> a.vec_id
       GROUP BY 1, 2
@@ -356,7 +356,7 @@ def _ivf_train_ctes(n_iter: int) -> str:
     means{t} AS (
       SELECT cid, list(m ORDER BY pos) AS mvec FROM (
         SELECT cid, pos,
-               cast(cast(sum(cast(cast(v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+               cast(cast(sum((CASE WHEN abs(v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) / count(*) AS m
         FROM (SELECT cid, unnest(vec) AS v,
                      generate_subscripts(vec, 1) AS pos FROM assign{t})
         GROUP BY cid, pos) GROUP BY cid
@@ -632,7 +632,7 @@ def _pq_sql_ctes(
     pmeans{t} AS (
       SELECT s, cid, list(m ORDER BY pos) AS mvec FROM (
         SELECT s, cid, pos,
-               cast(cast(sum(cast(cast(v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) / count(*) AS m
+               cast(cast(sum((CASE WHEN abs(v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) / count(*) AS m
         FROM (SELECT s, cid, unnest(sub) AS v,
                      generate_subscripts(sub, 1) AS pos FROM passign{t})
         GROUP BY s, cid, pos) GROUP BY s, cid
@@ -1504,12 +1504,12 @@ def _blocked_cross(a: DataFrame, b: DataFrame, b_key: str) -> DataFrame:
     ),
     norms AS (
       SELECT vec_id,
-             sqrt(cast(cast(sum(cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm
+             sqrt(cast(cast(sum((CASE WHEN abs(v * v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE)) AS nrm
       FROM unn GROUP BY vec_id
     ),
     dots AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
-             cast(cast(sum(cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot
+             cast(cast(sum((CASE WHEN abs(a.v * b.v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS dot
       FROM unn a JOIN unn b ON a.pos = b.pos AND a.vec_id <> b.vec_id
       GROUP BY 1, 2
     ),
@@ -1779,12 +1779,12 @@ def knn_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     norms AS (
       SELECT vec_id,
-             sqrt(cast(cast(sum(cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm
+             sqrt(cast(cast(sum((CASE WHEN abs(v * v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE)) AS nrm
       FROM unn_all GROUP BY vec_id
     ),
     dots AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
-             cast(cast(sum(cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot
+             cast(cast(sum((CASE WHEN abs(a.v * b.v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS dot
       FROM unn_sub a JOIN unn_all b
         ON a.pos = b.pos AND a.vec_id <> b.vec_id
       GROUP BY 1, 2
@@ -1878,7 +1878,7 @@ TRUNC_DIM = 16  # Matryoshka truncation audit: keep the first 16 dims
     ),
     norms AS (
       SELECT vec_id,
-             sqrt(cast(cast(sum(cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm,
+             sqrt(cast(cast(sum((CASE WHEN abs(v * v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE)) AS nrm,
              sqrt(cast(cast(sum(cast(CASE WHEN pos <= {TRUNC_DIM}
                                      THEN v * v ELSE 0 END
                   AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm_t
@@ -1886,7 +1886,7 @@ TRUNC_DIM = 16  # Matryoshka truncation audit: keep the first 16 dims
     ),
     dots AS (
       SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
-             cast(cast(sum(cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot,
+             cast(cast(sum((CASE WHEN abs(a.v * b.v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS dot,
              cast(cast(sum(cast(CASE WHEN a.pos <= {TRUNC_DIM}
                                 THEN a.v * b.v ELSE 0 END
                   AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot_t
@@ -2129,9 +2129,9 @@ def q_ml_ncm_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (
       SELECT vec_id, label,
-             sqrt(cast(cast(sum(cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE))
+             sqrt(cast(cast(sum((CASE WHEN abs(v * v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE))
                AS nrm,
-             cast(cast(sum(cast(cast(v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sv
+             cast(cast(sum((CASE WHEN abs(v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS sv
       FROM unn GROUP BY vec_id, label
     )
     SELECT label,
@@ -2226,7 +2226,7 @@ RRF_OUT = 5      # fused results per probe
     ),
     norms AS (
       SELECT vec_id,
-             sqrt(cast(cast(sum(cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm,
+             sqrt(cast(cast(sum((CASE WHEN abs(v * v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE)) AS nrm,
              sqrt(cast(cast(sum(cast(CASE WHEN pos <= {TRUNC_DIM}
                                      THEN v * v ELSE 0 END
                   AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm_t
@@ -2234,7 +2234,7 @@ RRF_OUT = 5      # fused results per probe
     ),
     dots AS (
       SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
-             cast(cast(sum(cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot,
+             cast(cast(sum((CASE WHEN abs(a.v * b.v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS dot,
              cast(cast(sum(cast(CASE WHEN a.pos <= {TRUNC_DIM}
                                 THEN a.v * b.v ELSE 0 END
                   AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot_t
@@ -2410,12 +2410,12 @@ HN_LO, HN_HI = 6, 15  # hard-negative band: just past the easy top-5
     ),
     norms AS (
       SELECT vec_id,
-             sqrt(cast(cast(sum(cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)) AS nrm
+             sqrt(cast(cast(sum((CASE WHEN abs(v * v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(v * v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE)) AS nrm
       FROM unn GROUP BY vec_id
     ),
     dots AS (
       SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
-             cast(cast(sum(cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS dot
+             cast(cast(sum((CASE WHEN abs(a.v * b.v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(a.v * b.v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS dot
       FROM unn a JOIN unn b ON a.pos = b.pos
       WHERE a.vec_id < {N_PROBES} AND b.vec_id <> a.vec_id
       GROUP BY 1, 2
@@ -2533,15 +2533,15 @@ def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pervec AS (
       SELECT u.vec_id, u.cid,
-             cast(cast(sum(cast(cast((u.v - cu.c) * (u.v - cu.c) AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS d2res,
-             cast(cast(sum(cast(cast(u.v * u.v AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS d2tot
+             cast(cast(sum((CASE WHEN abs((u.v - cu.c) * (u.v - cu.c)) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast((u.v - cu.c) * (u.v - cu.c) AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS d2res,
+             cast(cast(sum((CASE WHEN abs(u.v * u.v) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(u.v * u.v AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS d2tot
       FROM unn u JOIN cunn cu ON cu.cid = u.cid AND cu.pos = u.pos
       GROUP BY u.vec_id, u.cid
     ),
     perlist AS (
       SELECT cid, count(*) AS n_vecs,
-             cast(cast(sum(cast(cast(d2res AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS eres,
-             cast(cast(sum(cast(cast(d2tot AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS etot
+             cast(cast(sum((CASE WHEN abs(d2res) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(d2res AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS eres,
+             cast(cast(sum((CASE WHEN abs(d2tot) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast(d2tot AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE) AS etot
       FROM pervec GROUP BY cid
     )
     SELECT cid, cast(n_vecs AS BIGINT) AS n_vecs,

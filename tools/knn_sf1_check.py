@@ -42,7 +42,7 @@ from pathlib import Path
 _REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_REPO))
 
-DEC_SUM = "cast(cast(sum(cast(cast({t} AS VARCHAR) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)"
+DEC_SUM = "cast(cast(sum((CASE WHEN abs({t}) < 5e-9 THEN cast(0 AS DECIMAL(38,8)) ELSE cast(cast({t} AS VARCHAR) AS DECIMAL(38,8)) END)) AS VARCHAR) AS DOUBLE)"
 ROUND4 = "cast(cast(round(cast(cast(({c}) AS VARCHAR) AS DECIMAL(38,12)), 4) AS VARCHAR) AS DOUBLE)"
 
 

@@ -126,7 +126,7 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
     return problems
 
 
-def agg_contract(schema) -> list[tuple[str, object, str]]:
+def agg_contract(schema, distinct: bool = True) -> list[tuple[str, object, str]]:
     """Schema-derived aggregate-parity contract: (alias, spark Column,
     duckdb SQL expr) triples, all order-proof and overflow-free.
 
@@ -141,6 +141,13 @@ def agg_contract(schema) -> list[tuple[str, object, str]]:
     - date/timestamp: COUNT(DISTINCT) + MIN/MAX (compared as strings).
     - nested/binary: non-null COUNT only.
     Every contract includes COUNT(*).
+
+    ``distinct=False`` drops every COUNT(DISTINCT) column (keeping the
+    exact sums / lensums / min-max / counts): Spark plans k distinct
+    aggregates as an Expand that multiplies the input by k+1, so on a
+    multi-billion-row join output the DCs — not the join — dominate the
+    pass. Callers on that scale (the theta closure) swap the DCs for
+    map-side-combinable moment sums instead.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -185,6 +192,8 @@ def agg_contract(schema) -> list[tuple[str, object, str]]:
             specs.append((f"max_{c}", F.max(F.col(c)), f"max({q})"))
         else:  # array/map/struct/binary — membership only
             specs.append((f"nn_{c}", F.count(F.col(c)), f"count({q})"))
+    if not distinct:
+        specs = [s for s in specs if not s[0].startswith("dc_")]
     return specs
 
 
