@@ -168,6 +168,44 @@ def cosine_lsh_buckets(e: DataFrame, dim: int, n_planes: int = 16) -> DataFrame:
     return e.withColumn("bucket", bucket)
 
 
+_TRAIN_CACHE: dict = {}
+
+
+def table_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The default-hyperparameter coarse quantizer over the embeddings
+    TABLE, trained once per (application, sf_dir) and shared by every
+    declared key that routes through it — the basket_edges fixture-reuse
+    discipline (operators/graph.py): six keys train the IDENTICAL
+    quantizer (same corpus, same seeded init, same Lloyd steps), so per
+    session it is one artifact, pinned by ivf_train's own eager
+    checkpoint (≤ nlist·d rows — bounded state). Keys that train on
+    anything other than the raw table (e.g. q_sim_ivfpq_topk's
+    residual PQ) keep calling ivf_train/pq_train directly."""
+    key = (spark.sparkContext.applicationId, sf_dir, "ivf")
+    hit = _TRAIN_CACHE.get(key)
+    if hit is None:
+        ve = _table_ve(spark, sf_dir)
+        hit = _TRAIN_CACHE[key] = ivf_train(ve)
+    return hit
+
+
+def table_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-vector PQ codebooks over the embeddings TABLE — the
+    table_ivf_train discipline for the two keys that share them."""
+    key = (spark.sparkContext.applicationId, sf_dir, "pq")
+    hit = _TRAIN_CACHE.get(key)
+    if hit is None:
+        ve = _table_ve(spark, sf_dir)
+        hit = _TRAIN_CACHE[key] = pq_train(ve)
+    return hit
+
+
+def _table_ve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("vec")
+    )
+
+
 IVF_NLIST_MIN = 16    # derived-nlist clamp floor (tiny corpora)
 IVF_NLIST_MAX = 4096  # clamp ceiling: codebook stays broadcast-sized
 IVF_NPROBE = 4        # lists searched per probe
@@ -429,7 +467,8 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ve.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
     )
-    top = ivf_topk(ve, ivf_train(ve), probes, nprobe=IVF_NPROBE, k=TOP_K)
+    top = ivf_topk(ve, table_ivf_train(spark, sf_dir), probes,
+                   nprobe=IVF_NPROBE, k=TOP_K)
     return top.select("probe_id", "cand_id", dround("cos").alias("cos"), "rn")
 
 
@@ -682,7 +721,7 @@ def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ve = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("vec")
     )
-    codes = pq_encode(ve, pq_train(ve))
+    codes = pq_encode(ve, table_pq_train(spark, sf_dir))
     return codes.select(
         "vec_id",
         F.col("s").cast("int").alias("subspace"),
@@ -746,7 +785,7 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ve = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("vec")
     )
-    cents = pq_train(ve)
+    cents = table_pq_train(spark, sf_dir)
     codes = pq_encode(ve, cents).select("vec_id", "s", "code")
     psubs = ve.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
@@ -878,7 +917,7 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ve = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("vec")
     )
-    coarse = ivf_train(ve)
+    coarse = table_ivf_train(spark, sf_dir)
     lists = ivf_assign(ve, coarse, "vec", "cvec").select(
         "vec_id", "vec", F.col("cid").alias("list_id"),
         F.col("cvec").alias("lvec"),
@@ -1000,10 +1039,14 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ve = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("vec")
     )
-    return semdedup(ve)
+    return semdedup(ve, cents=table_ivf_train(spark, sf_dir))
 
 
-def semdedup(ve: DataFrame, threshold: float = SEM_TAU) -> DataFrame:
+def semdedup(
+    ve: DataFrame,
+    threshold: float = SEM_TAU,
+    cents: DataFrame | None = None,
+) -> DataFrame:
     """The declared SemDeDup path as a reusable function of the vector
     corpus — train + assign + GEMM pair scan + representative join —
     so tools/scale_growth.py can measure the DECLARED key end-to-end
@@ -1013,7 +1056,9 @@ def semdedup(ve: DataFrame, threshold: float = SEM_TAU) -> DataFrame:
     # old fixed nlist=16 but become a √n·d-literal tree once nlist is
     # count-derived (28k literals at sf10 — codegen breaker). Tiebreak
     # identical to the oracle's (cdist, cid).
-    assign = ivf_assign(ve, ivf_train(ve), "vec").select(
+    assign = ivf_assign(
+        ve, ivf_train(ve) if cents is None else cents, "vec"
+    ).select(
         "vec_id", "vec", F.col("cid").cast("bigint").alias("cid")
     )
     # pair scan via the BLAS per-cluster kernel (63x the expression
@@ -1441,7 +1486,7 @@ def q_sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     ve = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("vec")
     )
-    assign = ivf_assign(ve, ivf_train(ve)).select(
+    assign = ivf_assign(ve, table_ivf_train(spark, sf_dir)).select(
         "vec_id", F.col("cid").cast("bigint").alias("cid")
     )
     h = md5_int32(F.concat(F.lit("cb"), F.col("vec_id").cast("string")))
@@ -1680,7 +1725,9 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ve.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("vec").alias("pvec")
     )
-    ivf = ivf_topk(ve, ivf_train(ve), probes, nprobe=IVF_NPROBE, k=TOP_K).select(
+    ivf = ivf_topk(
+        ve, table_ivf_train(spark, sf_dir), probes, nprobe=IVF_NPROBE, k=TOP_K
+    ).select(
         "probe_id", "cand_id"
     )
     brute = cosine_topk_fast(
@@ -2574,7 +2621,7 @@ def q_vec_residual_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ve = table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("vec")
     )
-    cents = ivf_train(ve)
+    cents = table_ivf_train(spark, sf_dir)
     lists = ivf_assign(ve, cents, "vec", "cvec").select(
         "vec_id", "cid", "vec", "cvec"
     )
