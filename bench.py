@@ -115,6 +115,14 @@ def main() -> None:
     from spark_clustering_spark.session import get_spark
 
     spark = get_spark("bench")
+    # preamble conf check (VERDICT r11 task 6; NOT in any timed path):
+    # the codegen class cache is a static conf — if a pre-existing
+    # session swallowed it, every re-execution pays Janino
+    # recompilation and the whole run is measuring the wrong engine.
+    # Surface the effective value so the detail artifact's reader can
+    # tell (get_spark also warns on a mismatch).
+    _cg = spark.conf.get("spark.sql.codegen.cache.maxEntries", "unknown")
+    print(f"# codegen.cache.maxEntries={_cg}", file=sys.stderr)
     qs = entrymod.queries()
     if args.keys:
         wanted = [k.strip() for k in args.keys.split(",") if k.strip()]

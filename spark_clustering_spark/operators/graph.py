@@ -28,16 +28,49 @@ PR_ITERS = 2  # unrolled steps in the declared query
 # inside a standard executor) and every wedge-sized join runs map-side
 # with zero wedge-stream exchanges; above it the count-derived
 # repartition plans keep the spill-safe shuffle path (the sf10 regime).
-# The gate implies a small part catalog, so node ids fit 31 bits and
-# (u,v) packs losslessly into one BIGINT — Spark then probes through
-# its single-long-key LongHashedRelation fast path (measured on the
-# triangle closure at sf0.1: 2.5 s vs 10.8 s for the composite-key
-# repartition plan over the same 49M wedges).
+# Packing (u,v) into one BIGINT puts the probes on Spark's single-long
+# LongHashedRelation fast path (measured on the triangle closure at
+# sf0.1: 2.5 s vs 10.8 s for the composite-key repartition plan over
+# the same 49M wedges). Packing is lossless only for ids in [0, 2^31);
+# _bcast_path_ok() ENFORCES that bound at runtime (ADVICE r11: the
+# gate bounds edge COUNT, not id magnitude — a future hashed/negative
+# id domain must fall back to the shuffle path, not silently collide).
 EDGE_BCAST_MAX = 2_000_000
 _PK = 1 << 32  # (u,v) → u*2^32 + v single-long pair key
 
 
 _EDGE_CACHE: dict = {}
+_EDGE_STATS: dict = {}
+
+
+def _edge_stats(e: DataFrame) -> tuple[int, int, int]:
+    """(n_edges, min_id, max_id) of a pinned edge set — ONE aggregate
+    job per DataFrame per session, shared via _EDGE_STATS (the four
+    wedge-family consumers previously each ran their own count() job
+    against the same cached edge checkpoint; id() keys are stable
+    because _EDGE_CACHE holds the DataFrame for the session)."""
+    k = id(e)
+    hit = _EDGE_STATS.get(k)
+    if hit is None:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.least("u", "v")).alias("mn"),
+            F.max(F.greatest("u", "v")).alias("mx"),
+        ).collect()[0]
+        hit = _EDGE_STATS[k] = (
+            int(row["n"]),
+            int(row["mn"]) if row["mn"] is not None else 0,
+            int(row["mx"]) if row["mx"] is not None else 0,
+        )
+    return hit
+
+
+def _bcast_path_ok(e: DataFrame) -> bool:
+    """Gate for the broadcast small path: bounded edge count AND ids
+    packable into the single-long (u,v) key (non-negative, < 2^31).
+    Out-of-range ids route to the shuffle path, which never packs."""
+    n, mn, mx = _edge_stats(e)
+    return n <= EDGE_BCAST_MAX and mn >= 0 and mx < (1 << 31)
 
 
 def basket_edges(spark: SparkSession, sf_dir: str, cap: int | None = None):
@@ -94,9 +127,33 @@ def basket_edges(spark: SparkSession, sf_dir: str, cap: int | None = None):
         width = min(4096, max(width, -(-n_li // 250_000)))
         e = pairs.repartition(width, "u", "v").distinct().localCheckpoint(eager=True)
     else:
+        # Small path: planner-placed dedup, LAZY checkpoint (pinned on
+        # first use, shared by all consumers). Its few-partition layout
+        # (AQE-coalesced) is DELIBERATELY kept: widening the shared
+        # checkpoint to the core count was measured to tax every cheap
+        # consumer with 32-way task overhead (kcore 3.0→4.7 s,
+        # assortativity 1.6→2.3 s at sf0.1); the wedge queries that DO
+        # amplify work per edge spread their probe stream locally via
+        # _wedge_spread() instead.
         e = pairs.distinct().localCheckpoint(eager=False)
     _EDGE_CACHE[key] = e
     return e
+
+
+def _wedge_spread(df: DataFrame) -> DataFrame:
+    """Round-robin the wedge probe stream across the cluster before a
+    map-side (broadcast) wedge build. The shared edge checkpoint keeps
+    its small AQE-coalesced layout (cheap consumers pay no extra task
+    overhead), but a fused wedge build amplifies each probe row into
+    O(d) wedge rows — at sf0.1 a 25M+ row stream that otherwise runs
+    on the checkpoint's 4-10 partitions (VERDICT r11 item 1: jaccard's
+    8-vs-32-core scaling ratio was 1.0 because every sf≤1 parquet is a
+    single row group and all pre-aggregation exchanges were removed).
+    Width = cluster parallelism — scale-adaptive, not a local[32]
+    constant; round-robin, not hash-on-center, so hot centers spread
+    across tasks (guide §2.5 skew / §6 scan parallelism)."""
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _pagerank_sql() -> str:
@@ -320,14 +377,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # pin: 3 join sides below
     )
-    n_edges_m = e.count()  # checkpointed: a cached-metadata count
-    if n_edges_m <= EDGE_BCAST_MAX:
+    n_edges_m = _edge_stats(e)[0]  # one shared stats job per session
+    if _bcast_path_ok(e):
         # broadcast closure: the oriented edge list ships twice (wedge
         # build side keyed s, closure side packed (s,t)); wedges stream
         # through both probes map-side and collapse into per-task count
         # partials — the 49M-row wedge stream never crosses an exchange
         # (guide §2.4/§3.1; 21.9 s → measured 2.5 s closure at sf0.1).
-        o1 = o.select(F.col("s").alias("x"), F.col("t").alias("y"))
+        o1 = _wedge_spread(o.select(F.col("s").alias("x"), F.col("t").alias("y")))
         o2 = o.select(F.col("s").alias("y"), F.col("t").alias("z"))
         o3k = o.select(
             (F.col("s").cast("bigint") * _PK + F.col("t")).alias("xz")
@@ -797,14 +854,15 @@ def q_graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     wa = adj.select("node", F.col("nbr").alias("u"))
     wb = adj.select("node", F.col("nbr").alias("v"))
-    if e.count() <= EDGE_BCAST_MAX:
+    if _bcast_path_ok(e):
         # broadcast wedge plan — same shape as q_graph_adamic_adar's
         # small path (see the comment there): map-side wedge build,
         # packed-key candidate aggregation, ≥2-common filter BEFORE the
         # broadcast anti-join; no n_wedges sizing job.
         ut = dict(e.dtypes)["u"]
         wedge = (
-            wa.join(F.broadcast(wb), "node")
+            _wedge_spread(wa)
+            .join(F.broadcast(wb), "node")
             .filter(F.col("u") < F.col("v"))
             .select(
                 (F.col("u").cast("bigint") * _PK + F.col("v")).alias("uv")
@@ -1057,7 +1115,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wa = adj.select("node", F.col("nbr").alias("u"))
     wb = adj.select("node", F.col("nbr").alias("v"))
-    if e.count() <= EDGE_BCAST_MAX:
+    if _bcast_path_ok(e):
         # broadcast wedge plan (guide §2.4/§3.1): the adjacency ships
         # as the wedge build side and the edge set as a packed-key
         # anti-join relation; the center weight rides the probe side
@@ -1078,7 +1136,8 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", (F.col("w") * 1_000_000).cast("bigint").alias("w6")
         )
         wedge = (
-            wa.join(F.broadcast(w6), "node")
+            _wedge_spread(wa)
+            .join(F.broadcast(w6), "node")
             .join(F.broadcast(wb), "node")
             .filter(F.col("u") < F.col("v"))
             .select(
@@ -1212,7 +1271,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     wa = adj.select(F.col("node").alias("center"), F.col("nbr").alias("u"))
     wb = adj.select(F.col("node").alias("center"), F.col("nbr").alias("v"))
-    if e.count() <= EDGE_BCAST_MAX:
+    if _bcast_path_ok(e):
         # broadcast wedge plan (see q_graph_adamic_adar's small path):
         # wedges build map-side against the broadcast adjacency and
         # close against the packed-key broadcast edge set, so the whole
@@ -1222,7 +1281,8 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("u").cast("bigint") * _PK + F.col("v")).alias("uv")
         )
         tri = (
-            wa.join(F.broadcast(wb), "center")
+            _wedge_spread(wa)
+            .join(F.broadcast(wb), "center")
             .filter(F.col("u") < F.col("v"))
             .select(
                 "center",

@@ -171,6 +171,23 @@ def cosine_lsh_buckets(e: DataFrame, dim: int, n_planes: int = 16) -> DataFrame:
 _TRAIN_CACHE: dict = {}
 
 
+def _train_cache_put(key: tuple, df: DataFrame) -> DataFrame:
+    """Insert a trained artifact, evicting entries for OTHER
+    (application, sf_dir) scopes first (ADVICE r11: the cache holds
+    eagerly pinned localCheckpoints; a long-lived session iterating
+    many sf_dirs would otherwise accumulate pinned executor blocks
+    forever). Within one (app, sf_dir) at most len(kinds)=2 entries
+    live — bounded by construction."""
+    for k in [k for k in _TRAIN_CACHE if k[:2] != key[:2]]:
+        # dropping the last reference is the release mechanism for a
+        # localCheckpoint (it is NOT in the CacheManager, so unpersist()
+        # would be a no-op): Spark's ContextCleaner unpersists the
+        # pinned RDD blocks once the driver-side reference is GC'd
+        del _TRAIN_CACHE[k]
+    _TRAIN_CACHE[key] = df
+    return df
+
+
 def table_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The default-hyperparameter coarse quantizer over the embeddings
     TABLE, trained once per (application, sf_dir) and shared by every
@@ -185,7 +202,7 @@ def table_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _TRAIN_CACHE.get(key)
     if hit is None:
         ve = _table_ve(spark, sf_dir)
-        hit = _TRAIN_CACHE[key] = ivf_train(ve)
+        hit = _train_cache_put(key, ivf_train(ve))
     return hit
 
 
@@ -196,7 +213,7 @@ def table_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _TRAIN_CACHE.get(key)
     if hit is None:
         ve = _table_ve(spark, sf_dir)
-        hit = _TRAIN_CACHE[key] = pq_train(ve)
+        hit = _train_cache_put(key, pq_train(ve))
     return hit
 
 

@@ -71,4 +71,26 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # codegen.cache.maxEntries is a STATIC conf: if a SparkSession
+    # already existed in this JVM, getOrCreate silently ignored it and
+    # the 100-entry default thrashes under the 322-plan inventory
+    # (ADVICE r11) — warn loudly so embedded/reused-session callers
+    # notice instead of silently paying Janino recompilation per query.
+    intended = int(os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
+    try:
+        actual = int(spark.conf.get("spark.sql.codegen.cache.maxEntries"))
+    except Exception:
+        actual = -1
+    if actual < intended:
+        import warnings
+
+        warnings.warn(
+            f"spark.sql.codegen.cache.maxEntries={actual} < intended "
+            f"{intended}: a pre-existing SparkSession ignored the static "
+            "conf; this session will recompile codegen classes per query "
+            "(see session.py / OPTIMIZATION_r11.md #2)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return spark
