@@ -34,7 +34,7 @@ from pyspark.sql.window import Window
 from spark_clustering_spark.functions.detagg import DEC, dround, dsum, sql_dround, sql_dsum
 from spark_clustering_spark.functions.distance import as_double_array, euclidean
 from spark_clustering_spark.functions.rng import lcg_uniform, sql_lcg_uniform
-from spark_clustering_spark.io import table
+from spark_clustering_spark.io import spread, table
 from spark_clustering_spark.registry import query
 
 K_DEFAULT = 8
@@ -854,8 +854,12 @@ def q_ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the 2-double β broadcast as part of the plan). A d-feature
     production GLM keeps the same two-pass shape with a d² aggregate
     and a driver Cholesky — still no data-proportional state."""
-    li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    # spread(): see q_ml_calibration — one-task scans serialize both
+    # heavy passes on a compacted input (guide §6).
+    li = spread(
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
     )
     pts = li.select(
         F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
@@ -1260,7 +1264,17 @@ def q_ml_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-number state — the full ALS iteration is this plan run twice
     (swapping the fixed side), each pass shuffling only k²+k doubles
     per entity. No window, no driver-side solve loop, no collect."""
-    li = table(spark, sf_dir, "lineitem").select(
+    # spread() before the factor/statistic computation: a compacted
+    # (single-row-group) input gives the scan ONE task, serializing the
+    # LCG factors, the broadcast join AND the 6-decimal-sum partial
+    # aggregate fused on top of it (guide §6 scan parallelism / §2.5
+    # input skew). The narrow 3-column raw shuffle is the cheap part;
+    # at scale the gate never fires.
+    li = spread(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_partkey"
+        )
+    ).select(
         "l_orderkey",
         F.col("l_quantity").cast("double").alias("r"),
         (1.0 + lcg_uniform("l_partkey", seed=101)).alias("v1"),
@@ -1366,8 +1380,14 @@ def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the binning aggregate with β inlined as plan literals via the
     broadcast one-row cross join) collapsing to ≤{CALIB_BINS} rows —
     the same two-pass shape as the logreg step itself."""
-    li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    # spread() before the ln/σ math: the compacted input's one-task
+    # scan otherwise serializes BOTH heavy passes (statistics and the
+    # binning aggregate) — guide §6 scan parallelism; the 3-column raw
+    # shuffle is the cheap part and the gate never fires at scale.
+    li = spread(
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
     )
     pts = li.select(
         F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
@@ -1498,7 +1518,13 @@ def q_ml_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring aggregate with the k models attached via a broadcast
     k-row join). The same shape serves any GLM: per-fold gram
     matrices subtract the same way."""
-    li = table(spark, sf_dir, "lineitem")
+    # spread(): see q_ml_calibration — one-task scans serialize both
+    # heavy decimal passes on a compacted input (guide §6).
+    li = spread(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+    )
     fold = F.floor(
         lcg_uniform(
             F.col("l_orderkey") * 8 + F.col("l_linenumber"), seed=KFOLD_SEED
@@ -2372,7 +2398,13 @@ def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE map-side-combined pass to {LC_BUCKETS}×6 partials;
     the frac expansion and closed forms are constant-size."""
-    li = table(spark, sf_dir, "lineitem")
+    # spread(): see q_ml_calibration — the one heavy decimal pass runs
+    # on the single scan task of a compacted input (guide §6).
+    li = spread(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+    )
     pts = li.select(
         F.floor(
             lcg_uniform(

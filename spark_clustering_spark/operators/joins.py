@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from spark_clustering_spark.functions.detagg import dround, dsum, sql_dround, sql_dsum
 from spark_clustering_spark.functions.rng import lcg_uniform, sql_lcg_uniform
-from spark_clustering_spark.io import table
+from spark_clustering_spark.io import spread, table
 from spark_clustering_spark.registry import query
 
 
@@ -523,8 +523,13 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (decimal arithmetic makes the weighted form bit-identical to
     summing each occurrence)."""
     delta = 2.0
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_extendedprice", "l_quantity"
+    # spread() before the unit/bucket math: the compacted input's
+    # one-task scan otherwise serializes the distinct-unit partial
+    # aggregate feeding the fanout join (guide §6).
+    li = spread(
+        table(spark, sf_dir, "lineitem").select(
+            "l_extendedprice", "l_quantity"
+        )
     )
     unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
     lb = (
@@ -551,6 +556,13 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = F.col("unit").cast("decimal(18,8)") * F.col("n").cast(
         "decimal(9,0)"
     )
+    # re-spread the distinct-unit table before the fanout join: AQE
+    # coalesces the aggregate's tiny output to a handful of partitions,
+    # but the join AMPLIFIES each row by the per-bucket part density —
+    # the exchange moves ~25k skinny rows, the join stage gains the
+    # full core count (guide §2.5: parallelism must track the work
+    # after amplification, not the bytes before it).
+    lb = lb.repartition(spark.sparkContext.defaultParallelism)
     return (
         lb.join(F.broadcast(pb), "bucket")
         # two-inequality residual, NOT abs(a-b)<δ: bit-identical to the

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_clustering_spark.functions.detagg import dround, dsum, sql_dround, sql_dsum
-from spark_clustering_spark.io import table
+from spark_clustering_spark.io import spread, table
 from spark_clustering_spark.operators.windows import global_running_agg, ntile_scalable
 from spark_clustering_spark.registry import query
 
@@ -1012,7 +1012,12 @@ def q_olap_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort. Skewed mega-baskets cap via per-basket item limits
     in a real pipeline (documented, not needed on this schema)."""
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # keyed spread(): the distinct's post-shuffle layout AQE-coalesces
+    # to 1-2 partitions at bench SF, serializing the C(b,2) pair
+    # expansion and its partial count. Hash-partitioning on l_orderkey
+    # satisfies the distinct's clustering (no extra exchange) AND
+    # co-partitions both self-join sides (guide §2.4/§6).
+    items = spread(li.select("l_orderkey", "l_partkey"), "l_orderkey").distinct()
     n = items.select("l_orderkey").distinct().count()
     supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
     a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
@@ -1217,8 +1222,13 @@ def q_olap_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined groupBy(brand). Adding regressors = adding
     decimal sum columns (the normal-equations generalization) — still
     one pass. The classic reason to do stats IN the warehouse."""
-    li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    # spread() before the ln math: a compacted input's one-task scan
+    # otherwise serializes the broadcast join, both ln(·) computations
+    # and the 5-decimal-sum partial aggregate (guide §6).
+    li = spread(
+        table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     x = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
@@ -2239,7 +2249,6 @@ def q_olap_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a per-priority exact-percentile buffer — at 100 TB swap to
     approx_percentile with the same shape."""
     from spark_clustering_spark.functions.detagg import dround
-    from spark_clustering_spark.io import spread
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = table(spark, sf_dir, "orders").select(
@@ -2249,10 +2258,12 @@ def q_olap_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(unix_micros(cast(l_shipdate AS timestamp))"
         " - unix_micros(cast(o_orderdate AS timestamp))) div 86400000000"
     )
-    j = spread(
-        li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-            F.col("o_orderpriority").alias("priority"), lag_d.alias("lag_d")
-        )
+    # spread the fact side BEFORE the broadcast join (was: after), so
+    # the join, the lag arithmetic AND the exact-percentile partial
+    # buffers all run at cluster parallelism instead of on the single
+    # scan task of a compacted input (guide §6).
+    j = spread(li).join(o, F.col("l_orderkey") == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"), lag_d.alias("lag_d")
     )
     pcts = F.percentile("lag_d", F.array(F.lit(0.5), F.lit(0.95)))
     return (

@@ -215,8 +215,14 @@ def global_running_agg(
     input) — callers needing a "grand total" column get it as a
     literal instead of a second data-wide window.
 
-    The eager localCheckpoint pins the range shuffle so the partials
-    job and the running job see identical slice boundaries.
+    The localCheckpoint pins the range shuffle so the partials job and
+    the running job see identical slice boundaries (repartitionByRange
+    samples its input, so boundaries are not reproducible across
+    executions). LAZY, not eager: the partials collect below is always
+    the first action and materializes every partition, so the pin is
+    identical but the dedicated eager-materialization job per call is
+    gone — rfm chains three of these, kmeans++ runs one per draw
+    (guide §1.2: remove whole passes first).
     """
     if num_partitions is None:
         num_partitions = max(
@@ -225,7 +231,7 @@ def global_running_agg(
     d = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     slice_aggs = []
     for out, (kind, expr) in aggs.items():

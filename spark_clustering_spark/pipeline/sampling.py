@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 from spark_clustering_spark.functions.detagg import dround, sql_dround
 from spark_clustering_spark.functions.porthash import sql_hex_int
 from spark_clustering_spark.functions.rng import lcg_uniform, sql_lcg_uniform
-from spark_clustering_spark.io import table
+from spark_clustering_spark.io import spread, table
 from spark_clustering_spark.registry import query
 
 _FRACTIONS = {"en": 0.5, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 1.0}
@@ -604,8 +604,13 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-replicate partial aggregation, which combines map-side down to
     B rows per task). Two aggregations total: corpus → B replicate
     means → 1 audit row. A 100 TB bootstrap is exactly this plan."""
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.col("o_totalprice").cast("double").alias("x")
+    # spread() before the ×B explode: the amplifying map (B×rows LCG
+    # draws + weight folds) otherwise runs on the compacted input's
+    # single scan task (guide §6 / spread()'s contract).
+    o = spread(
+        table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.col("o_totalprice").cast("double").alias("x")
+        )
     )
     draws = o.select(
         "o_orderkey",
