@@ -31,6 +31,52 @@ EVENT_SCHEMA = (
 )
 
 
+def write_replay_chunks(
+    df: DataFrame, id_col: str, out: str, n_chunks: int
+) -> None:
+    """Write ``df`` as id-ranged single-file parquet chunks under
+    ``out`` with strictly increasing mtimes (FileStreamSource orders by
+    modification time, not path — stamping pins arrival order == chunk
+    order).
+
+    The per-chunk filter+coalesce(1) write jobs are INDEPENDENT, so
+    they are submitted from a small driver thread pool (guide §2.6 —
+    overlap independent jobs): serially, each job is one task (the
+    coalesce) and the replay build runs single-threaded for n_chunks
+    full passes; concurrently, the chunk writes back-fill the idle
+    cores. Output files are byte-identical to the serial loop (same
+    per-chunk plan, same single writer task per chunk); mtimes are
+    stamped after ALL writes land, so completion order cannot leak
+    into arrival order. ``df`` should be persisted by the caller — the
+    max-id probe below populates the cache, so the concurrent chunk
+    jobs read cached blocks instead of racing to recompute the scan."""
+    max_id = df.agg(F.max(id_col).alias("m")).collect()[0]["m"]
+    n = int(max_id) + 1
+    chunk = max(1, n // n_chunks + (n % n_chunks > 0))
+
+    def _write_one(ci_lo: tuple[int, int]) -> str:
+        ci, lo = ci_lo
+        cdir = os.path.join(out, f"chunk_{ci:04d}")
+        (
+            df.filter((F.col(id_col) >= lo) & (F.col(id_col) < lo + chunk))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(cdir)
+        )
+        return cdir
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = list(enumerate(range(0, n, chunk)))
+    with ThreadPoolExecutor(max_workers=min(len(jobs), 8)) as pool:
+        dirs = list(pool.map(_write_one, jobs))
+    base = time.time()
+    for ci, cdir in enumerate(dirs):
+        for root, _, files in os.walk(cdir):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + ci, base + ci))
+
+
 def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 8) -> str:
     """Materialize events as n_chunks parquet files in event_id order —
     a deterministic arrival-order replay source. Chunks are cut by
@@ -39,26 +85,7 @@ def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 8) -> str:
     the source instead of materializing it driver-side."""
     out = tempfile.mkdtemp(prefix="stream_replay_")
     ev = table(spark, sf_dir, "events").persist()
-    max_id = ev.agg(F.max("event_id").alias("m")).collect()[0]["m"]
-    n = int(max_id) + 1
-    chunk = max(1, n // n_chunks + (n % n_chunks > 0))
-    base = time.time()
-    for ci, lo in enumerate(range(0, n, chunk)):
-        cdir = os.path.join(out, f"chunk_{ci:04d}")
-        (
-            ev.filter(
-                (F.col("event_id") >= lo) & (F.col("event_id") < lo + chunk)
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(cdir)
-        )
-        # FileStreamSource orders by modification time, not path; chunks
-        # written in a tight loop can share an mtime and reorder. Stamp
-        # strictly increasing mtimes so arrival order == chunk order.
-        for root, _, files in os.walk(cdir):
-            for f in files:
-                os.utime(os.path.join(root, f), (base + ci, base + ci))
+    write_replay_chunks(ev, "event_id", out, n_chunks)
     ev.unpersist()
     return out
 
@@ -243,28 +270,10 @@ def stream_cluster_volume(
         ).alias("ts"),
     )
     out = tempfile.mkdtemp(prefix="cluster_replay_")
-    n_chunks = 8
     # persist: the assign pipeline would otherwise recompute once per
     # chunk write plus once for the max-id probe (9 full jobs)
     timed = timed.persist()
-    max_id = timed.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
-    n = int(max_id) + 1
-    chunk = max(1, n // n_chunks + (n % n_chunks > 0))
-    base = time.time()
-    for ci, lo in enumerate(range(0, n, chunk)):
-        cdir = os.path.join(out, f"chunk_{ci:04d}")
-        (
-            timed.filter(
-                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + chunk)
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(cdir)
-        )
-        # pin arrival order (FileStreamSource sorts by mtime)
-        for root, _, files in os.walk(cdir):
-            for f in files:
-                os.utime(os.path.join(root, f), (base + ci, base + ci))
+    write_replay_chunks(timed, "vec_id", out, n_chunks=8)
     timed.unpersist()
     src = (
         spark.readStream.schema("vec_id BIGINT, cluster_id BIGINT, ts TIMESTAMP")
@@ -336,8 +345,6 @@ def stream_upsert(
     avoid read-overwrite races."""
     import tempfile as _tf
 
-    from pyspark.sql.window import Window
-
     replay = replay_dir(spark, sf_dir, n_chunks=n_chunks)
     base = _tf.mkdtemp(prefix="stream_upsert_")
     dirs = [os.path.join(base, "a"), os.path.join(base, "b")]
@@ -353,13 +360,24 @@ def stream_upsert(
         )
         if state["cur"] is not None:
             new = new.unionByName(spark.read.parquet(state["cur"]))
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
+        # last-writer-wins as ONE hash aggregate instead of a window
+        # (sort + full-row shuffle): max_by on the (ts, event_id)
+        # total order picks the same winner row as row_number()=1 over
+        # (ts DESC, event_id DESC) — event_id is globally unique so no
+        # ties exist — and the aggregate does PARTIAL map-side
+        # combining, so each micro-batch shuffles at most one row per
+        # (user × map task) instead of every (state ∪ batch) row
+        # through a sort (guide §2.3 "aggregate before you shuffle").
+        win = F.max_by(
+            F.struct("ts", "event_id", "event_type", "k"),
+            F.struct("ts", "event_id"),
+        ).alias("w")
         merged = (
-            new.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            new.groupBy("user_id")
+            .agg(win)
+            .select(
+                "user_id", "w.ts", "w.event_id", "w.event_type", "w.k"
+            )
         )
         nxt = dirs[state["flip"]]
         merged.write.mode("overwrite").parquet(nxt)
@@ -367,14 +385,25 @@ def stream_upsert(
         state["flip"] = 1 - state["flip"]
 
     ck = _tf.mkdtemp(prefix="stream_upsert_ck_")
-    q = (
-        _read_stream(spark, replay)
-        .writeStream.foreachBatch(handle)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    _drain(q)  # guarded: never rmtree under a live FileStreamSource
+    # Scope the per-micro-batch shuffle to the state shard count (the
+    # same scaling note as run_user_engagement in stateful.py): each
+    # batch pays tasks × batches of scheduling + a state-file rewrite
+    # per shard, and the merge's cost driver at this scale is shard
+    # overhead, not rows. On a real deployment this rises with key
+    # cardinality and input rate — never left at the batch default.
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            _read_stream(spark, replay)
+            .writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        _drain(q)  # guarded: never rmtree under a live FileStreamSource
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     # the CURRENT state dir must survive (the returned df reads it
     # lazily); the drained query's checkpoint and the stale alternate
     # state dir are dead weight (ADVICE r5 tempdir hygiene)

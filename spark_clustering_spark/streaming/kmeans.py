@@ -34,7 +34,6 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
-import time
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -54,28 +53,11 @@ def replay_points_dir(
     """Materialize (vec_id, vec) as n_chunks vec_id-ranged parquet
     files — a deterministic arrival-order replay source (the
     harness.py events pattern, applied to embeddings)."""
+    from spark_clustering_spark.streaming.harness import write_replay_chunks
+
     out = tempfile.mkdtemp(prefix="stream_kmeans_")
     pts = points_df(spark, sf_dir).persist()
-    max_id = int(pts.agg(F.max("vec_id").alias("m")).collect()[0]["m"])
-    n = max_id + 1
-    chunk = max(1, n // n_chunks + (n % n_chunks > 0))
-    base = time.time()
-    for ci, lo in enumerate(range(0, n, chunk)):
-        cdir = os.path.join(out, f"chunk_{ci:04d}")
-        (
-            pts.filter(
-                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + chunk)
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(cdir)
-        )
-        # FileStreamSource orders files by modification time, not path;
-        # chunks written in a tight loop can share an mtime and reorder.
-        # Stamp strictly increasing mtimes so arrival order == chunk order.
-        for root, _, files in os.walk(cdir):
-            for f in files:
-                os.utime(os.path.join(root, f), (base + ci, base + ci))
+    write_replay_chunks(pts, "vec_id", out, n_chunks)
     pts.unpersist()
     return out
 
