@@ -176,7 +176,7 @@ def _train_cache_put(key: tuple, df: DataFrame) -> DataFrame:
     (application, sf_dir) scopes first (ADVICE r11: the cache holds
     eagerly pinned localCheckpoints; a long-lived session iterating
     many sf_dirs would otherwise accumulate pinned executor blocks
-    forever). Within one (app, sf_dir) at most len(kinds)=2 entries
+    forever). Within one (app, sf_dir) at most len(kinds)=3 entries
     live — bounded by construction."""
     for k in [k for k in _TRAIN_CACHE if k[:2] != key[:2]]:
         # dropping the last reference is the release mechanism for a
@@ -944,7 +944,16 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("vec", "lvec", lambda x, y: x - y).alias("vec"),
         "list_id",
     ).localCheckpoint(eager=True)
-    cents = pq_train(resid.select("vec_id", "vec"))
+    # the residual-PQ codebook is deterministic per (app, sf_dir) —
+    # coarse quantizer, residuals, and the seeded Lloyd steps all are —
+    # so train it once per session like table_ivf_train/table_pq_train
+    # (guide §4.3 heavyweight init once; bounded n_subs·k-row artifact,
+    # pinned by pq_train's own eager checkpoint). Residuals themselves
+    # stay per-run: only the trained MODEL is shared, never data.
+    rkey = (spark.sparkContext.applicationId, sf_dir, "pq_resid")
+    cents = _TRAIN_CACHE.get(rkey)
+    if cents is None:
+        cents = _train_cache_put(rkey, pq_train(resid.select("vec_id", "vec")))
     codes = pq_encode(resid.select("vec_id", "vec"), cents).select(
         F.col("vec_id").alias("cand_id"), "s", "code"
     )

@@ -100,3 +100,19 @@ def test_train_cache_evicts_other_scopes(spark):
     s._train_cache_put((app, "/fake/sf_b", "ivf"), marker_df)
     assert set(s._TRAIN_CACHE) == {(app, "/fake/sf_b", "ivf")}
     s._TRAIN_CACHE.clear()
+
+
+def test_ivfpq_residual_codebook_cache_is_result_identical(spark):
+    """The residual-PQ codebook is trained once per (app, sf_dir) and
+    served from _TRAIN_CACHE on re-execution (round-12: the same
+    sharing discipline as table_ivf_train). Cached-serve and
+    fresh-train runs must return byte-identical rows."""
+    from spark_clustering_spark.pipeline import similarity as s
+
+    s._TRAIN_CACHE.clear()
+    fresh = _rows(s.q_sim_ivfpq_topk(spark, SF_SMALL))
+    app = spark.sparkContext.applicationId
+    assert (app, SF_SMALL, "pq_resid") in s._TRAIN_CACHE
+    cached = _rows(s.q_sim_ivfpq_topk(spark, SF_SMALL))
+    assert fresh == cached and len(fresh) > 0
+    s._TRAIN_CACHE.clear()
