@@ -49,7 +49,13 @@ from spark_clustering_spark.registry import query
 def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary — the flagship hash aggregation
     (maps the reference's combineByKey partial/final pattern, R5)."""
-    li = table(spark, sf_dir, "lineitem")
+    from spark_clustering_spark.io import spread
+
+    # spread before the aggregate: seven DECIMAL(38,8) partial
+    # aggregates per row are the heaviest per-row map in the agg
+    # family (double->decimal casts go through BigDecimal.valueOf),
+    # and a compacted single-row-group scan pins them to ONE task
+    li = spread(table(spark, sf_dir, "lineitem"))
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
@@ -328,7 +334,12 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles need a full sort per group; the sketch is one
     mergeable map-side state per partition) — the exact columns ride
     along only for the oracle compare at test scale."""
-    o = table(spark, sf_dir, "orders")
+    from spark_clustering_spark.io import spread
+
+    # spread: seven sort-based percentile partials (percentile_disc
+    # buffers collect every value) would otherwise build in the single
+    # scan task of a compacted input
+    o = spread(table(spark, sf_dir, "orders"))
 
     def disc(p: float):
         return F.expr(

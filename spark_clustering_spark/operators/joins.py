@@ -677,7 +677,9 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes asof_join_sorted twice — once forward, once on negated
     time — and takes the closer carry per row: one union + two window
     passes on the user key, never a per-event candidate expansion."""
-    e = table(spark, sf_dir, "events")
+    # spread the probe side: orders broadcasts (<=64 MB), so the
+    # whole join+timestamp map runs in the events scan's task count
+    e = spread(table(spark, sf_dir, "events"))
     o = table(spark, sf_dir, "orders")
     d = e.join(o, o["o_custkey"] == e["user_id"]).select(
         "event_id",

@@ -86,7 +86,11 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """round/abs/mult/sqrt/ln/exp (reference R3 uses pow/sqrt,
     kmeans.java:258-259). sqrt is IEEE-exact; ln/exp agree to well
     under the 4-dp rounding grain."""
-    li = table(spark, sf_dir, "lineitem")
+    from spark_clustering_spark.io import spread
+
+    # spread: five dround pivots per row (double->DECIMAL(38,12)->
+    # round->double) are pure map work serialized by the one-task scan
+    li = spread(table(spark, sf_dir, "lineitem"))
     return li.select(
         "l_orderkey",
         "l_linenumber",

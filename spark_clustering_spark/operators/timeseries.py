@@ -268,7 +268,14 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; a pathological hot user is ordinary join skew (AQE split or
     salted_join). No time-bucketing machinery is needed BECAUSE the
     equi key already confines the candidate space."""
-    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    from spark_clustering_spark.io import spread
+
+    # spread the shared scan: both join sides' shuffle writes (and the
+    # per-pair residual filter) otherwise serialize in one scan task
+    e = spread(
+        table(spark, sf_dir, "events").select("user_id", "ts", "event_type"),
+        "user_id",
+    )
     a = e.alias("a")
     b = e.alias("b")
     return (
