@@ -303,10 +303,16 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact scan and hash-verifies against the same oracle."""
     d = table(spark, sf_dir, "documents")
     g = shingles(d, n=DECON_N)
+    # the eval shingle set feeds BOTH the bloom build and the exact
+    # verify join; pin it so the eval docs' shingle explode runs once.
+    # Scale-honest: the eval set is bounded by design at any corpus
+    # size (that is the premise of broadcasting it) — the training
+    # side stays streaming, never materialized.
     ev = (
         g.filter(F.pmod("doc_id", F.lit(DECON_MOD)) == 0)
         .select("shingle")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     bf = bloom_build(ev)
     train = g.filter(F.pmod("doc_id", F.lit(DECON_MOD)) != 0)
