@@ -62,7 +62,11 @@ def test_agg_plans_partial_and_final(spark, qs):
     plan = formatted_plan(qs["q_agg_hash"](spark, SF_SMALL))
     # partial + final HashAggregate pair around one exchange
     assert plan.count("HashAggregate") >= 2, plan[:800]
-    assert num_shuffles(qs["q_agg_hash"](spark, SF_SMALL)) <= 2
+    # round 12: one deliberate round-robin spread ahead of the seven
+    # decimal partial aggregates (no-op at real scale where the scan
+    # has enough splits) plus the aggregate exchange — and nothing else
+    assert "RoundRobinPartitioning" in plan, plan[:800]
+    assert num_shuffles(qs["q_agg_hash"](spark, SF_SMALL)) <= 4
 
 
 def test_topk_uses_heap_not_global_sort(spark, qs):
